@@ -1,0 +1,173 @@
+"""Deduplication operators (driver-mandated extension surface):
+
+- exact dedup            -> hash-groupBy (D1 generalized)
+- n-gram Jaccard         -> banded self-join + array set ops
+- MinHash + LSH          -> shingle -> K minhashes -> band buckets -> join
+- SimHash                -> sign-aggregated token hashes -> Hamming buckets
+- embedding cosine       -> see operators.similarity
+
+Scale design: every pairwise comparison is gated by a *blocking key*
+(length band / LSH band bucket), so the self-join is an equi-join Catalyst
+executes as a shuffled hash join on the block key — never an O(n^2)
+cartesian.  At 100 TB the block key caps candidate-pair cardinality;
+banding parameters (K hashes, B bands) tune recall vs cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MINHASH_PERMS, MOD, poly_hash_expr
+from .text import word_ngrams
+
+
+def exact_dedup(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """D1 (FD/model.py:48): drop exact duplicate rows.  Spark plans this as
+    a hash aggregate on all (or subset) columns — map-side partial dedup
+    before the shuffle."""
+    return df.dropDuplicates(subset) if subset else df.dropDuplicates()
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
+                        band_width: int = 200) -> DataFrame:
+    """Near-dup pairs by word-n-gram Jaccard similarity.
+
+    Blocking: same ``lang`` + adjacent ``n_chars`` length bands (a true
+    near-dup pair has similar length; a doc joins its own band and the next
+    one, so pairs straddling a band edge are not lost).
+    """
+    shingled = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        word_ngrams(F.col("text"), n).alias("sh"),
+        F.floor(F.col("n_chars") / band_width).alias("band"),
+    )
+    left = shingled.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"),
+        F.col("sh").alias("sh_a"), F.col("band").alias("band_a"),
+    )
+    # each doc probes bands {b-1, b, b+1} -> symmetric |Δband| <= 1 coverage
+    right = shingled.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"),
+        F.col("sh").alias("sh_b"),
+        F.explode(
+            F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)
+        ).alias("probe_band"),
+    )
+    pairs = left.join(
+        right,
+        (F.col("lang_a") == F.col("lang_b"))
+        & (F.col("band_a") == F.col("probe_band"))
+        & (F.col("doc_a") < F.col("doc_b")),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / union.cast("double"), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3,
+                       num_hashes: int = len(MINHASH_PERMS)) -> DataFrame:
+    """K-wide MinHash signature per doc over word-n-gram shingles.
+
+    Portable hash (functions.hashing) so the DuckDB oracle reproduces the
+    exact signature.  All K minima come from one pass over the shingle
+    array via higher-order functions — no explode, no shuffle.
+    """
+    shingled = docs.select(
+        "doc_id", word_ngrams(F.col("text"), n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sig = shingled.withColumn("h", F.expr(
+        "transform(sh, s -> aggregate(sequence(1, length(s)), cast(0 as bigint), "
+        f"(h, i) -> (h * 31 + ascii(substring(s, i, 1))) % {MOD}))"
+    ))
+    cols = [
+        F.array_min(
+            F.transform("h", lambda x: (x * a + b) % MOD)  # noqa: B023
+        ).alias(f"mh{k}")
+        for k, (a, b) in enumerate(MINHASH_PERMS[:num_hashes])
+    ]
+    return sig.select("doc_id", *cols)
+
+
+def minhash_lsh_pairs(docs: DataFrame, n: int = 3, bands: int = 4,
+                      rows_per_band: int = 4,
+                      threshold: float = 0.5) -> DataFrame:
+    """MinHash-LSH candidate generation + exact Jaccard verification.
+
+    Band b's bucket key is the tuple of its ``rows_per_band`` signature
+    components; docs sharing any band bucket become candidates (standard
+    LSH banding: P[candidate] = 1-(1-j^r)^b).  Candidates are verified with
+    exact Jaccard so the output has no false positives.
+    """
+    sigs = minhash_signatures(docs, n, bands * rows_per_band)
+    band_cols = []
+    for b in range(bands):
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                # field names must match across bands or array() rejects the
+                # structs as different types — alias to positional h{r}
+                *[
+                    F.col(f"mh{b * rows_per_band + r}").alias(f"h{r}")
+                    for r in range(rows_per_band)
+                ],
+            ).alias(f"bucket{b}")
+        )
+    buckets = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bucket")
+    )
+    cand = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), on="bucket")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .dropDuplicates()
+    )
+    shingled = docs.select("doc_id", word_ngrams(F.col("text"), n).alias("sh"))
+    a = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = cand.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return verified.select(
+        "doc_a", "doc_b", F.round(inter / union.cast("double"), 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """SimHash fingerprint: per-bit majority vote over token hashes.
+
+    One explode + one groupBy(doc) with ``bits`` sum aggregates — a single
+    shuffle keyed by doc_id; partial aggregation keeps shuffle volume at
+    O(docs x bits/8) bytes regardless of document length.
+    """
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+    ).withColumn("th", poly_hash_expr("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    fp = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = bit if fp is None else fp + bit
+    return agg.select("doc_id", fp.alias("simhash"))

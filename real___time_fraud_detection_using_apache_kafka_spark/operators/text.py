@@ -1,0 +1,133 @@
+"""Text-analysis operators for the training-data pipeline extension surface
+(driver mandate in BASELINE.json): tokenization, quality scoring,
+language-ID heuristic, document fingerprinting.
+
+All built from JVM-side functions (split / regexp / higher-order array
+functions) — zero Python UDFs, so every operator is a narrow map over the
+documents scan and parallelizes embarrassingly at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import poly_hash_expr
+
+# Tiny per-language stopword marker sets for the n-gram/stopword heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and"],
+    "de": ["der", "die", "und", "das"],
+    "fr": ["le", "la", "et", "les"],
+    "es": ["el", "los", "y", "una"],
+}
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty string -> empty array (not [''])."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(tokens(text))
+    )
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (the unit for Jaccard / MinHash)."""
+    t = tokens(text)
+    joined = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, (i + k).cast("int")) for k in range(n)]
+        ),
+    )
+    # sequence(1, k) DESCENDS when k < 1 — guard short docs to an empty set
+    return F.when(F.size(t) < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(joined)
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: length, token stats, punctuation ratio,
+    stopword ratio, mean word length — the standard pretraining-corpus
+    heuristics (Gopher/C4-style rules), all as column expressions."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = token_count(t)
+    punct = F.length(t) - F.length(F.regexp_replace(t, r"[.,!?;:]", ""))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.array_intersect(toks, stop_arr))
+    return df.select(
+        "*",
+        F.length(t).alias("q_chars"),
+        n_tok.alias("q_tokens"),
+        F.round(punct / F.greatest(F.length(t), F.lit(1)), 6).alias("q_punct_ratio"),
+        F.round(
+            F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1)).cast("double"),
+            6,
+        ).alias("q_distinct_ratio"),
+        F.round(n_stop / F.greatest(n_tok, F.lit(1)).cast("double"), 6).alias(
+            "q_stopword_hit_ratio"
+        ),
+        F.round(
+            (F.length(t) - n_tok + 1) / F.greatest(n_tok, F.lit(1)).cast("double"), 6
+        ).alias("q_mean_word_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite 0-1 quality score + keep/drop decision."""
+    feats = quality_features(df, text_col)
+    score = F.round(
+        F.lit(1.0)
+        - F.least(F.col("q_punct_ratio") * 5, F.lit(0.5))
+        - F.when(F.col("q_tokens") < 10, 0.3).otherwise(0.0)
+        - F.when(F.col("q_distinct_ratio") < 0.2, 0.2).otherwise(0.0),
+        6,
+    )
+    return feats.withColumn("quality_score", score).withColumn(
+        "keep", (F.col("quality_score") >= 0.5).cast("int")
+    )
+
+
+def lang_scores(text: Column) -> list[Column]:
+    """Marker-word hit counts per candidate language."""
+    toks = tokens(text)
+    out = []
+    for lang, markers in LANG_MARKERS.items():
+        hits = F.size(
+            F.filter(toks, lambda w: w.isin(markers))  # noqa: B023
+        )
+        out.append(hits.alias(f"score_{lang}"))
+    return out
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language-ID: argmax of marker-word counts, ties broken by
+    language code order, 'und' (undetermined) when no marker hits."""
+    scored = df.select("*", *lang_scores(F.col(text_col)))
+    pairs = F.array(
+        *[
+            F.struct(
+                F.col(f"score_{lang}").alias("s"), F.lit(lang).alias("lang")
+            )
+            for lang in LANG_MARKERS
+        ]
+    )
+    best = F.array_max(F.filter(pairs, lambda p: p["s"] > 0))
+    # array_max on struct compares (s, lang) lexicographically -> on equal
+    # scores the lexicographically LARGER language code wins; deterministic.
+    return scored.withColumn(
+        "lang_pred", F.coalesce(best["lang"], F.lit("und"))
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                out_col: str = "fingerprint") -> DataFrame:
+    """Document fingerprint: portable polynomial rolling hash of the full
+    text (content-addressable exact-dup key; oracle-reproducible)."""
+    return df.withColumn(out_col, poly_hash_expr(text_col))

@@ -1,0 +1,256 @@
+"""Fraud-scoring / evaluation-metric query catalog (SURVEY.md §2.5 A1,
+A8-A14 and the flagship fraud-patterns aggregate).
+
+The ``events`` table stands in for the reference's scored transaction
+stream: ``value`` plays the transaction amount / model score role and
+``props.k`` supplies a deterministic pseudo-label, so the whole metric
+battery the reference computed with sklearn over re-parsed logs
+(FD/evaluation.py:97-179, FD/model.py:122-148) is reproduced as pure
+distributed aggregation with a DuckDB oracle.
+
+Label/score convention used by all queries here:
+  actual  = (json props.k >= 50)          -- pseudo ground truth
+  score   = value / 500.0                 -- pseudo P(fraud) in (0, ~1)
+  predicted = (score >= 0.1)              -- thresholded decision
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.aggregates import (
+    classification_metrics,
+    confusion_cells,
+    deterministic_mode,
+    log_loss,
+)
+from ..operators.windows import pr_curve_best_threshold, roc_auc, topk
+from ..sources.tables import load_table
+from .registry import register
+
+# Shared oracle fragment: the scored-events CTE.
+SCORED_CTE = """
+    WITH scored AS (
+        SELECT event_id, user_id, ts, event_type, value,
+               CASE WHEN cast(json_extract(props, '$.k') AS INT) >= 50
+                    THEN 1 ELSE 0 END AS actual,
+               value / 500.0 AS score,
+               CASE WHEN value / 500.0 >= 0.1 THEN 1 ELSE 0 END AS predicted
+        FROM events
+    )
+"""
+
+
+def scored_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    score = F.col("value") / 500.0
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.when(k >= 50, 1).otherwise(0).alias("actual"),
+        score.alias("score"),
+        F.when(score >= 0.1, 1).otherwise(0).alias("predicted"),
+    )
+
+
+@register(
+    "fraud_patterns",
+    oracle="""
+    WITH susp AS (
+        SELECT * FROM events WHERE value >= 75
+    ), counts AS (
+        SELECT user_id, event_type, count(*) AS _cnt
+        FROM susp GROUP BY user_id, event_type
+    ), modes AS (
+        SELECT user_id, event_type AS top_event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY _cnt DESC, event_type ASC) AS rn
+        FROM counts
+    ), agg AS (
+        SELECT user_id, count(*) AS suspicious_count,
+               round(avg(value), 2) AS avg_value, max(ts) AS last_ts
+        FROM susp GROUP BY user_id
+    )
+    SELECT a.user_id, a.suspicious_count, a.avg_value, a.last_ts, m.top_event_type
+    FROM agg a JOIN modes m ON a.user_id = m.user_id AND m.rn = 1
+    ORDER BY a.suspicious_count DESC, a.user_id ASC
+    LIMIT 10
+    """,
+)
+def fraud_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP (FD/evaluation.py:166-173): the reference's fraud-pattern
+    panel — filter to suspicious records, per-entity count / mean amount /
+    modal category / latest timestamp, top-10 entities.
+
+    One groupBy for the numeric aggs + the deterministic-mode operator's
+    count-rank pipeline, joined back; all shuffles key on user_id so AQE
+    can coalesce/skew-split.
+    """
+    e = load_table(spark, sf_dir, "events")
+    susp = e.filter(F.col("value") >= 75)
+    agg = susp.groupBy("user_id").agg(
+        F.count("*").alias("suspicious_count"),
+        F.round(F.avg("value"), 2).alias("avg_value"),
+        F.max("ts").alias("last_ts"),
+    )
+    modes = deterministic_mode(susp, ["user_id"], "event_type", "top_event_type")
+    joined = agg.join(modes, "user_id")
+    return topk(
+        joined, [F.desc("suspicious_count"), F.asc("user_id")], 10
+    ).select("user_id", "suspicious_count", "avg_value", "last_ts", "top_event_type")
+
+
+@register(
+    "class_counts",
+    oracle=SCORED_CTE
+    + """
+    SELECT predicted AS prediction, count(*) AS n
+    FROM scored GROUP BY predicted
+    """,
+)
+def class_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/T4 (FD/consumer.py:127-131): the fraud / non-fraud running
+    counters as a grouped count (streaming version in streaming/)."""
+    return (
+        scored_events(spark, sf_dir)
+        .groupBy(F.col("predicted").alias("prediction"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "confusion_matrix",
+    oracle=SCORED_CTE
+    + """
+    SELECT sum(CASE WHEN actual = 1 AND predicted = 1 THEN 1 ELSE 0 END) AS tp,
+           sum(CASE WHEN actual = 0 AND predicted = 1 THEN 1 ELSE 0 END) AS fp,
+           sum(CASE WHEN actual = 1 AND predicted = 0 THEN 1 ELSE 0 END) AS fn,
+           sum(CASE WHEN actual = 0 AND predicted = 0 THEN 1 ELSE 0 END) AS tn
+    FROM scored
+    """,
+)
+def confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 (FD/model.py:132-133): 2x2 confusion cells in one aggregation."""
+    s = scored_events(spark, sf_dir)
+    return confusion_cells(s, F.col("actual"), F.col("predicted"))
+
+
+@register(
+    "classification_metrics",
+    oracle=SCORED_CTE
+    + """
+    , cells AS (
+        SELECT sum(CASE WHEN actual = 1 AND predicted = 1 THEN 1 ELSE 0 END) AS tp,
+               sum(CASE WHEN actual = 0 AND predicted = 1 THEN 1 ELSE 0 END) AS fp,
+               sum(CASE WHEN actual = 1 AND predicted = 0 THEN 1 ELSE 0 END) AS fn,
+               sum(CASE WHEN actual = 0 AND predicted = 0 THEN 1 ELSE 0 END) AS tn
+        FROM scored
+    )
+    SELECT tp, fp, fn, tn,
+           round((tp + tn) / cast(tp + fp + fn + tn AS DOUBLE), 6)  AS accuracy,
+           round(tp / cast(tp + fp AS DOUBLE), 6)                   AS precision,
+           round(tp / cast(tp + fn AS DOUBLE), 6)                   AS recall,
+           round(2.0 * (tp / cast(tp + fp AS DOUBLE)) * (tp / cast(tp + fn AS DOUBLE))
+                 / ((tp / cast(tp + fp AS DOUBLE)) + (tp / cast(tp + fn AS DOUBLE))), 6) AS f1,
+           round(tn / cast(tn + fp AS DOUBLE), 6)                   AS specificity,
+           round(fp / cast(fp + tn AS DOUBLE), 6)                   AS fpr,
+           round(fn / cast(fn + tp AS DOUBLE), 6)                   AS fnr,
+           round((tp * tn - fp * fn) /
+                 sqrt(cast(tp + fp AS DOUBLE) * (tp + fn) * (tn + fp) * (tn + fn)), 6) AS mcc
+    FROM cells
+    """,
+)
+def classification_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9/A10/A12 (FD/model.py:131-144): accuracy, precision, recall, F1,
+    specificity, FPR, FNR, MCC from confusion cells — the metrics MLlib has
+    no evaluator for, as portable column arithmetic."""
+    s = scored_events(spark, sf_dir)
+    cells = confusion_cells(s, F.col("actual"), F.col("predicted"))
+    return classification_metrics(cells)
+
+
+@register(
+    "log_loss",
+    oracle=SCORED_CTE
+    + """
+    SELECT round(avg(-(actual * ln(greatest(least(score, 1 - 1e-7), 1e-7))
+                 + (1 - actual) * ln(1 - greatest(least(score, 1 - 1e-7), 1e-7)))), 6)
+           AS log_loss
+    FROM scored
+    """,
+)
+def log_loss_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 (FD/model.py:145): clamped mean negative log-likelihood."""
+    s = scored_events(spark, sf_dir)
+    return log_loss(s, F.col("actual"), F.col("score"))
+
+
+@register(
+    "roc_auc",
+    oracle=SCORED_CTE
+    + """
+    , by_p AS (
+        SELECT score AS p, count(*) AS cnt, sum(actual) AS pos
+        FROM scored GROUP BY score
+    ), ranked AS (
+        SELECT p, cnt, pos,
+               coalesce(sum(cnt) OVER (ORDER BY p ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        FROM by_p
+    )
+    SELECT round((sum((below + (cnt + 1) / 2.0) * pos)
+                  - sum(pos) * (sum(pos) + 1) / 2.0)
+                 / (sum(pos) * (sum(cnt) - sum(pos))), 6) AS roc_auc
+    FROM ranked
+    """,
+)
+def roc_auc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 (FD/model.py:140): ROC AUC via the Mann-Whitney rank statistic
+    with tie-averaged ranks — numerically identical to sklearn's
+    trapezoidal ``roc_auc_score``."""
+    s = scored_events(spark, sf_dir)
+    return roc_auc(s, F.col("actual"), F.col("score"))
+
+
+@register(
+    "pr_curve_threshold",
+    oracle=SCORED_CTE
+    + """
+    , by_p AS (
+        SELECT score AS p, count(*) AS cnt, sum(actual) AS pos
+        FROM scored GROUP BY score
+    ), cum AS (
+        SELECT p,
+               sum(pos) OVER (ORDER BY p DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+               sum(cnt) OVER (ORDER BY p DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS predicted_pos
+        FROM by_p
+    ), curve AS (
+        SELECT p AS threshold,
+               tp / cast(predicted_pos AS DOUBLE) AS precision,
+               tp / (SELECT cast(sum(actual) AS DOUBLE) FROM scored) AS recall
+        FROM cum
+    ), f AS (
+        SELECT threshold, precision, recall,
+               CASE WHEN precision + recall > 0
+                    THEN 2 * precision * recall / (precision + recall)
+                    ELSE 0.0 END AS f1
+        FROM curve
+    )
+    SELECT threshold, round(precision, 6) AS precision,
+           round(recall, 6) AS recall, round(f1, 6) AS f1
+    FROM f ORDER BY f1 DESC, threshold DESC LIMIT 1
+    """,
+)
+def pr_curve_threshold_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 (FD/evaluation.py:91-95,139-140): the F1-optimal decision
+    threshold from the precision-recall curve — the reference's adaptive
+    thresholding, as a window cum-sum over one row per distinct score."""
+    s = scored_events(spark, sf_dir)
+    return pr_curve_best_threshold(s, F.col("actual"), F.col("score"))

@@ -1,0 +1,602 @@
+"""Relational query catalog: scans, projections/filters, dedup, joins,
+aggregations, windows, set ops (SURVEY.md §2.1-2.8) over the TPC-H-ish
+driver testdata.
+
+Every query aliases computed columns identically in the Spark plan and the
+DuckDB oracle, and rounds double aggregates explicitly on both sides so
+accumulation-order last-bit differences cannot flip the value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import relational as R
+from ..operators.aggregates import deterministic_mode
+from ..operators.dedup import exact_dedup as _exact_dedup
+from ..operators.windows import latest_per_group, topk, topk_per_group
+from ..sources.tables import load_table
+from .registry import register
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style composite queries (scan -> filter -> join -> agg -> sort)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                   AS avg_qty,
+           round(avg(l_extendedprice), 4)                              AS avg_price,
+           round(avg(l_discount), 4)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 analog: the full scan->filter->agg pipeline (S1, P4, A3-A5).
+
+    Shipdate predicate and 7-column projection both push to the parquet
+    scan; the groupBy has 6 groups so partial aggregation collapses nearly
+    all rows map-side.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey AS orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate AS orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 analog: selective dim filter -> fact joins -> agg -> top-k.
+
+    customer(BUILDING) is small -> broadcast into orders; orders->lineitem
+    is the only shuffle join (both sides shuffled by orderkey).  The final
+    top-10 is TakeOrderedAndProject, not a global sort.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-03-15"
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-03-15"
+    )
+    joined = R.broadcast_dim_join(o, c, F.col("c_custkey") == F.col("o_custkey"))
+    joined = l.join(joined, F.col("l_orderkey") == F.col("o_orderkey"))
+    agg = joined.groupBy(
+        F.col("l_orderkey").alias("orderkey"), F.col("o_orderdate").alias("orderdate")
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+    return topk(agg, [F.desc("revenue"), F.asc("orderkey")], 10).select(
+        "orderkey", "revenue", "orderdate"
+    )
+
+
+@register(
+    "q5_regional_revenue",
+    oracle="""
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM region r JOIN nation n   ON n.n_regionkey = r.r_regionkey
+                  JOIN customer c ON c.c_nationkey = n.n_nationkey
+                  JOIN orders o   ON o.o_custkey  = c.c_custkey
+                  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                  JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+                                 AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 analog: 6-way join with broadcast dims (S1, joins §2.4).
+
+    region/nation/customer/supplier are broadcast; only orders-lineitem
+    shuffles.  The local-supplier condition (s_nationkey = c_nationkey)
+    rides on the broadcast join, no extra shuffle.
+    """
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    dims = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    fact = l.join(o, l["l_orderkey"] == o["o_orderkey"])
+    joined = fact.join(F.broadcast(dims), o["o_custkey"] == dims["c_custkey"])
+    joined = joined.join(
+        F.broadcast(s),
+        (joined["l_suppkey"] == s["s_suppkey"])
+        & (joined["c_nationkey"] == s["s_nationkey"]),
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projections / filters / null handling (P1-P11)
+# ---------------------------------------------------------------------------
+
+@register(
+    "projection_filter",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderpriority,
+           round(o_totalprice * 1.1, 2) AS taxed_price,
+           CASE WHEN o_totalprice >= 30000 THEN 'big' ELSE 'small' END AS size_class
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice BETWEEN 1000 AND 100000
+    """,
+)
+def projection_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2/P3/P4 + F12: projection with computed + conditional columns
+    under a pushed-down filter."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            (F.col("o_orderstatus") == "O")
+            & F.col("o_totalprice").between(1000, 100000)
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 1.1, 2).alias("taxed_price"),
+            F.when(F.col("o_totalprice") >= 30000, "big")
+            .otherwise("small")
+            .alias("size_class"),
+        )
+    )
+
+
+@register(
+    "null_handling",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*)                                    AS n_customers,
+           count(CASE WHEN c_acctbal >= 0 THEN 1 END)  AS n_nonneg,
+           round(sum(coalesce(CASE WHEN c_acctbal >= 0 THEN c_acctbal END, 0.0)), 2)
+                                                       AS sum_filled
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/P9/P10: nulls are introduced (negative balances -> null), then
+    counted and coalesce-filled — fillna/dropna/get-with-default."""
+    c = load_table(spark, sf_dir, "customer")
+    nn = F.when(F.col("c_acctbal") >= 0, F.col("c_acctbal"))  # else NULL
+    return c.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.count(nn).alias("n_nonneg"),
+        F.round(F.sum(R.with_default(nn, 0.0)), 2).alias("sum_filled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup (D1)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus, l_quantity
+    FROM lineitem
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 (FD/model.py:48): exact dedup = hash aggregate over the projected
+    columns; map-side partial dedup bounds shuffle volume by the distinct
+    count, not the row count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return _exact_dedup(
+        li.select("l_returnflag", "l_linestatus", "l_quantity")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A2-A7) / grouping extensions
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_stats_orders",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)                          AS n_orders,
+           count(DISTINCT o_custkey)         AS n_customers,
+           round(sum(o_totalprice), 2)       AS sum_price,
+           round(avg(o_totalprice), 4)       AS avg_price,
+           round(min(o_totalprice), 2)       AS min_price,
+           round(max(o_totalprice), 2)       AS max_price,
+           min(o_orderdate)                  AS first_order,
+           max(o_orderdate)                  AS last_order
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2-A5, A7: grouped count / distinct-count / sum / avg / min / max."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+
+
+@register(
+    "mode_source_per_lang",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, source, count(*) AS _cnt FROM documents GROUP BY lang, source
+    ), ranked AS (
+        SELECT lang, source,
+               row_number() OVER (PARTITION BY lang ORDER BY _cnt DESC, source ASC) AS rn
+        FROM counts
+    )
+    SELECT lang, source AS mode_source FROM ranked WHERE rn = 1
+    """,
+)
+def mode_source_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 (FD/evaluation.py:170,172): deterministic mode per group (ties ->
+    smaller value), as count-then-rank so the oracle can mirror it."""
+    docs = load_table(spark, sf_dir, "documents")
+    return deterministic_mode(docs, ["lang"], "source", out_col="mode_source")
+
+
+@register(
+    "rollup_region_nation",
+    oracle="""
+    SELECT coalesce(r_name, 'ALL') AS region,
+           coalesce(n_name, 'ALL') AS nation,
+           count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS sum_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets extension (§2.5 note): ROLLUP region->nation with
+    subtotal rows labeled 'ALL'."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = R.broadcast_dim_join(
+        c, n, c["c_nationkey"] == n["n_nationkey"]
+    ).join(F.broadcast(r), F.col("n_regionkey") == r["r_regionkey"])
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            "n_customers",
+            "sum_acctbal",
+        )
+    )
+
+
+@register(
+    "pivot_event_type_daily",
+    oracle="""
+    SELECT cast(date_trunc('day', ts) AS DATE) AS day,
+           count(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
+           count(CASE WHEN event_type = 'view'     THEN 1 END) AS view,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           count(CASE WHEN event_type = 'signup'   THEN 1 END) AS signup,
+           count(CASE WHEN event_type = 'error'    THEN 1 END) AS error
+    FROM events
+    GROUP BY 1
+    """,
+)
+def pivot_event_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot extension: daily counts per event type as wide columns."""
+    e = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows / top-k (W1-W4)
+# ---------------------------------------------------------------------------
+
+@register(
+    "top_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 (FD/model.py:183): global top-k by value — TakeOrderedAndProject,
+    per-partition heaps, no global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return topk(o, [F.desc("o_totalprice"), F.asc("o_orderkey")], 10).select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("totalprice")
+    )
+
+
+@register(
+    "topk_orders_per_customer",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        FROM orders
+    )
+    SELECT o_custkey, o_orderkey, totalprice, rnk FROM ranked WHERE rnk <= 3
+    """,
+)
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1-style per-group top-k via row_number window (single shuffle on
+    the partition key)."""
+    o = load_table(spark, sf_dir, "orders")
+    ranked = topk_per_group(
+        o, ["o_custkey"], [F.desc("o_totalprice"), F.asc("o_orderkey")], 3
+    )
+    return ranked.select(
+        "o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "rnk"
+    )
+
+
+@register(
+    "latest_event_per_user",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_id, ts, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id, event_id, ts, event_type FROM ranked WHERE rn = 1
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 (FD/dashboard.py:156-162): most-recent record per key."""
+    e = load_table(spark, sf_dir, "events")
+    return latest_per_group(
+        e, ["user_id"], [F.desc("ts"), F.desc("event_id")]
+    ).select("user_id", "event_id", "ts", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Joins: semi / anti (§2.4 complement)
+# ---------------------------------------------------------------------------
+
+@register(
+    "semi_join_customers_with_orders",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_active
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers having >=1 order, counted per segment."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    active = R.semi_join(c, o, c["c_custkey"] == o["o_custkey"])
+    return active.groupBy("c_mktsegment").agg(F.count("*").alias("n_active"))
+
+
+@register(
+    "anti_join_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers that never ordered."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return R.anti_join(c, o, c["c_custkey"] == o["o_custkey"]).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (§2.7)
+# ---------------------------------------------------------------------------
+
+@register(
+    "set_ops_nations",
+    oracle="""
+    WITH cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+         sn AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+    SELECT 'both' AS side, nationkey FROM (SELECT nationkey FROM cn INTERSECT SELECT nationkey FROM sn)
+    UNION ALL
+    SELECT 'customer_only' AS side, nationkey FROM (SELECT nationkey FROM cn EXCEPT SELECT nationkey FROM sn)
+    UNION ALL
+    SELECT 'supplier_only' AS side, nationkey FROM (SELECT nationkey FROM sn EXCEPT SELECT nationkey FROM cn)
+    """,
+)
+def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7: INTERSECT / EXCEPT / UNION ALL over nation-key sets."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    ).distinct()
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    ).distinct()
+    both = R.intersect(c, s).select(F.lit("both").alias("side"), "nationkey")
+    c_only = c.exceptAll(s).select(F.lit("customer_only").alias("side"), "nationkey")
+    s_only = s.exceptAll(c).select(F.lit("supplier_only").alias("side"), "nationkey")
+    return both.unionByName(c_only).unionByName(s_only)
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function queries (F1-F14, F19-F21)
+# ---------------------------------------------------------------------------
+
+@register(
+    "scalar_datetime_parts",
+    oracle="""
+    SELECT cast(extract(year  FROM ts) AS INT) AS year,
+           cast(extract(month FROM ts) AS INT) AS month,
+           cast(extract(day   FROM ts) AS INT) AS day,
+           cast(extract(hour  FROM ts) AS INT) AS hour,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def scalar_datetime_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/F4 (FD/model.py:53-58): timestamp decomposition exactly as the
+    feature pipeline derives its 6 time features."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.year("ts").alias("year"),
+        F.month("ts").alias("month"),
+        F.dayofmonth("ts").alias("day"),
+        F.hour("ts").alias("hour"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@register(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           lower(trim(c_name))                           AS name_norm,
+           replace(lower(trim(c_mktsegment)), ' ', '_')  AS segment_key,
+           printf('$%.2f', c_acctbal)                    AS acctbal_usd,
+           substr(c_name, 1, 8)                          AS name_prefix,
+           concat(c_mktsegment, '#', cast(c_nationkey AS VARCHAR)) AS seg_nation
+    FROM customer
+    WHERE c_custkey <= 500
+    """,
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7/F9/F10/F14/F18: currency render, key normalization, substring,
+    concat — the reference's log-formatting functions as columns."""
+    from ..functions.scalar import currency_format, normalize_key
+
+    c = load_table(spark, sf_dir, "customer")
+    return c.filter(F.col("c_custkey") <= 500).select(
+        "c_custkey",
+        F.lower(F.trim("c_name")).alias("name_norm"),
+        normalize_key(F.col("c_mktsegment")).alias("segment_key"),
+        currency_format(F.col("c_acctbal")).alias("acctbal_usd"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat(
+            F.col("c_mktsegment"), F.lit("#"), F.col("c_nationkey").cast("string")
+        ).alias("seg_nation"),
+    )
+
+
+@register(
+    "currency_roundtrip",
+    oracle="""
+    SELECT o_orderkey,
+           printf('$%.2f', o_totalprice) AS rendered,
+           cast(replace(printf('$%.2f', o_totalprice), '$', '') AS DOUBLE) AS parsed
+    FROM orders
+    WHERE o_orderkey <= 1000
+    """,
+)
+def currency_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7+F8+F13 (FD/evaluation.py:83-87): render '$%.2f' then strip-and-
+    cast back — the evaluation module's money parser, as a round trip."""
+    from ..functions.scalar import currency_format, currency_parse
+
+    o = load_table(spark, sf_dir, "orders")
+    rendered = currency_format(F.col("o_totalprice"))
+    return o.filter(F.col("o_orderkey") <= 1000).select(
+        "o_orderkey",
+        rendered.alias("rendered"),
+        currency_parse(rendered).alias("parsed"),
+    )
+
+
+@register(
+    "json_extract_props",
+    oracle="""
+    SELECT cast(cast(json_extract(props, '$.k') AS INT) // 10 AS BIGINT) AS k_decile,
+           count(*) AS n_events,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F19 (FD/consumer.py:106): JSON field extraction from the props
+    payload — the stream's from_json path in batch form."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy(
+        F.floor(k / 10).cast("long").alias("k_decile")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )

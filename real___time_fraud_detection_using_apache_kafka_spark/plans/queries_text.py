@@ -1,0 +1,330 @@
+"""Text / dedup / similarity / multimodal query catalog — the driver-
+mandated training-data-pipeline extension surface (BASELINE.json), plus
+the reference's log-parsing operators (S6/S7) re-expressed structurally.
+
+DuckDB-oracle parity notes:
+- tokenization: ``split(trim(x), '\\s+')`` == ``string_split_regex``.
+- set similarity: Spark ``array_intersect``/``array_distinct`` == DuckDB
+  ``list_intersect``/``list_distinct`` (both set-semantics).
+- dot products: both sides fold elementwise double products in array
+  order, so IEEE addition gives bit-identical cosines.
+- hashes: the shared polynomial hash (functions.hashing) is reproduced
+  verbatim in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import poly_hash_duckdb
+from ..operators import dedup as D
+from ..operators import similarity as SIM
+from ..operators import text as TX
+from ..sources.tables import load_table
+from .registry import register
+
+TOKS = "string_split_regex(trim(text), '\\s+')"
+
+
+@register(
+    "doc_token_stats",
+    oracle=f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(CASE WHEN trim(text) = '' THEN 0 ELSE len({TOKS}) END) AS total_tokens,
+           round(avg(CASE WHEN trim(text) = '' THEN 0 ELSE len({TOKS}) END), 4) AS avg_tokens,
+           sum(length(text)) AS total_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (extension: whitespace tokenizer) aggregated per
+    language — the corpus-stats pass of a pretraining pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = TX.token_count(F.col("text"))
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tok).alias("total_tokens"),
+        F.round(F.avg(n_tok), 4).alias("avg_tokens"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+
+
+@register(
+    "doc_quality",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id,
+               length(text) AS q_chars,
+               CASE WHEN trim(text) = '' THEN 0 ELSE len({TOKS}) END AS q_tokens,
+               round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                     / cast(greatest(length(text), 1) AS DOUBLE), 6) AS q_punct_ratio,
+               round(len(list_distinct({TOKS}))
+                     / cast(greatest(CASE WHEN trim(text) = '' THEN 0 ELSE len({TOKS}) END, 1) AS DOUBLE), 6)
+                     AS q_distinct_ratio
+        FROM documents
+    ), scored AS (
+        SELECT *,
+               round(1.0 - least(q_punct_ratio * 5, 0.5)
+                     - CASE WHEN q_tokens < 10 THEN 0.3 ELSE 0.0 END
+                     - CASE WHEN q_distinct_ratio < 0.2 THEN 0.2 ELSE 0.0 END, 6)
+                     AS quality_score
+        FROM feats
+    )
+    SELECT doc_id, q_chars, q_tokens, q_punct_ratio, q_distinct_ratio,
+           quality_score,
+           CASE WHEN quality_score >= 0.5 THEN 1 ELSE 0 END AS keep
+    FROM scored
+    """,
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (extension): C4/Gopher-style heuristics — punct
+    ratio, repetition (distinct-token ratio), length gate — composed into a
+    keep/drop score, all as codegen column expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.quality_score(docs).select(
+        "doc_id",
+        "q_chars",
+        "q_tokens",
+        "q_punct_ratio",
+        "q_distinct_ratio",
+        "quality_score",
+        "keep",
+    )
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, lang,
+               len(list_filter({TOKS}, w -> list_contains(['the','a','of','and'], w))) AS score_en,
+               len(list_filter({TOKS}, w -> list_contains(['der','die','und','das'], w))) AS score_de,
+               len(list_filter({TOKS}, w -> list_contains(['le','la','et','les'], w)))   AS score_fr,
+               len(list_filter({TOKS}, w -> list_contains(['el','los','y','una'], w)))   AS score_es
+        FROM documents
+    ), m AS (
+        SELECT *, greatest(score_en, score_de, score_fr, score_es) AS mx FROM s
+    )
+    SELECT doc_id, lang, score_en, score_de, score_fr, score_es,
+           CASE WHEN mx = 0 THEN 'und'
+                WHEN score_fr = mx THEN 'fr'
+                WHEN score_es = mx THEN 'es'
+                WHEN score_en = mx THEN 'en'
+                ELSE 'de' END AS lang_pred
+    FROM m
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (extension): marker-stopword hit counts with a
+    deterministic argmax (ties -> lexicographically larger code)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.lang_id(docs).select(
+        "doc_id", "lang", "score_en", "score_de", "score_fr", "score_es", "lang_pred"
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT {poly_hash_duckdb('text')}) AS n_distinct_fp
+    FROM documents
+    GROUP BY source
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (extension): portable rolling-hash content
+    key; per-source exact-dup audit = count vs distinct-fingerprint count."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = TX.fingerprint(docs)
+    return fp.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fingerprint").alias("n_distinct_fp"),
+    )
+
+
+NGRAM_SQL = (
+    "list_distinct(list_transform(range(1, greatest(len({t}) - 1, 1)), "
+    "i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2]))"
+).format(t=TOKS)
+
+
+@register(
+    "ngram_jaccard_neardup",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, lang, n_chars, {NGRAM_SQL} AS sh,
+               cast(floor(n_chars / 200) AS BIGINT) AS band
+        FROM documents
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.sh, b.sh)) AS inter,
+               len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS un
+        FROM sh a JOIN sh b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id
+         AND b.band BETWEEN a.band - 1 AND a.band + 1
+    )
+    SELECT DISTINCT doc_a, doc_b,
+           round(inter / cast(un AS DOUBLE), 6) AS jaccard
+    FROM pairs
+    WHERE inter / cast(un AS DOUBLE) >= 0.5
+    """,
+)
+def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup dedup (extension): word-3-gram Jaccard >= 0.5 with
+    lang+length-band blocking — the self-join is an equi-join on the block
+    key, never a cartesian (SURVEY.md §7 phase 4)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, n=3, threshold=0.5, band_width=200)
+
+
+@register("minhash_neardup")  # rows-only: LSH banding not ANSI-SQL-expressible
+def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup (extension): 16 portable minhashes, 4 bands x 4
+    rows, bucket equi-join for candidates, exact-Jaccard verification.
+    Same planted near-dups as ngram_jaccard_neardup must surface."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, n=3, bands=4, rows_per_band=4, threshold=0.5)
+
+
+@register("simhash_fingerprints")  # rows-only: 32 bit-vote aggregates
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (extension): 32-bit majority-vote fingerprint per document
+    over portable token hashes; near-dups land at small Hamming distance."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash(docs, bits=32)
+
+
+DOT_SQL = (
+    "list_reduce(list_prepend(cast(0.0 AS DOUBLE), "
+    "list_transform(range(1, len({a}) + 1), "
+    "i -> cast({a}[i] AS DOUBLE) * cast({b}[i] AS DOUBLE))), (s, x) -> s + x)"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"({DOT_SQL.format(a=a, b=b)} / "
+        f"(sqrt({DOT_SQL.format(a=a, b=a)}) * sqrt({DOT_SQL.format(a=b, b=b)})))"
+    )
+
+
+@register(
+    "embedding_knn",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               round({_cos_sql('q.qv', 'c.embedding')}, 6) AS cosine
+        FROM embeddings c CROSS JOIN q
+        WHERE c.vec_id <> q.query_id
+    ), ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search (extension): brute-force cosine top-5 for a probe
+    set — broadcast probes, score-per-partition, window top-k; the exact
+    baseline an IVF/LSH path is validated against."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return SIM.brute_force_topk(probes, emb, k=5).select(
+        "query_id", "neighbor_id", "cosine", "rank"
+    )
+
+
+@register(
+    "embedding_cosine_neardup",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= 0.45
+    """,
+)
+def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (extension): all pairs with cosine >= 0.45
+    (exact at test scale; hyperplane-LSH variant is the 100 TB path,
+    exercised in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.cosine_neardup_pairs(emb, threshold=0.45)
+
+
+@register(
+    "multimodal_binary",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS byte_len,
+           base64(encode(substr(text, 1, 24))) AS b64_prefix,
+           source
+    FROM documents
+    """,
+)
+def multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal columns (extension): opaque binary payloads with typed
+    metadata — UTF-8 bytes stand in for image/audio blobs; byte length and
+    base64 rendering (F20) are the metadata/decode plumbing.  The prefix is
+    kept < 57 bytes because Spark's base64 is MIME-chunked at 76 chars."""
+    docs = load_table(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(blob).alias("byte_len"),
+        F.base64(F.encode(F.substring("text", 1, 24), "utf-8")).alias("b64_prefix"),
+        "source",
+    )
+
+
+@register(
+    "log_parse_roundtrip",
+    oracle="""
+    WITH rendered AS (
+        SELECT event_id,
+               'Transaction ID: TXN' || cast(event_id AS VARCHAR)
+               || ' | Amount: ' || printf('$%.2f', value)
+               || ' | Status: '
+               || CASE WHEN value >= 50 THEN 'Fraud' ELSE 'Not Fraud' END AS line
+        FROM events
+    )
+    SELECT event_id,
+           regexp_extract(line, 'Transaction ID: (TXN[0-9]+)', 1) AS txn_id,
+           cast(regexp_extract(line, 'Amount: \\$([0-9.]+)', 1) AS DOUBLE) AS amount,
+           CASE WHEN upper(regexp_extract(line, 'Status: (.*)$', 1)) = 'FRAUD'
+                THEN 1 ELSE 0 END AS fraud_flag
+    FROM rendered
+    """,
+)
+def log_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S6/S7 + F7/F8/F11 (FD/producer.py:96-115, FD/evaluation.py:60-89):
+    the reference's log-as-table pattern — render the human-readable log
+    line, then parse it back into typed columns with regexp extraction.
+    The round trip proves the parser against the writer byte-for-byte."""
+    from ..functions.scalar import currency_format, fraud_flag
+
+    e = load_table(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit("Transaction ID: TXN"),
+        F.col("event_id").cast("string"),
+        F.lit(" | Amount: "),
+        currency_format(F.col("value")),
+        F.lit(" | Status: "),
+        F.when(F.col("value") >= 50, "Fraud").otherwise("Not Fraud"),
+    )
+    rendered = e.select("event_id", line.alias("line"))
+    return rendered.select(
+        "event_id",
+        F.regexp_extract("line", r"Transaction ID: (TXN[0-9]+)", 1).alias("txn_id"),
+        F.regexp_extract("line", r"Amount: \$([0-9.]+)", 1)
+        .cast("double")
+        .alias("amount"),
+        fraud_flag(F.regexp_extract("line", r"Status: (.*)$", 1)).alias("fraud_flag"),
+    )

@@ -1,0 +1,144 @@
+"""Structured Streaming pipelines (SURVEY.md §2.10 T1-T7).
+
+The reference's whole runtime is: Kafka JSON in -> per-record preprocess +
+score -> running fraud/non-fraud counters -> append log (FD/consumer.py:
+104-156).  Here that is ONE streaming query graph:
+
+    source (kafka | rate-generator) -> from_json(TXN_SCHEMA)
+        -> feature projection (pure columns, F3/F4)
+        -> score (broadcast model | threshold rule)
+        -> fan-out: running counters (T4, update mode)
+                    scored append sink (S5 -> parquet/memory)
+                    dead-letter channel (T6)
+
+Scale: the score path is a stateless narrow map (no shuffle); the counter
+aggregation keeps 2 state rows; checkpointing replaces Kafka group
+offsets (T1).  ``maxOffsetsPerTrigger`` bounds micro-batch size for
+backpressure at production rates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..schemas import TXN_SCHEMA
+from ..sources.generator import stream_transactions
+
+
+def kafka_source(spark: SparkSession, brokers: str, topic: str = "fraud_topic",
+                 max_offsets_per_trigger: int | None = None) -> DataFrame:
+    """S2 (FD/consumer.py:104-109): Kafka JSON source -> typed columns.
+
+    Unparseable payloads (T6, FD/consumer.py:158-159) survive as rows whose
+    struct is null — route them with :func:`split_dead_letters` instead of
+    crash-or-drop.
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+    )
+    if max_offsets_per_trigger:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    raw = reader.load()
+    return raw.select(
+        F.col("value").cast("string").alias("raw"),
+        F.from_json(F.col("value").cast("string"), TXN_SCHEMA).alias("txn"),
+    )
+
+
+def split_dead_letters(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """T6: records failing schema parse go to the dead-letter channel, the
+    rest flatten to typed columns — the reference logged-and-skipped
+    (FD/consumer_error.log); we keep the evidence queryable."""
+    good = parsed.filter(F.col("txn").isNotNull()).select("txn.*")
+    bad = parsed.filter(F.col("txn").isNull()).select(
+        F.col("raw").alias("bad_record"), F.current_timestamp().alias("seen_at")
+    )
+    return good, bad
+
+
+def score_stream(txns: DataFrame, model=None, threshold: float = 0.5) -> DataFrame:
+    """T3 (FD/consumer.py:114-125): stateless per-record scoring.
+
+    With an MLlib ``PipelineModel`` the transform is vectorized per
+    micro-batch and the model is broadcast once — not reloaded per record
+    like the reference.  Without a model, a deterministic amount/location
+    rule stands in (same shape: adds ``prediction`` + ``probability``).
+    """
+    if model is not None:
+        scored = model.transform(txns)
+        from pyspark.ml.functions import vector_to_array
+
+        return scored.withColumn(
+            "probability_fraud", vector_to_array("probability")[1]
+        ).withColumn("prediction", (F.col("probability_fraud") >= threshold).cast("int"))
+    rule_score = F.round(
+        F.least(
+            F.greatest(
+                F.col("amount") / 10000.0
+                + F.when(F.col("location") == "LOC99", 0.4).otherwise(0.0),
+                F.lit(0.0),
+            ),
+            F.lit(1.0),
+        ),
+        6,
+    )
+    return txns.withColumn("probability_fraud", rule_score).withColumn(
+        "prediction", (rule_score >= threshold).cast("int")
+    )
+
+
+def running_counts(scored: DataFrame) -> DataFrame:
+    """T4/A1 (FD/consumer.py:127-131): the global fraud / non-fraud
+    counters as an incremental streaming aggregation — O(delta) per
+    micro-batch vs the reference's O(stream) log re-scan per tick."""
+    return scored.groupBy(F.col("prediction")).agg(F.count("*").alias("n"))
+
+
+def windowed_counts(scored: DataFrame, ts_col: str = "time",
+                    window: str = "1 minute",
+                    watermark: str = "2 minutes") -> DataFrame:
+    """T7 extension (absent in the reference): event-time tumbling window
+    with watermark-bounded state — late data beyond the watermark is
+    dropped deterministically instead of growing state forever."""
+    with_ts = scored.withColumn("event_ts", F.timestamp_seconds(F.col(ts_col)))
+    return (
+        with_ts.withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", window), "prediction")
+        .agg(F.count("*").alias("n"), F.round(F.sum("amount"), 2).alias("amount_sum"))
+    )
+
+
+def run_scoring_pipeline(spark: SparkSession, checkpoint_dir: str,
+                         source: DataFrame | None = None, model=None,
+                         queryable_name: str = "fraud_counts") -> StreamingQuery:
+    """End-to-end streaming query (entry point 1 of SURVEY.md §3): the
+    counters land in an in-memory queryable sink (T5) — the dashboard's
+    2 s poll becomes ``SELECT * FROM fraud_counts``."""
+    src = source if source is not None else stream_transactions(spark)
+    scored = score_stream(src, model=model)
+    return (
+        running_counts(scored)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(queryable_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def scored_append_sink(scored: DataFrame, path: str, checkpoint_dir: str,
+                       fmt: str = "parquet") -> StreamingQuery:
+    """S5 replacement: the reference's append-only text log becomes a
+    partitioned columnar append sink — same append semantics, queryable."""
+    return (
+        scored.writeStream.outputMode("append")
+        .format(fmt)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
