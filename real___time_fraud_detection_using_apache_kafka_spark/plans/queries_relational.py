@@ -170,7 +170,7 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "projection_filter",
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderpriority,
-           round(o_totalprice * 1.1, 2) AS taxed_price,
+           round(o_totalprice * 110) / 100 AS taxed_price,
            CASE WHEN o_totalprice >= 30000 THEN 'big' ELSE 'small' END AS size_class
     FROM orders
     WHERE o_orderstatus = 'O' AND o_totalprice BETWEEN 1000 AND 100000
@@ -189,7 +189,11 @@ def projection_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "o_custkey",
             "o_orderpriority",
-            F.round(F.col("o_totalprice") * 1.1, 2).alias("taxed_price"),
+            # round(x*110)/100, not round(x*1.1, 2): a 2-decimal price times
+            # 1.1 lands on third-decimal .005 ties where Spark (BigDecimal
+            # HALF_UP) and C-library rounding (DuckDB) disagree; integer
+            # rounding ties at .5 round identically in both.
+            (F.round(F.col("o_totalprice") * 110) / 100).alias("taxed_price"),
             F.when(F.col("o_totalprice") >= 30000, "big")
             .otherwise("small")
             .alias("size_class"),

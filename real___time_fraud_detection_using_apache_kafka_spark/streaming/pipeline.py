@@ -21,19 +21,37 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from ..schemas import TXN_SCHEMA
 from ..sources.generator import stream_transactions
+
+# PERMISSIVE from_json never yields a null struct (malformed input becomes a
+# struct of all-null fields), so dead-letter detection needs an explicit
+# corrupt-record column in the parse schema (SPARK-23173 semantics).
+CORRUPT_COL = "_corrupt_record"
+PARSE_SCHEMA = T.StructType(
+    TXN_SCHEMA.fields + [T.StructField(CORRUPT_COL, T.StringType())]
+)
+
+
+def parse_txn(raw: F.Column) -> F.Column:
+    """JSON payload -> typed struct with a corrupt-record sidecar field."""
+    return F.from_json(
+        raw,
+        PARSE_SCHEMA,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+    )
 
 
 def kafka_source(spark: SparkSession, brokers: str, topic: str = "fraud_topic",
                  max_offsets_per_trigger: int | None = None) -> DataFrame:
     """S2 (FD/consumer.py:104-109): Kafka JSON source -> typed columns.
 
-    Unparseable payloads (T6, FD/consumer.py:158-159) survive as rows whose
-    struct is null — route them with :func:`split_dead_letters` instead of
-    crash-or-drop.
+    Unparseable payloads (T6, FD/consumer.py:158-159) survive with the
+    corrupt-record field set — route them with :func:`split_dead_letters`
+    instead of crash-or-drop.
     """
     reader = (
         spark.readStream.format("kafka")
@@ -46,7 +64,7 @@ def kafka_source(spark: SparkSession, brokers: str, topic: str = "fraud_topic",
     raw = reader.load()
     return raw.select(
         F.col("value").cast("string").alias("raw"),
-        F.from_json(F.col("value").cast("string"), TXN_SCHEMA).alias("txn"),
+        parse_txn(F.col("value").cast("string")).alias("txn"),
     )
 
 
@@ -54,8 +72,9 @@ def split_dead_letters(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
     """T6: records failing schema parse go to the dead-letter channel, the
     rest flatten to typed columns — the reference logged-and-skipped
     (FD/consumer_error.log); we keep the evidence queryable."""
-    good = parsed.filter(F.col("txn").isNotNull()).select("txn.*")
-    bad = parsed.filter(F.col("txn").isNull()).select(
+    is_bad = F.col(f"txn.{CORRUPT_COL}").isNotNull() | F.col("txn").isNull()
+    good = parsed.filter(~is_bad).select("txn.*").drop(CORRUPT_COL)
+    bad = parsed.filter(is_bad).select(
         F.col("raw").alias("bad_record"), F.current_timestamp().alias("seen_at")
     )
     return good, bad

@@ -1,0 +1,84 @@
+"""ROC-AUC / PR-curve operators vs straight numpy reimplementations
+(the reference used sklearn — FD/model.py:140, FD/evaluation.py:91-95;
+sklearn is not in this container, so the expectation is computed from the
+same published formulas)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from real___time_fraud_detection_using_apache_kafka_spark.operators.windows import (
+    pr_curve_best_threshold,
+    roc_auc,
+)
+
+
+def np_roc_auc(y: np.ndarray, p: np.ndarray) -> float:
+    """Mann-Whitney with average ranks for ties == sklearn roc_auc_score."""
+    order = np.argsort(p, kind="mergesort")
+    ranks = np.empty(len(p), dtype=float)
+    sp = p[order]
+    i = 0
+    while i < len(sp):
+        j = i
+        while j + 1 < len(sp) and sp[j + 1] == sp[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (i + j) / 2.0 + 1.0
+        i = j + 1
+    npos = y.sum()
+    nneg = len(y) - npos
+    return float((ranks[y == 1].sum() - npos * (npos + 1) / 2) / (npos * nneg))
+
+
+@pytest.mark.parametrize("seed", [0, 7])
+def test_roc_auc_matches_numpy(spark, seed):
+    rng = np.random.default_rng(seed)
+    n = 500
+    y = (rng.random(n) < 0.3).astype(int)
+    # correlated score with heavy ties (2-decimal quantization)
+    p = np.round(np.clip(0.3 * y + rng.random(n) * 0.7, 0, 1), 2)
+    df = spark.createDataFrame(
+        [(int(a), float(b)) for a, b in zip(y, p)], ["y", "p"]
+    )
+    got = roc_auc(df, F.col("y"), F.col("p")).collect()[0]["roc_auc"]
+    assert got == pytest.approx(np_roc_auc(y, p), abs=1e-6)
+
+
+def test_roc_auc_perfect_and_random(spark):
+    df = spark.createDataFrame(
+        [(1, 0.9), (1, 0.8), (0, 0.2), (0, 0.1)], ["y", "p"]
+    )
+    assert roc_auc(df, F.col("y"), F.col("p")).collect()[0]["roc_auc"] == 1.0
+    df2 = spark.createDataFrame([(1, 0.5), (0, 0.5)], ["y", "p"])
+    assert roc_auc(df2, F.col("y"), F.col("p")).collect()[0]["roc_auc"] == 0.5
+
+
+def test_pr_curve_best_threshold_matches_numpy(spark):
+    rng = np.random.default_rng(3)
+    n = 400
+    y = (rng.random(n) < 0.25).astype(int)
+    p = np.round(np.clip(0.4 * y + rng.random(n) * 0.6, 0, 1), 2)
+    df = spark.createDataFrame(
+        [(int(a), float(b)) for a, b in zip(y, p)], ["y", "p"]
+    )
+    got = pr_curve_best_threshold(df, F.col("y"), F.col("p")).collect()[0]
+
+    # numpy reference: one candidate threshold per distinct score desc,
+    # cumulative tp / predicted-positives, F1-argmax (ties -> higher thr)
+    uniq = np.unique(p)[::-1]
+    npos = y.sum()
+    best = None
+    for t in uniq:
+        mask = p >= t
+        tp = int(y[mask].sum())
+        prec = tp / mask.sum()
+        rec = tp / npos
+        f1 = 0.0 if prec + rec == 0 else 2 * prec * rec / (prec + rec)
+        if best is None or f1 > best[1] + 1e-12:
+            best = (t, f1, prec, rec)
+    assert got["threshold"] == pytest.approx(best[0], abs=1e-9)
+    assert got["f1"] == pytest.approx(best[1], abs=1e-6)
+    assert got["precision"] == pytest.approx(best[2], abs=1e-6)
+    assert got["recall"] == pytest.approx(best[3], abs=1e-6)

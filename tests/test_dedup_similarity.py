@@ -1,0 +1,110 @@
+"""Near-dup / similarity operators: planted-duplicate recovery and
+cross-method consistency on synthetic corpora."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from real___time_fraud_detection_using_apache_kafka_spark.operators import dedup as D
+from real___time_fraud_detection_using_apache_kafka_spark.operators import (
+    similarity as SIM,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """12 docs: (1,2) near-dups, (3,4) exact dups, rest unrelated."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    other = [
+        "completely different text about spark distributed query engines",
+        "yet another unrelated document mentioning kafka streams and state",
+        "numerical linear algebra with vectors matrices and tensor products",
+        "cooking recipes for pasta pizza and assorted italian desserts",
+        "mountain hiking trails weather forecasts and safety equipment",
+        "financial markets bonds equities derivatives and risk models",
+        "gardening tips for roses tulips and seasonal vegetable patches",
+        "astronomy telescopes planets comets and deep sky observation",
+    ]
+    rows = (
+        [(1, base), (2, near), (3, other[0]), (4, other[0])]
+        + [(5 + i, t) for i, t in enumerate(other[1:])]
+    )
+    return spark.createDataFrame(
+        [(i, t, "en", len(t)) for i, t in rows], ["doc_id", "text", "lang", "n_chars"]
+    )
+
+
+def test_ngram_jaccard_finds_planted_pairs(corpus):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.ngram_jaccard_pairs(corpus, n=3, threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs  # near-dup
+    assert (3, 4) in pairs  # exact dup
+    assert all(a in (1, 3) for a, b in pairs)  # no false positives
+
+
+def test_minhash_lsh_finds_planted_pairs(corpus):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_lsh_pairs(corpus, n=3, threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs
+    assert (3, 4) in pairs
+    # verification step guarantees: every reported pair really has j >= 0.5
+    for r in D.minhash_lsh_pairs(corpus, n=3, threshold=0.5).collect():
+        assert r["jaccard"] >= 0.5
+
+
+def test_minhash_exact_dup_has_identical_signature(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        ["doc_id", "text"],
+    )
+    rows = sorted(D.minhash_signatures(df, n=2).collect(), key=lambda r: r["doc_id"])
+    cols = [c for c in rows[0].asDict() if c != "doc_id"]
+    assert [rows[0][c] for c in cols] == [rows[1][c] for c in cols]
+
+
+def test_simhash_exact_dup_identical_and_unrelated_far(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "totally different words about completely other topics here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["simhash"] for r in D.simhash(df).collect()}
+    assert got[1] == got[2]
+    assert bin(got[1] ^ got[3]).count("1") > 4
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    """id 0/1 nearly parallel, id 2 orthogonal, id 3 opposite."""
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_brute_force_topk_orders_by_cosine(vectors):
+    probes = vectors.filter(F.col("vec_id") == 0)
+    got = SIM.brute_force_topk(probes, vectors, k=3).collect()
+    order = [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"])]
+    assert order == [1, 2, 3]
+    assert got[0]["cosine"] > 0.99
+
+
+def test_cosine_neardup_pairs_threshold(vectors):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.cosine_neardup_pairs(vectors, threshold=0.9).collect()
+    }
+    assert pairs == {(0, 1)}

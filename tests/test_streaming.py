@@ -1,0 +1,157 @@
+"""Structured Streaming semantics (SURVEY.md §2.10): scoring, running
+counters (T4 monotonicity), dead-letter routing (T6), watermarked windows
+(T7) — driven through a deterministic file stream (no wall-clock rate
+source), processAllAvailable for synchronous assertions."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from real___time_fraud_detection_using_apache_kafka_spark.schemas import TXN_SCHEMA
+from real___time_fraud_detection_using_apache_kafka_spark.sources.generator import (
+    batch_transactions,
+)
+from real___time_fraud_detection_using_apache_kafka_spark.streaming.pipeline import (
+    running_counts,
+    score_stream,
+    split_dead_letters,
+    windowed_counts,
+)
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="stream_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _write_json_batch(spark, df, path):
+    df.select(F.to_json(F.struct(*df.columns)).alias("v")).write.mode(
+        "append"
+    ).text(path)
+
+
+def test_score_stream_batch_streaming_parity(spark):
+    """The scoring expressions are identical in batch and streaming —
+    verify the rule scorer on a batch frame (same code path)."""
+    txns = batch_transactions(spark, 300)
+    scored = score_stream(txns)
+    rows = scored.collect()
+    assert all(0.0 <= r["probability_fraud"] <= 1.0 for r in rows)
+    assert all(r["prediction"] in (0, 1) for r in rows)
+    high = [r for r in rows if r["amount"] >= 8000]
+    assert all(r["prediction"] == 1 for r in high)
+
+
+def test_streaming_counts_monotonic_and_complete(spark, tmpdir):
+    """T4: counters only grow as new micro-batches arrive."""
+    src_dir = f"{tmpdir}/src"
+    ckpt = f"{tmpdir}/ckpt"
+    txns = batch_transactions(spark, 100)
+    _write_json_batch(spark, txns, src_dir)
+
+    stream = (
+        spark.readStream.schema("v string").text(src_dir)
+        .select(F.from_json(F.col("v"), TXN_SCHEMA).alias("txn"))
+        .select("txn.*")
+    )
+    q = (
+        running_counts(score_stream(stream))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("counts_t")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {
+            r["prediction"]: r["n"]
+            for r in spark.sql("SELECT * FROM counts_t").collect()
+        }
+        assert sum(first.values()) == 100
+
+        _write_json_batch(spark, batch_transactions(spark, 60, seed=7), src_dir)
+        q.processAllAvailable()
+        second = {
+            r["prediction"]: r["n"]
+            for r in spark.sql("SELECT * FROM counts_t").collect()
+        }
+        assert sum(second.values()) == 160
+        for k, v in first.items():
+            assert second.get(k, 0) >= v  # monotone growth
+    finally:
+        q.stop()
+
+
+def test_dead_letter_routing(spark, tmpdir):
+    """T6: malformed payloads split to the dead-letter frame, valid rows
+    flatten — nothing is silently dropped."""
+    src_dir = f"{tmpdir}/src"
+    good = batch_transactions(spark, 20)
+    _write_json_batch(spark, good, src_dir)
+    with open(f"{src_dir}/bad.txt", "w") as f:
+        f.write("this is not json\n{\"half\": \n")
+
+    from real___time_fraud_detection_using_apache_kafka_spark.streaming.pipeline import (
+        parse_txn,
+    )
+
+    raw = spark.read.text(src_dir).select(
+        F.col("value").alias("raw"),
+        parse_txn(F.col("value")).alias("txn"),
+    )
+    ok, bad = split_dead_letters(raw)
+    assert ok.count() == 20
+    assert "_corrupt_record" not in ok.columns
+    assert bad.count() == 2
+    assert bad.columns == ["bad_record", "seen_at"]
+
+
+def test_windowed_counts_watermark_schema(spark, tmpdir):
+    """T7: event-time tumbling window aggregation runs end-to-end in a
+    streaming query with watermark state."""
+    src_dir = f"{tmpdir}/src"
+    ckpt = f"{tmpdir}/ckpt"
+    _write_json_batch(spark, batch_transactions(spark, 120), src_dir)
+    stream = (
+        spark.readStream.schema("v string").text(src_dir)
+        .select(F.from_json(F.col("v"), TXN_SCHEMA).alias("txn"))
+        .select("txn.*")
+    )
+    q = (
+        windowed_counts(score_stream(stream), window="1 minute")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("win_t")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # append mode only emits closed windows; schema is the contract
+        df = spark.sql("SELECT * FROM win_t")
+        assert set(df.columns) == {"window", "prediction", "n", "amount_sum"}
+    finally:
+        q.stop()
+
+
+def test_json_parse_corrupt_record_flagging(spark):
+    """PERMISSIVE from_json never yields a null struct in Spark 4 — the
+    corrupt-record sidecar column is what flags bad payloads (the property
+    dead-lettering relies on)."""
+    from real___time_fraud_detection_using_apache_kafka_spark.streaming.pipeline import (
+        parse_txn,
+    )
+
+    df = spark.createDataFrame([("{bad",), ('{"time": 1}',)], ["value"])
+    got = df.select(parse_txn(F.col("value")).alias("txn")).collect()
+    corrupt = [r["txn"]["_corrupt_record"] for r in got]
+    assert sum(c is not None for c in corrupt) == 1
+    assert sum(c is None for c in corrupt) == 1
