@@ -15,8 +15,9 @@ banding parameters (K hashes, B bands) tune recall vs cost.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.hashing import MINHASH_PERMS, MOD, poly_hash_expr
 from .text import word_ngrams
@@ -31,61 +32,104 @@ def exact_dedup(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
                         band_width: int = 200) -> DataFrame:
-    """Near-dup pairs by word-n-gram Jaccard similarity.
+    """Near-dup pairs by word-n-gram Jaccard similarity, with prefix-filter
+    candidate generation (Vernica/PPJoin family).
 
-    Blocking: same ``lang`` + adjacent ``n_chars`` length bands (a true
-    near-dup pair has similar length; a doc joins its own band and the next
-    one, so pairs straddling a band edge are not lost).
+    Semantics (mirrored by the DuckDB oracle): pairs with the same ``lang``,
+    ``n_chars`` length bands within +-1, and Jaccard >= ``threshold``.
+
+    Scale design — the naive blocked self-join degenerates when length
+    bands are coarse (O(docs-per-block^2) array intersections).  Prefix
+    filtering instead exploits a theorem: order every shingle set by one
+    global total order; if j(A, B) >= t then |A ∩ B| >= ceil(t*|A|), so the
+    first ``|A| - ceil(t*|A|) + 1`` elements of A must intersect B's prefix.
+    Ordering by ascending global document frequency puts the RAREST
+    shingles in the prefix, so the candidate equi-join on (prefix shingle)
+    touches few pairs.  All stages are shuffles on bounded keys:
+
+      explode -> df-count groupBy -> per-doc row_number window ->
+      equi-join on prefix shingle -> exact verification of survivors.
     """
+    # A small parquet file arrives as ONE input partition; spread the rows
+    # before the (cpu-heavy) shingling so it runs on every core.  At scale
+    # the input is already multi-partition and this is a cheap rebalance.
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
     shingled = docs.select(
         "doc_id",
         "lang",
-        "n_chars",
         word_ngrams(F.col("text"), n).alias("sh"),
         F.floor(F.col("n_chars") / band_width).alias("band"),
+    ).filter(F.size("sh") > 0)
+    # consumed 3x (token explode + both verify sides) — persist so the
+    # shingling runs once; spills to disk rather than recompute at scale
+    shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
+    toks = shingled.select(
+        "doc_id", F.size("sh").alias("sz"), F.explode("sh").alias("shingle")
     )
-    left = shingled.select(
+    freq = toks.groupBy("shingle").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
+    prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    prefix = (
+        toks.join(freq, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= prefix_len)
+        .select("doc_id", "shingle")
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # both sides of the self-join
+    cand = (
+        prefix.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(prefix.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+    a = shingled.select(
         F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"),
         F.col("sh").alias("sh_a"), F.col("band").alias("band_a"),
     )
-    # each doc probes bands {b-1, b, b+1} -> symmetric |Δband| <= 1 coverage
-    right = shingled.select(
+    b = shingled.select(
         F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"),
-        F.col("sh").alias("sh_b"),
-        F.explode(
-            F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)
-        ).alias("probe_band"),
+        F.col("sh").alias("sh_b"), F.col("band").alias("band_b"),
     )
-    pairs = left.join(
-        right,
+    verified = cand.join(a, "doc_a").join(b, "doc_b").filter(
         (F.col("lang_a") == F.col("lang_b"))
-        & (F.col("band_a") == F.col("probe_band"))
-        & (F.col("doc_a") < F.col("doc_b")),
+        & (F.abs(F.col("band_a") - F.col("band_b")) <= 1)
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        pairs.select(
+        verified.select(
             "doc_a",
             "doc_b",
             F.round(inter / union.cast("double"), 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
-        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
+def _shingled(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, sh) with input rebalanced across cores before the
+    cpu-heavy shingling (a small parquet file arrives as one partition)."""
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
+    return docs.select(
+        "doc_id", word_ngrams(F.col("text"), n).alias("sh")
+    ).filter(F.size("sh") > 0)
+
+
 def minhash_signatures(docs: DataFrame, n: int = 3,
-                       num_hashes: int = len(MINHASH_PERMS)) -> DataFrame:
+                       num_hashes: int = len(MINHASH_PERMS),
+                       shingled: DataFrame | None = None) -> DataFrame:
     """K-wide MinHash signature per doc over word-n-gram shingles.
 
     Portable hash (functions.hashing) so the DuckDB oracle reproduces the
     exact signature.  All K minima come from one pass over the shingle
     array via higher-order functions — no explode, no shuffle.
     """
-    shingled = docs.select(
-        "doc_id", word_ngrams(F.col("text"), n).alias("sh")
-    ).filter(F.size("sh") > 0)
+    if shingled is None:
+        shingled = _shingled(docs, n)
     sig = shingled.withColumn("h", F.expr(
         "transform(sh, s -> aggregate(sequence(1, length(s)), cast(0 as bigint), "
         f"(h, i) -> (h * 31 + ascii(substring(s, i, 1))) % {MOD}))"
@@ -109,7 +153,9 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, bands: int = 4,
     LSH banding: P[candidate] = 1-(1-j^r)^b).  Candidates are verified with
     exact Jaccard so the output has no false positives.
     """
-    sigs = minhash_signatures(docs, n, bands * rows_per_band)
+    # shingles feed the signature pass AND both verify sides — one persist
+    shingled = _shingled(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = minhash_signatures(docs, n, bands * rows_per_band, shingled=shingled)
     band_cols = []
     for b in range(bands):
         band_cols.append(
@@ -135,7 +181,6 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, bands: int = 4,
         )
         .dropDuplicates()
     )
-    shingled = docs.select("doc_id", word_ngrams(F.col("text"), n).alias("sh"))
     a = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     verified = cand.join(a, "doc_a").join(b, "doc_b")

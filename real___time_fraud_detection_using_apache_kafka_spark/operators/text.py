@@ -37,15 +37,25 @@ def token_count(text: Column) -> Column:
 
 
 def word_ngrams(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (the unit for Jaccard / MinHash)."""
+    """Distinct word n-gram shingles (the unit for Jaccard / MinHash).
+
+    Built as arrays_zip of the token array with its k-shifted copies, then a
+    per-element concat.  The token array (a regex split) is referenced only
+    O(n) times per ROW; capturing it inside a higher-order-function lambda
+    would instead re-evaluate the split per shingle INDEX (3x per shingle),
+    which profiled ~10x slower on real documents.
+    """
     t = tokens(text)
-    joined = F.transform(
-        F.sequence(F.lit(1), F.size(t) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(t, (i + k).cast("int")) for k in range(n)]
-        ),
+    # slice length must not overflow int32 when added to start -> size(t)
+    shifted = [F.slice(t, k + 1, F.size(t)).alias(f"w{k}") for k in range(n)]
+    z = F.slice(
+        F.arrays_zip(*shifted),
+        1,
+        F.greatest(F.size(t) - (n - 1), F.lit(0)),
     )
-    # sequence(1, k) DESCENDS when k < 1 — guard short docs to an empty set
+    joined = F.transform(
+        z, lambda x: F.concat_ws(" ", *[x[f"w{k}"] for k in range(n)])
+    )
     return F.when(F.size(t) < n, F.array().cast("array<string>")).otherwise(
         F.array_distinct(joined)
     )

@@ -39,20 +39,83 @@ def latest_per_group(df: DataFrame, part_cols: Sequence[str],
     return topk_per_group(df, part_cols, order_cols, 1).drop("rnk")
 
 
+def exclusive_prefix_sum(by_p: DataFrame, order_col: str, sum_cols: Sequence[str],
+                         descending: bool = False, n_buckets: int = 1024,
+                         bounds: tuple[float, float] = (0.0, 1.0)) -> DataFrame:
+    """Distributed exclusive prefix sums over ``by_p`` ordered by
+    ``order_col`` — each ``c`` in ``sum_cols`` gains a ``{c}_before`` column
+    holding the sum of ``c`` over all STRICTLY-preceding rows.
+
+    Scale design: an unpartitioned ``Window.orderBy`` collapses the whole
+    input to one partition.  Instead the order column is quantized into
+    ``n_buckets`` deterministic buckets (driver-known ``bounds``, no data
+    sampling -> reproducible under task retry, unlike repartitionByRange):
+
+      1. in-bucket running sums  — window PARTITIONED by bucket,
+      2. per-bucket totals       — one row per bucket (<= n_buckets rows),
+         prefix-summed with a cheap single-partition window,
+      3. exclusive prefix = bucket offset + in-bucket running sum.
+
+    Shuffle cost: one hash shuffle on the bucket key + one n_buckets-row
+    window — O(distinct values) data, never a single-partition sort of the
+    full input.
+    """
+    lo, hi = bounds
+    span = hi - lo
+    raw = (F.col(order_col) - F.lit(lo)) / F.lit(span) * n_buckets
+    bucket = F.least(
+        F.greatest(F.floor(raw), F.lit(0)), F.lit(n_buckets - 1)
+    ).alias("_bucket")
+    df = by_p.select("*", bucket)
+    order = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    bucket_order = F.col("_bucket").desc() if descending else F.col("_bucket").asc()
+    in_bucket = (
+        Window.partitionBy("_bucket").orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    for c in sum_cols:
+        df = df.withColumn(
+            f"_local_{c}", F.coalesce(F.sum(c).over(in_bucket), F.lit(0))
+        )
+    totals = df.groupBy("_bucket").agg(
+        *[F.sum(c).alias(f"_tot_{c}") for c in sum_cols]
+    )
+    across = (
+        Window.orderBy(bucket_order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "_bucket",
+        *[
+            F.coalesce(F.sum(f"_tot_{c}").over(across), F.lit(0)).alias(f"_off_{c}")
+            for c in sum_cols
+        ],
+    )
+    joined = df.join(F.broadcast(offsets), "_bucket")
+    for c in sum_cols:
+        joined = joined.withColumn(
+            f"{c}_before", F.col(f"_off_{c}") + F.col(f"_local_{c}")
+        )
+    drop = ["_bucket"] + [f"_local_{c}" for c in sum_cols] + [f"_off_{c}" for c in sum_cols]
+    return joined.drop(*drop)
+
+
 def roc_auc(df: DataFrame, label: Column, proba: Column) -> DataFrame:
     """A11 (FD/model.py:140): ROC AUC via the Mann-Whitney rank statistic
     with average ranks for ties — exactly sklearn's trapezoidal AUC.
 
     AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg), where R_pos is the
     sum of average ranks of positive examples under ascending score order.
+    Runs on one row per distinct score with a bucketed distributed prefix
+    sum — no single-partition window at any input size.
     """
     scored = df.select(label.cast("long").alias("y"), proba.alias("p"))
-    # One row per distinct score -> tiny window input.
     by_p = scored.groupBy("p").agg(
         F.count("*").alias("cnt"), F.sum("y").alias("pos")
     )
-    w = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = by_p.withColumn("below", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+    ranked = exclusive_prefix_sum(by_p, "p", ["cnt"]).withColumnRenamed(
+        "cnt_before", "below"
+    )
     # average rank of every row tied at this score
     ranked = ranked.withColumn("avg_rank", F.col("below") + (F.col("cnt") + 1) / 2.0)
     return ranked.agg(
@@ -76,10 +139,12 @@ def pr_curve_best_threshold(df: DataFrame, label: Column, proba: Column) -> Data
     """
     scored = df.select(label.cast("long").alias("y"), proba.alias("p"))
     by_p = scored.groupBy("p").agg(F.count("*").alias("cnt"), F.sum("y").alias("pos"))
-    w = Window.orderBy(F.desc("p")).rowsBetween(Window.unboundedPreceding, 0)
+    # inclusive descending cumulative = exclusive prefix (bucketed,
+    # distributed — no single-partition window) + the row's own value
+    pre = exclusive_prefix_sum(by_p, "p", ["cnt", "pos"], descending=True)
     cum = (
-        by_p.withColumn("tp", F.sum("pos").over(w))
-        .withColumn("predicted_pos", F.sum("cnt").over(w))
+        pre.withColumn("tp", F.col("pos_before") + F.col("pos"))
+        .withColumn("predicted_pos", F.col("cnt_before") + F.col("cnt"))
     )
     totals = scored.agg(F.sum("y").cast("double").alias("npos"))
     curve = cum.crossJoin(F.broadcast(totals)).select(
