@@ -1,0 +1,112 @@
+"""Temporal operators the reference lacks but a fraud/analytics engine
+needs (SURVEY.md §2.4/§2.10 extension surface): as-of join and gap-based
+sessionization.
+
+Scale design
+------------
+- ``asof_join`` uses the union-and-carry pattern: tag left/right rows,
+  union, then one window per key ordered by time carries the most recent
+  right-side value forward.  Cost = ONE shuffle on the join key — never a
+  range cross-join (the naive ``l.ts >= r.ts`` join is O(n*m) per key and
+  explodes on hot keys).
+- ``sessionize`` is the classic lag + cumulative-sum session assignment:
+  two window passes over the same (key, time) shuffle, no self-join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
+              left_ts: str, right_ts: str,
+              value_cols: Sequence[str]) -> DataFrame:
+    """For each left row, attach the latest right-side ``value_cols`` whose
+    ``right_ts`` <= ``left_ts`` (ties: the right row at the same instant
+    wins), matching DuckDB ``ASOF JOIN`` semantics.
+
+    Implementation: union the tagged inputs, sort each key group by
+    (event time, side) within ONE window shuffle, and carry the last
+    non-null right value forward with ``last(..., ignorenulls=True)``.
+    """
+    on = list(on)
+    lcols = left.columns
+    l_tag = left.select(
+        *on,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),  # right rows at equal ts sort first
+        F.struct(*[F.col(c) for c in lcols]).alias("_l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+          for c in value_cols],
+    )
+    r_tag = right.select(
+        *on,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            l_tag.schema["_l"].dataType
+        ).alias("_l"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    )
+    unioned = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.asc("_ts"), F.asc("_side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
+            for c in value_cols
+        ],
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        "_l.*",
+        *[F.col(f"_asof_{c}").alias(f"asof_{c}") for c in value_cols],
+    )
+
+
+def sessionize(df: DataFrame, key_cols: Sequence[str], ts_col: str,
+               gap: str = "30 minutes") -> DataFrame:
+    """Assign gap-based session ids: a new session starts whenever the gap
+    to the previous event of the same key exceeds ``gap``.
+
+    Adds ``session_id`` (0-based per key, in time order).  Two window
+    passes over one (key, ts) shuffle; the batch analog of Structured
+    Streaming's ``session_window``.
+    """
+    keys = [F.col(k) for k in key_cols]
+    order = Window.partitionBy(*keys).orderBy(F.asc(ts_col))
+    gap_sec = F.expr(f"INTERVAL {gap}")
+    prev_ts = F.lag(F.col(ts_col)).over(order)
+    new_session = (
+        prev_ts.isNull()
+        | (F.col(ts_col).cast("timestamp") > prev_ts + gap_sec)
+    ).cast("long")
+    cum = Window.partitionBy(*keys).orderBy(F.asc(ts_col)).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return df.withColumn("_new", new_session).withColumn(
+        "session_id", F.sum("_new").over(cum) - 1
+    ).drop("_new")
+
+
+def session_stats(df: DataFrame, key_cols: Sequence[str], ts_col: str,
+                  gap: str = "30 minutes") -> DataFrame:
+    """Per-session aggregate: bounds, duration, event count."""
+    s = sessionize(df, key_cols, ts_col, gap)
+    return s.groupBy(*key_cols, "session_id").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count("*").alias("n_events"),
+        # microsecond-exact difference, then whole seconds — subtracting
+        # second-truncated timestamps would drift by up to 1 s
+        (
+            (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col)))
+            / 1_000_000
+        ).cast("long").alias("duration_sec"),
+    )

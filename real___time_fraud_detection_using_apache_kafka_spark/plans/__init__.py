@@ -4,5 +4,6 @@ from .registry import QUERIES, oracle_sql, queries, register
 from . import queries_relational  # noqa: E402,F401
 from . import queries_metrics  # noqa: E402,F401
 from . import queries_text  # noqa: E402,F401
+from . import queries_temporal  # noqa: E402,F401
 
 __all__ = ["QUERIES", "queries", "oracle_sql", "register"]

@@ -1,0 +1,110 @@
+"""Temporal query catalog: as-of join and sessionization (extension
+operators beyond the reference — SURVEY.md §2.4/§2.10 notes — expressed
+Spark-first with DuckDB oracles).
+
+The events table supplies the time series: for the as-of join, each
+``purchase`` event is annotated with the user's most recent prior
+``error`` event; sessionization groups each user's events into 30-minute
+gap sessions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.temporal import asof_join, session_stats
+from ..sources.tables import load_table
+from .registry import register
+
+
+@register(
+    "asof_last_error_before_purchase",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), errors AS (
+        -- one error per (user, instant): keep the max event_id so the
+        -- as-of pick at equal timestamps is deterministic on both engines
+        SELECT user_id, ts, max(value) AS err_value
+        FROM events WHERE event_type = 'error'
+        GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           round(p.value, 2)  AS purchase_value,
+           e.err_value        AS asof_err_value,
+           e.ts               AS asof_err_ts
+    FROM purchases p ASOF LEFT JOIN errors e
+      ON p.user_id = e.user_id AND p.ts >= e.ts
+    """,
+)
+def asof_last_error_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (extension): latest error state at each purchase.
+
+    Spark has no ASOF JOIN; the union-and-carry implementation costs one
+    shuffle on user_id (see operators.temporal.asof_join) instead of the
+    O(n*m)-per-key range join a naive inequality join would plan.
+    """
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 2).alias("purchase_value")
+    )
+    errors = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("err_value"))
+    )
+    joined = asof_join(
+        purchases,
+        errors.select("user_id", F.col("ts").alias("err_ts"), "err_value"),
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="err_ts",
+        value_cols=["err_value", "err_ts"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "purchase_value",
+        F.col("asof_err_value"),
+        F.col("asof_err_ts"),
+    )
+
+
+@register(
+    "user_sessions",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        FROM events
+    ), flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN prev_ts IS NULL
+                         OR ts > prev_ts + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ordered
+    ), assigned AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           count(*) AS n_events,
+           cast((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT)
+               AS duration_sec
+    FROM assigned
+    GROUP BY user_id, session_id
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (extension; batch analog of T7 session windows):
+    30-minute-gap sessions per user with bounds/size/duration."""
+    e = load_table(spark, sf_dir, "events")
+    return session_stats(
+        e.select("user_id", "ts"), ["user_id"], "ts", gap="30 minutes"
+    )

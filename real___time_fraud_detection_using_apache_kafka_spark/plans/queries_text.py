@@ -285,6 +285,33 @@ def multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_meta",
+    oracle="""
+    SELECT doc_id,
+           cast(octet_length(encode(text)) + 4 AS INT)      AS byte_len,
+           'IMG0'                                           AS format,
+           cast(octet_length(encode(text)) % 64 + 1 AS INT) AS width,
+           cast(octet_length(encode(text)) % 48 + 1 AS INT) AS height
+    FROM documents
+    """,
+)
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode (extension): binary packing -> Arrow-batched
+    mapInPandas decode (stubbed codec, real Spark plumbing) -> typed
+    metadata.  The oracle reproduces the deterministic stub's metadata in
+    SQL; the feature-vector path is asserted in tests/test_multimodal.py."""
+    from ..operators.multimodal import decode_blobs, pack_blobs
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_blobs(docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    ))
+    return decode_blobs(packed).select(
+        "doc_id", "byte_len", "format", "width", "height"
+    )
+
+
+@register(
     "log_parse_roundtrip",
     oracle="""
     WITH rendered AS (

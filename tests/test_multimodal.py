@@ -1,0 +1,44 @@
+"""Multimodal binary plumbing: packing, Arrow-batched mapInPandas decode,
+schema/feature contract (codec itself is a documented deterministic stub)."""
+
+from __future__ import annotations
+
+from real___time_fraud_detection_using_apache_kafka_spark.operators.multimodal import (
+    FEATURE_DIM,
+    decode_blobs,
+    pack_blobs,
+)
+
+
+def test_pack_decode_roundtrip(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, "x" * 1000)], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in decode_blobs(pack_blobs(docs)).collect()}
+    assert out[1]["format"] == "IMG0"
+    assert out[1]["byte_len"] == len("hello world") + 4
+    assert out[2]["byte_len"] == 4
+    assert out[3]["byte_len"] == 1004
+    for r in out.values():
+        assert len(r["feature"]) == FEATURE_DIM
+        assert all(0.0 <= f <= 1.0 for f in r["feature"])
+        assert 1 <= r["width"] <= 64
+        assert 1 <= r["height"] <= 48
+
+
+def test_decode_deterministic(spark):
+    docs = spark.createDataFrame([(i, f"doc {i} text") for i in range(20)],
+                                 ["doc_id", "text"])
+    a = sorted(map(tuple, decode_blobs(pack_blobs(docs)).collect()))
+    b = sorted(map(tuple, decode_blobs(pack_blobs(docs)).collect()))
+    assert a == b
+
+
+def test_decode_distributed_over_partitions(spark):
+    """The decode is a narrow map — row multiplicity and content survive an
+    arbitrary repartition (no partition-boundary effects in mapInPandas)."""
+    docs = spark.createDataFrame([(i, f"text {i}") for i in range(100)],
+                                 ["doc_id", "text"])
+    one = decode_blobs(pack_blobs(docs).coalesce(1)).collect()
+    many = decode_blobs(pack_blobs(docs).repartition(8)).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, many))

@@ -1,0 +1,66 @@
+"""As-of join and sessionization operators: hand-checkable fixtures."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from real___time_fraud_detection_using_apache_kafka_spark.operators.temporal import (
+    asof_join,
+    session_stats,
+    sessionize,
+)
+
+
+def ts(m, s=0):
+    return datetime(2024, 1, 1, 10, m, s)
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(1, ts(10), "A"), (1, ts(30), "B"), (2, ts(5), "C")],
+        ["k", "lts", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, ts(0), 100.0), (1, ts(10), 110.0), (1, ts(20), 120.0),
+         (2, ts(50), 999.0)],
+        ["k", "rts", "v"],
+    )
+    out = asof_join(left, right, ["k"], "lts", "rts", ["v"])
+    got = {(r["k"], r["tag"]): r["asof_v"] for r in out.collect()}
+    assert got[(1, "A")] == 110.0   # equal timestamp included
+    assert got[(1, "B")] == 120.0   # latest before
+    assert got[(2, "C")] is None    # right side only later -> null
+
+
+def test_asof_join_preserves_left_rows_and_columns(spark):
+    left = spark.createDataFrame([(1, ts(1), "x")], ["k", "lts", "payload"])
+    right = spark.createDataFrame([(1, ts(0), 5.0)], ["k", "rts", "v"])
+    out = asof_join(left, right, ["k"], "lts", "rts", ["v"])
+    assert out.count() == 1
+    assert set(out.columns) == {"k", "lts", "payload", "asof_v"}
+
+
+def test_sessionize_gap_splits(spark):
+    rows = [
+        (1, ts(0)), (1, ts(10)), (1, ts(50)), (1, ts(55)),  # 2 sessions
+        (2, ts(0)),                                          # 1 session
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "t"])
+    out = sessionize(df, ["user_id"], "t", gap="30 minutes").collect()
+    sess = {(r["user_id"], r["t"].minute): r["session_id"] for r in out}
+    assert sess[(1, 0)] == 0 and sess[(1, 10)] == 0
+    assert sess[(1, 50)] == 1 and sess[(1, 55)] == 1
+    assert sess[(2, 0)] == 0
+
+
+def test_session_stats_bounds_and_duration(spark):
+    rows = [(1, ts(0)), (1, ts(10)), (1, ts(50))]
+    df = spark.createDataFrame(rows, ["user_id", "t"])
+    out = {
+        r["session_id"]: r
+        for r in session_stats(df, ["user_id"], "t", gap="30 minutes").collect()
+    }
+    assert out[0]["n_events"] == 2
+    assert out[0]["duration_sec"] == 600
+    assert out[1]["n_events"] == 1
+    assert out[1]["duration_sec"] == 0
