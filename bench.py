@@ -47,6 +47,10 @@ def main() -> None:
     for name in HEADLINE:
         if name not in qs:
             continue
+        # each query is measured cold: operators that persist() reusable
+        # intermediates (near-dup shingles) must not donate cache — or
+        # steal unified memory — from the next query's timing
+        spark.catalog.clearCache()
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         n = df.count()

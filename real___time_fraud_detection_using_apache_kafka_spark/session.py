@@ -33,6 +33,12 @@ def get_spark(app_name: str = "fraud-engine", master: str | None = None,
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # local[32] puts all 32 task threads in the ONE driver JVM.  8g is
+        # the measured sweet spot on this box: bigger heaps make the
+        # allocation-heavy near-dup self-joins 4-6x SLOWER (G1 prefers
+        # churning a big heap to spilling; disk spill of the shingle
+        # arrays is cheaper than the extra GC).  On a real cluster this
+        # maps to executor sizing: many modest executors over few huge ones.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

