@@ -14,7 +14,7 @@ pair count; recall tuned by number of hyperplanes/tables).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -80,6 +80,72 @@ def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.45,
     return pairs.select(
         "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine")
     ).filter(F.col("cosine") >= threshold)
+
+
+def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int = 5,
+             n_centroids: int = 16, n_probe: int = 4, seed: int = 42,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the 100 TB scale path for
+    similarity search.
+
+    Index build: seeded MLlib KMeans partitions the candidate set into
+    ``n_centroids`` cells; each candidate is stored under its nearest
+    centroid (one narrow transform — the "inverted file").
+    Probe: each query scores only candidates in its ``n_probe`` nearest
+    cells, so the scored fraction is ~n_probe/n_centroids of the corpus
+    instead of all of it; the cell match is an EQUI-join on centroid id
+    that shuffles by cell.  ``n_probe = n_centroids`` degrades gracefully
+    to exact brute force (the property the tests pin).
+
+    Centroids are tiny (n_centroids x dim floats) — they ride along as a
+    broadcast literal, never a shuffle.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    cand_vec = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="features",
+                predictionCol="cell")
+    model = km.fit(cand_vec)
+    indexed = model.transform(cand_vec).select("neighbor_id", "cv", "cell")
+
+    centroids = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    spark = candidates.sparkSession
+    cent_df = spark.createDataFrame(centroids, ["cell", "centroid"])
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    # rank the (tiny, broadcast) centroid table per query; keep n_probe cells
+    q_cells = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn("dist", -cosine(F.col("qv"), F.col("centroid")))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("cell"))
+            ),
+        )
+        .filter(F.col("rk") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    scored = q_cells.join(indexed, "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    from .windows import topk_per_group
+
+    return topk_per_group(
+        scored, ["query_id"], [F.desc("cosine"), F.asc("neighbor_id")], k,
+        rank_col="rank",
+    )
 
 
 def hyperplane_lsh_pairs(embeddings: DataFrame, threshold: float = 0.45,

@@ -70,6 +70,61 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     )
 
 
+_UNIT_US = {
+    "second": 1_000_000, "seconds": 1_000_000,
+    "minute": 60_000_000, "minutes": 60_000_000,
+    "hour": 3_600_000_000, "hours": 3_600_000_000,
+    "day": 86_400_000_000, "days": 86_400_000_000,
+}
+
+
+def _interval_micros(interval: str) -> int:
+    """'10 minutes' -> 600_000_000 us (the bucket width for banding)."""
+    qty, unit = interval.strip().split()
+    return int(qty) * _UNIT_US[unit.lower()]
+
+
+def interval_join(left: DataFrame, right: DataFrame, on: Sequence[str],
+                  left_ts: str, right_ts: str, lookback: str,
+                  how: str = "inner") -> DataFrame:
+    """Join each left row to right rows of the same key with
+    ``right_ts`` in ``(left_ts - lookback, left_ts]`` — the batch analog
+    of the watermarked stream-stream interval join
+    (streaming.stateful.txn_event_interval_join).
+
+    Scale design: a naive ``l.ts BETWEEN r.ts AND r.ts + d`` join is a
+    per-key range cross-join — O(n*m) on hot keys.  Here the right side
+    is bucketed by ``floor(ts / lookback)`` and the left probes its own
+    bucket and the previous one, so Catalyst plans an EQUI-join on
+    (key, bucket) (shuffled hash / sort-merge, AQE-skew-splittable) and
+    the residual range predicate filters within buckets.  Any match is at
+    most ``lookback`` old, so it lands in the same or previous bucket —
+    two probe rows per left row, regardless of key skew.
+    """
+    if how != "inner":
+        # outer variants would need dedup of the exploded probe side
+        raise ValueError("interval_join supports how='inner' only")
+    on = list(on)
+    gap = F.expr(f"INTERVAL {lookback}")
+    bucket_us = _interval_micros(lookback)
+    lb = F.floor(F.unix_micros(F.col(left_ts)) / bucket_us)
+    rb = F.floor(F.unix_micros(F.col(right_ts)) / bucket_us)
+    probe = left.withColumn(
+        "_bucket", F.explode(F.array(lb.cast("long"), lb.cast("long") - 1))
+    )
+    build = right.withColumn("_bucket", rb)
+    cond = [F.col(f"l.{c}") == F.col(f"r.{c}") for c in on] + [
+        F.col("l._bucket") == F.col("r._bucket"),
+        F.col(f"r.{right_ts}") > F.col(f"l.{left_ts}") - gap,
+        F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"),
+    ]
+    joined = probe.alias("l").join(build.alias("r"), cond, how)
+    keep = [F.col(f"l.{c}").alias(c) for c in left.columns] + [
+        F.col(f"r.{c}").alias(c) for c in right.columns if c not in on
+    ]
+    return joined.select(*keep)
+
+
 def sessionize(df: DataFrame, key_cols: Sequence[str], ts_col: str,
                gap: str = "30 minutes") -> DataFrame:
     """Assign gap-based session ids: a new session starts whenever the gap

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.temporal import asof_join, session_stats
+from ..operators.temporal import asof_join, interval_join, session_stats
 from ..sources.tables import load_table
 from .registry import register
 
@@ -101,6 +101,48 @@ def asof_last_error_before_purchase(spark: SparkSession, sf_dir: str) -> DataFra
     GROUP BY user_id, session_id
     """,
 )
+@register(
+    "clicks_before_purchase",
+    oracle="""
+    SELECT p.event_id  AS purchase_id,
+           p.user_id,
+           p.ts        AS purchase_ts,
+           c.event_id  AS click_id,
+           c.ts        AS click_ts,
+           round(c.value, 2) AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >  p.ts - INTERVAL 10 MINUTE
+     AND c.ts <= p.ts
+    """,
+)
+def clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (extension; batch analog of the stream-stream
+    interval join): clicks within 10 minutes before each purchase.
+
+    Executed as an EQUI-join on (user, time-bucket) — see
+    operators.temporal.interval_join — so the plan survives hot users
+    where a naive range join degenerates to a per-key cross product.
+    """
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.round("value", 2).alias("click_value"),
+    )
+    return interval_join(
+        purchases, clicks, on=["user_id"],
+        left_ts="purchase_ts", right_ts="click_ts", lookback="10 minutes",
+    )
+
+
 def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (extension; batch analog of T7 session windows):
     30-minute-gap sessions per user with bounds/size/duration."""

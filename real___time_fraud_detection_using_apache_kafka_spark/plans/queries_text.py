@@ -242,6 +242,20 @@ def embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("embedding_knn_ivf")  # rows-only: KMeans index isn't SQL-expressible
+def embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search, IVF scale path (extension): seeded-KMeans cell
+    index, probe the 4 nearest of 8 cells per query — scores ~half the
+    corpus instead of all of it; equi-join on cell id, no cartesian.
+    Exactness vs the brute-force baseline is pinned in tests
+    (n_probe = n_centroids collapses to brute force)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return SIM.ivf_topk(probes, emb, k=5, n_centroids=8, n_probe=4).select(
+        "query_id", "neighbor_id", "cosine", "rank"
+    )
+
+
 @register(
     "embedding_cosine_neardup",
     oracle=f"""

@@ -108,3 +108,36 @@ def test_cosine_neardup_pairs_threshold(vectors):
         for r in SIM.cosine_neardup_pairs(vectors, threshold=0.9).collect()
     }
     assert pairs == {(0, 1)}
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    """n_probe = n_centroids scores every cell -> IVF must reproduce the
+    exact brute-force top-k bit for bit."""
+    from real___time_fraud_detection_using_apache_kafka_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    exact = SIM.brute_force_topk(probes, emb, k=5)
+    ivf = SIM.ivf_topk(probes, emb, k=5, n_centroids=4, n_probe=4)
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    e = [(r["query_id"], r["rank"], r["neighbor_id"]) for r in sorted(exact.collect(), key=key)]
+    i = [(r["query_id"], r["rank"], r["neighbor_id"]) for r in sorted(ivf.collect(), key=key)]
+    assert e == i
+
+
+def test_ivf_partial_probe_recall(spark):
+    """Probing half the cells keeps recall@5 high on the testdata corpus
+    (clustered embeddings -> neighbors share cells)."""
+    from real___time_fraud_detection_using_apache_kafka_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    probes = emb.filter(F.col("vec_id") < 20)
+    exact = SIM.brute_force_topk(probes, emb, k=5)
+    ivf = SIM.ivf_topk(probes, emb, k=5, n_centroids=8, n_probe=4)
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    got = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.7, f"recall@5 = {recall:.2f}"

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 from datetime import datetime
 
+from pyspark.sql import functions as F
+
 from real___time_fraud_detection_using_apache_kafka_spark.operators.temporal import (
     asof_join,
     session_stats,
@@ -64,3 +66,32 @@ def test_session_stats_bounds_and_duration(spark):
     assert out[0]["duration_sec"] == 600
     assert out[1]["n_events"] == 1
     assert out[1]["duration_sec"] == 0
+
+def test_interval_join_matches_naive_range_join(spark):
+    """The bucketed equi-join strategy returns exactly the rows the naive
+    range predicate defines — including matches that straddle a bucket
+    boundary."""
+    from real___time_fraud_detection_using_apache_kafka_spark.operators.temporal import (
+        interval_join,
+    )
+    from real___time_fraud_detection_using_apache_kafka_spark.sources.tables import (
+        load_table,
+    )
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events")
+    left = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("pts")
+    )
+    right = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), "user_id", F.col("ts").alias("cts")
+    )
+    got = interval_join(left, right, ["user_id"], "pts", "cts", "30 minutes")
+    naive = left.alias("l").join(
+        right.alias("r"),
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.cts") > F.col("l.pts") - F.expr("INTERVAL 30 minutes"))
+        & (F.col("r.cts") <= F.col("l.pts")),
+    )
+    g = {(r["pid"], r["cid"]) for r in got.collect()}
+    n = {(r["pid"], r["cid"]) for r in naive.collect()}
+    assert g == n and len(g) > 0
