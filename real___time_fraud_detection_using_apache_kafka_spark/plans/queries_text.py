@@ -369,3 +369,48 @@ def log_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("amount"),
         fraud_flag(F.regexp_extract("line", r"Status: (.*)$", 1)).alias("fraud_flag"),
     )
+
+
+@register(
+    "log_line_filters",
+    oracle="""
+    WITH lines AS (
+        SELECT event_id,
+               CASE WHEN event_id % 10 = 0
+                    THEN 'Fraud Count: ' || cast(event_id // 10 AS VARCHAR)
+                    ELSE 'Transaction ID: TXN' || cast(event_id AS VARCHAR)
+                         || ' | Status: '
+                         || CASE WHEN value >= 50 THEN 'Fraud' ELSE 'Not Fraud' END
+               END AS line
+        FROM events
+    )
+    SELECT
+        count(*) FILTER (WHERE line LIKE '%Transaction ID%')  AS n_txn_lines,
+        count(*) FILTER (WHERE line LIKE 'Fraud Count:%')     AS n_counter_lines,
+        count(*) FILTER (WHERE line LIKE '%Status: Fraud%')   AS n_fraud_lines
+    FROM lines
+    """,
+)
+def log_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6+P7 (FD/dashboard.py:20-23,157-160): the dashboard's substring /
+    prefix log filters — `contains` and `startswith` predicates over the
+    rendered log-line table (pure codegen'd string predicates; at scale
+    these pipeline into the scan with no shuffle)."""
+    e = load_table(spark, sf_dir, "events")
+    line = F.when(
+        F.col("event_id") % 10 == 0,
+        F.concat(F.lit("Fraud Count: "), (F.col("event_id") / 10).cast("long").cast("string")),
+    ).otherwise(
+        F.concat(
+            F.lit("Transaction ID: TXN"),
+            F.col("event_id").cast("string"),
+            F.lit(" | Status: "),
+            F.when(F.col("value") >= 50, "Fraud").otherwise("Not Fraud"),
+        )
+    )
+    lines = e.select(line.alias("line"))
+    return lines.agg(
+        F.count(F.when(F.col("line").contains("Transaction ID"), 1)).alias("n_txn_lines"),
+        F.count(F.when(F.col("line").startswith("Fraud Count:"), 1)).alias("n_counter_lines"),
+        F.count(F.when(F.col("line").contains("Status: Fraud"), 1)).alias("n_fraud_lines"),
+    )

@@ -1,0 +1,92 @@
+"""Batch sources and sinks beyond parquet (SURVEY.md §2.1).
+
+S1  CSV scan          — the reference's training-table load
+                        (FD/model.py:85-86) with an ENFORCED schema
+                        instead of pandas inference.
+S3  Kafka sink        — wire-format writer (FD/producer.py:14-17,133).
+S8  JSON sink/scan    — metrics artifacts (FD/model.py:194-197,
+                        FD/dashboard.py:39-44).
+S10 JDBC sink         — the reference declared a PostgreSQL connection
+                        and never used it (FD/consumer.py:28-35); here it
+                        is a real ``foreachBatch`` sink factory.
+
+Scale notes: CSV/JSON scans parallelize per file split; the JDBC sink
+writes per partition with controlled fan-in (``numPartitions``) so a
+1000-executor job doesn't open 32k connections against one database.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import TXN_SCHEMA
+
+
+def read_transactions_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S1: schema-enforced CSV scan of the training table.
+
+    ``mode=PERMISSIVE`` nulls malformed fields instead of aborting the
+    scan (the reference's pandas read would throw); the explicit schema
+    means no inference pass — ONE read of the data, predicate pushdown
+    still applies to the projected columns.
+    """
+    return spark.read.csv(path, header=True, schema=TXN_SCHEMA, mode="PERMISSIVE")
+
+
+def write_transactions_csv(df: DataFrame, path: str) -> None:
+    """CSV writer (round-trip partner of :func:`read_transactions_csv`)."""
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+
+def write_metrics_json(df: DataFrame, path: str) -> None:
+    """S8 (FD/model.py:194-197): metrics table -> JSON-lines artifact.
+    Coalesced to one file — metrics frames are tiny by construction."""
+    df.coalesce(1).write.mode("overwrite").json(path)
+
+
+def read_metrics_json(spark: SparkSession, path: str) -> DataFrame:
+    """S8 (FD/dashboard.py:39-44): JSON artifact scan."""
+    return spark.read.json(path)
+
+
+def kafka_batch_sink(df: DataFrame, brokers: str, topic: str = "fraud_topic"):
+    """S3 (FD/producer.py:14-17): serialize every row to the JSON wire
+    format and publish.  Returns the configured writer (caller ``.save()``s
+    so tests can inspect without a live broker)."""
+    wire = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    return (
+        wire.write.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+    )
+
+
+def jdbc_batch_sink(df: DataFrame, url: str, table: str,
+                    num_partitions: int = 8, **properties):
+    """S10: batch JDBC writer with bounded connection fan-in."""
+    writer = (
+        df.repartition(num_partitions)
+        .write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("numPartitions", str(num_partitions))
+    )
+    for k, v in properties.items():
+        writer = writer.option(k, v)
+    return writer
+
+
+def foreach_batch_jdbc(url: str, table: str, num_partitions: int = 8,
+                       **properties):
+    """S10 streaming: ``writeStream.foreachBatch(foreach_batch_jdbc(...))``
+    upserts each micro-batch over JDBC — the pattern the reference's dead
+    psycopg2 code was reaching for."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        jdbc_batch_sink(
+            batch_df.withColumn("batch_id", F.lit(batch_id)),
+            url, table, num_partitions, **properties,
+        ).mode("append").save()
+
+    return sink
