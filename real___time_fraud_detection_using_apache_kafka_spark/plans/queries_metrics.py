@@ -22,7 +22,6 @@ from pyspark.sql import functions as F
 from ..operators.aggregates import (
     classification_metrics,
     confusion_cells,
-    deterministic_mode,
     log_loss,
 )
 from ..operators.windows import pr_curve_best_threshold, roc_auc, topk
@@ -87,21 +86,30 @@ def fraud_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     panel — filter to suspicious records, per-entity count / mean amount /
     modal category / latest timestamp, top-10 entities.
 
-    One groupBy for the numeric aggs + the deterministic-mode operator's
-    count-rank pipeline, joined back; all shuffles key on user_id so AQE
-    can coalesce/skew-split.
+    Single-scan plan: pre-aggregate by (user, event_type), then combine
+    per user — counts and sums roll up, and the mode falls out of
+    ``min_by`` over a (-count, event_type) struct (count desc, name asc —
+    same determinism as the oracle's row_number).  Two shuffles, ONE read
+    of events (the naive shape scans twice: numeric aggs + mode branch),
+    and the pair-level partial agg combines map-side.
     """
     e = load_table(spark, sf_dir, "events")
     susp = e.filter(F.col("value") >= 75)
-    agg = susp.groupBy("user_id").agg(
-        F.count("*").alias("suspicious_count"),
-        F.round(F.avg("value"), 2).alias("avg_value"),
-        F.max("ts").alias("last_ts"),
+    pair = susp.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum("value").alias("vsum"),
+        F.max("ts").alias("mts"),
     )
-    modes = deterministic_mode(susp, ["user_id"], "event_type", "top_event_type")
-    joined = agg.join(modes, "user_id")
+    per_user = pair.groupBy("user_id").agg(
+        F.sum("cnt").alias("suspicious_count"),
+        F.round(F.sum("vsum") / F.sum("cnt"), 2).alias("avg_value"),
+        F.max("mts").alias("last_ts"),
+        F.min_by(
+            "event_type", F.struct((-F.col("cnt")).alias("neg"), F.col("event_type"))
+        ).alias("top_event_type"),
+    )
     return topk(
-        joined, [F.desc("suspicious_count"), F.asc("user_id")], 10
+        per_user, [F.desc("suspicious_count"), F.asc("user_id")], 10
     ).select("user_id", "suspicious_count", "avg_value", "last_ts", "top_event_type")
 
 

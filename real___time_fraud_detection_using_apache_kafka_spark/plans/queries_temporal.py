@@ -101,6 +101,15 @@ def asof_last_error_before_purchase(spark: SparkSession, sf_dir: str) -> DataFra
     GROUP BY user_id, session_id
     """,
 )
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (extension; batch analog of T7 session windows):
+    30-minute-gap sessions per user with bounds/size/duration."""
+    e = load_table(spark, sf_dir, "events")
+    return session_stats(
+        e.select("user_id", "ts"), ["user_id"], "ts", gap="30 minutes"
+    )
+
+
 @register(
     "clicks_before_purchase",
     oracle="""
@@ -140,13 +149,4 @@ def clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_join(
         purchases, clicks, on=["user_id"],
         left_ts="purchase_ts", right_ts="click_ts", lookback="10 minutes",
-    )
-
-
-def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization (extension; batch analog of T7 session windows):
-    30-minute-gap sessions per user with bounds/size/duration."""
-    e = load_table(spark, sf_dir, "events")
-    return session_stats(
-        e.select("user_id", "ts"), ["user_id"], "ts", gap="30 minutes"
     )
