@@ -1,0 +1,84 @@
+"""Physical-plan regression tests: the scale properties the engine is
+designed around (predicate pushdown, column pruning, broadcast of small
+dims, no redundant scans) must survive refactors.  Plan-only — nothing
+executes."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from real___time_fraud_detection_using_apache_kafka_spark import plans
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(spark, name: str) -> str:
+    df = plans.queries()[name](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_pushes_shipdate_filter_to_scan(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q1_prunes_columns(spark):
+    """7 of lineitem's 16 columns feed Q1 — the scan must not read more."""
+    plan = plan_of(spark, "q1_pricing_summary")
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = [c.split(":")[0] for c in m.group(1).split(",")]
+    assert len(cols) <= 7, cols
+    assert "l_comment" not in cols
+
+
+def test_q5_broadcasts_dimension_tables(spark):
+    """region/nation/supplier/customer are broadcast, never shuffled."""
+    plan = plan_of(spark, "q5_regional_revenue")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_fraud_patterns_scans_events_once(spark):
+    # formatted explain lists each node twice (tree + details); count the
+    # details entries, which are unique per node id
+    import re
+
+    plan = plan_of(spark, "fraud_patterns")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_topk_per_customer_single_shuffle(spark):
+    """Window top-k: one hash-partitioning exchange on the group key."""
+    import re
+
+    plan = plan_of(spark, "topk_orders_per_customer")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_interval_join_is_equi_join_not_nested_loop(spark):
+    """The range condition must ride an equi-join on (key, bucket) —
+    a BroadcastNestedLoopJoin would be the O(n*m) failure mode."""
+    plan = plan_of(spark, "clicks_before_purchase")
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_single_shuffle_no_range_join(spark):
+    plan = plan_of(spark, "asof_last_error_before_purchase")
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_broadcasts_probe_side(spark):
+    """Brute-force knn: probes broadcast, candidate scan stays put."""
+    plan = plan_of(spark, "embedding_knn")
+    assert "BroadcastExchange" in plan
