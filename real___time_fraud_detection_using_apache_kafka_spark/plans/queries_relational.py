@@ -338,6 +338,37 @@ def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cube_status_priority",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets extension (§2.5 note): CUBE over (status, priority) —
+    all four grouping sets in one pass (Catalyst expands the cube before
+    the single partial-agg shuffle; no per-set re-scan)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@register(
     "pivot_event_type_daily",
     oracle="""
     SELECT cast(date_trunc('day', ts) AS DATE) AS day,

@@ -1,0 +1,106 @@
+"""Property-based tests (SURVEY.md §5.3): parser/encoder laws the
+reference only enforced by convention.  Hypothesis drives small input
+batches through real Spark plans — few examples, each vectorized."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from real___time_fraud_detection_using_apache_kafka_spark.functions.scalar import (
+    currency_format,
+    currency_parse,
+    normalize_key,
+)
+from real___time_fraud_detection_using_apache_kafka_spark.operators.dedup import (
+    exact_dedup,
+)
+from real___time_fraud_detection_using_apache_kafka_spark.operators.temporal import (
+    sessionize,
+)
+
+SET = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+amounts = st.lists(
+    st.floats(min_value=0.0, max_value=1e9, allow_nan=False, allow_infinity=False),
+    min_size=1, max_size=50,
+)
+
+
+@given(xs=amounts)
+@SET
+def test_currency_roundtrip_law(spark, xs):
+    """F7+F8: parse(format(x)) == round(x, 2) — the evaluation module's
+    money path loses nothing beyond cents truncation."""
+    df = spark.createDataFrame([(x,) for x in xs], ["x"])
+    out = df.select(
+        F.round("x", 2).alias("want"),
+        currency_parse(currency_format(F.col("x"))).alias("got"),
+    ).collect()
+    for r in out:
+        assert abs(r["want"] - r["got"]) < 1e-9
+
+
+@given(
+    keys=st.lists(
+        st.text(
+            alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Zs")),
+            min_size=1, max_size=20,
+        ),
+        min_size=1, max_size=30,
+    )
+)
+@SET
+def test_normalize_key_idempotent(spark, keys):
+    """S7: normalize(normalize(k)) == normalize(k)."""
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    out = df.select(
+        normalize_key(F.col("k")).alias("once"),
+        normalize_key(normalize_key(F.col("k"))).alias("twice"),
+    ).collect()
+    for r in out:
+        assert r["once"] == r["twice"]
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 5)),
+        min_size=1, max_size=60,
+    )
+)
+@SET
+def test_exact_dedup_idempotent_and_set_semantics(spark, rows):
+    """D1: dedup(dedup(df)) == dedup(df) == distinct set of rows."""
+    df = spark.createDataFrame(rows, ["a", "b"])
+    once = exact_dedup(df)
+    assert once.count() == len(set(rows))
+    assert exact_dedup(once).count() == once.count()
+
+
+@given(deltas=st.lists(st.integers(1, 7200), min_size=1, max_size=40))
+@SET
+def test_sessionize_invariants(spark, deltas):
+    """Sessions: ids are 0-based and contiguous per key; row count is
+    preserved; a gap > threshold always starts a new session."""
+    ts, acc = [], 0
+    for d in deltas:
+        acc += d
+        ts.append(acc)
+    df = spark.createDataFrame([(1, float(t)) for t in ts], ["k", "t"])
+    s = sessionize(
+        df.select("k", F.timestamp_seconds("t").alias("t")), ["k"], "t",
+        gap="30 minutes",
+    )
+    rows = sorted(s.collect(), key=lambda r: r["t"])
+    assert len(rows) == len(ts)
+    ids = [r["session_id"] for r in rows]
+    assert ids[0] == 0
+    for prev, cur in zip(ids, ids[1:]):
+        assert cur in (prev, prev + 1)
+    n_gaps = sum(1 for d in deltas[1:] if d > 1800)
+    assert ids[-1] == n_gaps
