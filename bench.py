@@ -28,6 +28,10 @@ HEADLINE = [
     "roc_auc",
     "pr_curve_threshold",
     "topk_orders_per_customer",
+    "cube_status_priority",
+    "asof_last_error_before_purchase",
+    "user_sessions",
+    "clicks_before_purchase",
     "ngram_jaccard_neardup",
     "minhash_neardup",
     "embedding_knn",

@@ -46,6 +46,33 @@ def broadcast_dim_join(fact: DataFrame, dim: DataFrame, on, how: str = "inner") 
     return fact.join(F.broadcast(dim), on, how)
 
 
+def salted_skew_join(left: DataFrame, right: DataFrame, on: Sequence[str],
+                     salt: int = 8, how: str = "inner") -> DataFrame:
+    """Equi-join that survives pathological key skew: the left (skewed)
+    side gets a random salt in [0, salt), the right side is replicated
+    ``salt`` times, and the join runs on (keys..., salt) — a hot key's
+    rows spread over ``salt`` reducers instead of melting one.
+
+    AQE's skew-join split (enabled in session.py) handles MOST skew by
+    splitting oversized partitions at runtime; this explicit variant is
+    for the residual case AQE can't fix — a single key too hot for any
+    partition-level split (e.g. one user with 1% of a 100 TB stream) —
+    at the cost of a ``salt``-times replication of the right side, so
+    keep the right side the smaller one.
+
+    Results are identical to ``left.join(right, on, how)``.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_skew_join supports inner/left joins")
+    on = list(on)
+    l_salted = left.withColumn("_salt", (F.rand(seed=0) * salt).cast("int"))
+    r_salted = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    joined = l_salted.join(r_salted, [*on, "_salt"], how)
+    return joined.drop("_salt")
+
+
 def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
     """EXISTS — no right-side columns, no duplication of left rows."""
     return left.join(right, on, "left_semi")

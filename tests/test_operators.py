@@ -112,3 +112,26 @@ def test_with_default_coalesce(spark):
     df = spark.createDataFrame([(1, None), (2, 5.0)], ["k", "v"])
     out = df.select(with_default(F.col("v"), 0.0).alias("v")).collect()
     assert sorted(r["v"] for r in out) == [0.0, 5.0]
+
+def test_salted_skew_join_matches_plain_join(spark):
+    """Salting redistributes hot keys without changing join results."""
+    from real___time_fraud_detection_using_apache_kafka_spark.operators.relational import (
+        salted_skew_join,
+    )
+
+    # one pathologically hot key (80% of rows) + a long tail
+    left = spark.range(1000).select(
+        F.when(F.col("id") < 800, F.lit(1)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("lv"),
+    )
+    right = spark.createDataFrame(
+        [(1, "hot"), (900, "cold"), (999, "cold2"), (12345, "nomatch")],
+        ["k", "rv"],
+    )
+    plain = left.join(right, ["k"], "inner")
+    salted = salted_skew_join(left, right, ["k"], salt=4)
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+    l_plain = left.join(right, ["k"], "left")
+    l_salted = salted_skew_join(left, right, ["k"], salt=4, how="left")
+    assert sorted(map(tuple, l_plain.collect())) == sorted(map(tuple, l_salted.collect()))
