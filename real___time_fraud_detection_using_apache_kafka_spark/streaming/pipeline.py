@@ -132,6 +132,32 @@ def windowed_counts(scored: DataFrame, ts_col: str = "time",
     )
 
 
+def session_counts(scored: DataFrame, ts_col: str = "time",
+                   gap: str = "30 minutes",
+                   watermark: str = "1 hour") -> DataFrame:
+    """T7 extension: streaming-native gap sessions per customer via
+    ``session_window`` — Spark merges/extends open sessions in the state
+    store as events arrive and emits a session once the watermark passes
+    its close (the incremental dual of operators.temporal.sessionize,
+    which is the batch implementation of the same semantics)."""
+    with_ts = scored.withColumn("event_ts", F.timestamp_seconds(F.col(ts_col)))
+    return (
+        with_ts.withWatermark("event_ts", watermark)
+        .groupBy(F.session_window("event_ts", gap), "customer_id")
+        .agg(
+            F.count("*").alias("n_txn"),
+            F.round(F.sum("amount"), 2).alias("amount_sum"),
+            F.sum("prediction").alias("n_fraud"),
+        )
+        .select(
+            "customer_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_txn", "amount_sum", "n_fraud",
+        )
+    )
+
+
 def run_scoring_pipeline(spark: SparkSession, checkpoint_dir: str,
                          source: DataFrame | None = None, model=None,
                          queryable_name: str = "fraud_counts") -> StreamingQuery:

@@ -155,3 +155,49 @@ def test_json_parse_corrupt_record_flagging(spark):
     corrupt = [r["txn"]["_corrupt_record"] for r in got]
     assert sum(c is not None for c in corrupt) == 1
     assert sum(c is None for c in corrupt) == 1
+
+
+def test_session_window_counts(spark, tmpdir):
+    """T7: session_window streaming aggregation runs end-to-end; total
+    event count across emitted+open sessions reconciles after the stream
+    drains (append mode emits only watermark-closed sessions, so drive a
+    second batch far in event time to flush the first)."""
+    from real___time_fraud_detection_using_apache_kafka_spark.streaming.pipeline import (
+        session_counts,
+    )
+
+    src_dir = f"{tmpdir}/src"
+    ckpt = f"{tmpdir}/ckpt"
+    first = batch_transactions(spark, 100)  # event time ~1700000000
+    _write_json_batch(spark, first, src_dir)
+    stream = (
+        spark.readStream.schema("v string").text(src_dir)
+        .select(F.from_json(F.col("v"), TXN_SCHEMA).alias("txn"))
+        .select("txn.*")
+    )
+    q = (
+        session_counts(score_stream(stream), gap="1 minute", watermark="2 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_t")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance event time ~3 days -> watermark passes every first-batch session
+        late = batch_transactions(spark, 10).withColumn(
+            "time", F.col("time") + F.lit(250000)
+        )
+        _write_json_batch(spark, late, src_dir)
+        q.processAllAvailable()
+        emitted = spark.sql(
+            "SELECT sum(n_txn) AS n, count(*) AS sessions FROM sess_t"
+        ).first()
+        assert emitted["n"] == 100  # all first-batch events flushed
+        assert emitted["sessions"] >= 1
+        df = spark.sql("SELECT * FROM sess_t")
+        assert {"customer_id", "session_start", "session_end",
+                "n_txn", "amount_sum", "n_fraud"} == set(df.columns)
+    finally:
+        q.stop()
