@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from ..functions.hashing import MINHASH_PERMS, MOD, poly_hash_expr
+from ..functions.hashing import MINHASH_PERMS, MOD
 from .text import word_ngrams
 
 
@@ -124,16 +124,18 @@ def minhash_signatures(docs: DataFrame, n: int = 3,
                        shingled: DataFrame | None = None) -> DataFrame:
     """K-wide MinHash signature per doc over word-n-gram shingles.
 
-    Portable hash (functions.hashing) so the DuckDB oracle reproduces the
-    exact signature.  All K minima come from one pass over the shingle
-    array via higher-order functions — no explode, no shuffle.
+    The driver checks this surface rows-only (LSH banding is not
+    ANSI-SQL-expressible), so no oracle-portable hash is needed: shingles
+    hash with JVM-native ``xxhash64`` (one codegen call per shingle instead
+    of an O(chars) aggregate loop), mod-reduced into [0, MOD) so the same
+    affine permutations apply.  All K minima come from one pass over the
+    shingle array via higher-order functions — no explode, no shuffle.
     """
     if shingled is None:
         shingled = _shingled(docs, n)
-    sig = shingled.withColumn("h", F.expr(
-        "transform(sh, s -> aggregate(sequence(1, length(s)), cast(0 as bigint), "
-        f"(h, i) -> (h * 31 + ascii(substring(s, i, 1))) % {MOD}))"
-    ))
+    sig = shingled.withColumn(
+        "h", F.transform("sh", lambda s: F.pmod(F.xxhash64(s), F.lit(MOD)))
+    )
     cols = [
         F.array_min(
             F.transform("h", lambda x: (x * a + b) % MOD)  # noqa: B023
@@ -196,12 +198,14 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
 
     One explode + one groupBy(doc) with ``bits`` sum aggregates — a single
     shuffle keyed by doc_id; partial aggregation keeps shuffle volume at
-    O(docs x bits/8) bytes regardless of document length.
+    O(docs x bits/8) bytes regardless of document length.  Rows-only
+    surface, so tokens hash with JVM-native ``xxhash64`` (full 64-bit
+    spread; every vote bit is uniform).
     """
     tok = docs.select(
         "doc_id",
         F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
-    ).withColumn("th", poly_hash_expr("tok"))
+    ).withColumn("th", F.xxhash64("tok"))
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("th"), b).bitwiseAND(1) == 1, 1).otherwise(-1)

@@ -1,0 +1,108 @@
+"""Quantile / histogram / sketch aggregates (engine extension surface).
+
+The reference computes only plain means and counts (SURVEY.md §2.5
+A3-A5); a 100 TB analytics engine additionally needs distribution
+summaries. Three tiers:
+
+- exact interpolated percentiles  -> one pass, oracle-checked
+  (Spark ``percentile`` and DuckDB ``quantile_cont`` share linear-
+  interpolation semantics).
+- fixed-width histogram           -> floor-bucket groupBy, oracle-checked.
+- approximate sketches            -> HLL distinct + approx_percentile
+  (t-digest-family): constant memory per group at any scale.  Estimates
+  are engine-specific, so the driver checks rows-only.
+
+Scale design: every query here is a single groupBy shuffle with partial
+(map-side) aggregation; sketch state is O(k) per group regardless of
+row count, which is exactly why approx variants exist — an exact
+percentile at 100 TB sorts the column, the sketch never does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+
+@register(
+    "order_value_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+           round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of order value per priority class.
+
+    Extension beyond the reference's mean-only stats (FD/evaluation.py:162,
+    171).  ``percentile`` sorts within the aggregate buffer — exact but
+    O(n log n) per group; the sketch variant below is the 100 TB path.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
+        F.round(F.percentile("o_totalprice", F.lit(0.95)), 4).alias("p95"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "event_value_histogram",
+    oracle="""
+    SELECT cast(floor(value / 100.0) AS BIGINT) AS bucket,
+           count(*)                             AS n,
+           round(sum(value), 2)                 AS bucket_sum
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY bucket
+    """,
+)
+def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values (bucket = floor(value/100)).
+
+    The binning is a pure projection, so the whole histogram is one
+    shuffle with map-side partials — the classic scalable histogram;
+    bucket count is bounded by the value range, not the row count.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(
+            F.floor(F.col("value") / 100.0).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("bucket_sum"),
+        )
+    )
+
+
+@register("approx_event_sketches")  # rows-only: sketch estimates are engine-specific
+def approx_event_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constant-memory distribution sketches per event type: HLL++ distinct
+    users, t-digest-family approximate median/p95, and a Datasketches HLL
+    built with ``hll_sketch_agg`` (mergeable across partitions/days — the
+    property that makes it the 100 TB rollup primitive).
+
+    Rows-only check: estimates are engine-specific by construction; the
+    accuracy contract is covered by tests against exact counts.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("approx_p50"),
+        F.percentile_approx("value", F.lit(0.95), F.lit(10000)).alias("approx_p95"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("hll_users"),
+        F.count("*").alias("n"),
+    )

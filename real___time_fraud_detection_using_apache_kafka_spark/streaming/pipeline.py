@@ -158,6 +158,26 @@ def session_counts(scored: DataFrame, ts_col: str = "time",
     )
 
 
+def dedup_stream(txns: DataFrame, ts_col: str = "time",
+                 keys: list[str] | None = None,
+                 watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup with bounded state (D1's streaming dual).
+
+    At-least-once sources (T1) redeliver records on retry; the reference
+    would double-count them (FD/consumer.py:127-131 counts every poll).
+    ``dropDuplicatesWithinWatermark`` keeps one state row per key only
+    until the watermark passes it — state is O(keys-per-watermark-window),
+    not O(stream), which is what makes exactly-once counting survive
+    100 TB/day of redelivered traffic."""
+    keys = keys or ["transaction_id"]
+    with_ts = txns.withColumn("event_ts", F.timestamp_seconds(F.col(ts_col)))
+    return (
+        with_ts.withWatermark("event_ts", watermark)
+        .dropDuplicatesWithinWatermark(keys)
+        .drop("event_ts")
+    )
+
+
 def run_scoring_pipeline(spark: SparkSession, checkpoint_dir: str,
                          source: DataFrame | None = None, model=None,
                          queryable_name: str = "fraud_counts") -> StreamingQuery:

@@ -1,0 +1,46 @@
+"""Quantile / histogram / sketch aggregates (plans/queries_sketch.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real___time_fraud_detection_using_apache_kafka_spark.plans.queries_sketch import (
+    approx_event_sketches,
+    event_value_histogram,
+    order_value_percentiles,
+)
+from real___time_fraud_detection_using_apache_kafka_spark.sources.tables import load_table
+
+
+def test_percentiles_ordered_and_bounded(spark, sf_dir):
+    rows = order_value_percentiles(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["p25"] <= r["p50"] <= r["p75"] <= r["p95"]
+        assert r["n_orders"] > 0
+
+
+def test_histogram_partitions_all_rows(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    total = events.filter(F.col("value").isNotNull()).count()
+    hist = event_value_histogram(spark, sf_dir).collect()
+    assert sum(r["n"] for r in hist) == total
+    # buckets are disjoint by construction; each row's sum stays in-bucket
+    for r in hist:
+        assert r["bucket_sum"] <= (r["bucket"] + 1) * 100.0 * r["n"] + 1e-6
+
+
+def test_sketch_estimates_near_exact(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["nd"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("nd"))
+        .collect()
+    }
+    for r in approx_event_sketches(spark, sf_dir).collect():
+        nd = exact[r["event_type"]]
+        # rsd=0.02 HLL++ and Datasketches HLL: allow 5% relative error
+        assert abs(r["approx_users"] - nd) <= max(2, 0.05 * nd)
+        assert abs(r["hll_users"] - nd) <= max(2, 0.05 * nd)
+        assert r["approx_p50"] <= r["approx_p95"]

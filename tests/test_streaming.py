@@ -157,6 +157,47 @@ def test_json_parse_corrupt_record_flagging(spark):
     assert sum(c is None for c in corrupt) == 1
 
 
+def test_dedup_stream_drops_redelivered_records(spark, tmpdir):
+    """Streaming dedup (D1's streaming dual): an at-least-once redelivery
+    of the same transaction_ids within the watermark window must count
+    once — the reference double-counts redeliveries."""
+    from real___time_fraud_detection_using_apache_kafka_spark.streaming.pipeline import (
+        dedup_stream,
+    )
+
+    src_dir = f"{tmpdir}/src"
+    ckpt = f"{tmpdir}/ckpt"
+    batch = batch_transactions(spark, 50)
+    _write_json_batch(spark, batch, src_dir)
+    stream = (
+        spark.readStream.schema("v string").text(src_dir)
+        .select(F.from_json(F.col("v"), TXN_SCHEMA).alias("txn"))
+        .select("txn.*")
+    )
+    q = (
+        dedup_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_t")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_first = spark.sql("SELECT count(*) AS n FROM dedup_t").first()["n"]
+        # simulate at-least-once redelivery: identical batch arrives again
+        _write_json_batch(spark, batch, src_dir)
+        q.processAllAvailable()
+        n_second = spark.sql("SELECT count(*) AS n FROM dedup_t").first()["n"]
+        assert n_second == n_first  # duplicates suppressed
+        distinct_ids = spark.sql(
+            "SELECT count(DISTINCT transaction_id) AS n FROM dedup_t"
+        ).first()["n"]
+        assert n_second == distinct_ids
+    finally:
+        q.stop()
+
+
 def test_session_window_counts(spark, tmpdir):
     """T7: session_window streaming aggregation runs end-to-end; total
     event count across emitted+open sessions reconciles after the stream
