@@ -66,7 +66,8 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     # shingling runs once; spills to disk rather than recompute at scale
     shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
     toks = shingled.select(
-        "doc_id", F.size("sh").alias("sz"), F.explode("sh").alias("shingle")
+        "doc_id", "lang", "band",
+        F.size("sh").alias("sz"), F.explode("sh").alias("shingle"),
     )
     freq = toks.groupBy("shingle").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
@@ -75,27 +76,41 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
         toks.join(freq, "shingle")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= prefix_len)
-        .select("doc_id", "shingle")
+        .select("doc_id", "lang", "band", "sz", "shingle")
     ).persist(StorageLevel.MEMORY_AND_DISK)  # both sides of the self-join
+    # Every pairwise predicate that doesn't need the shingle arrays moves
+    # INTO candidate generation: lang joins as an equi-key, the length band
+    # and the size-ratio bound (j >= t implies min(sz) >= t*max(sz)) filter
+    # pairs before the dedup shuffle — only survivors pay the
+    # array_intersect verification.
+    pa = prefix.select(
+        F.col("doc_id").alias("doc_a"), "lang", "shingle",
+        F.col("band").alias("pband_a"), F.col("sz").alias("sz_a"),
+    )
+    pb = prefix.select(
+        F.col("doc_id").alias("doc_b"), "lang", "shingle",
+        F.col("band").alias("pband_b"), F.col("sz").alias("sz_b"),
+    )
     cand = (
-        prefix.select(F.col("doc_id").alias("doc_a"), "shingle")
-        .join(prefix.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        pa.join(pb, ["shingle", "lang"])
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("pband_a") - F.col("pband_b")) <= 1)
+            & (
+                F.least("sz_a", "sz_b")
+                >= F.lit(threshold) * F.greatest("sz_a", "sz_b")
+            )
+        )
         .select("doc_a", "doc_b")
         .dropDuplicates()
     )
     a = shingled.select(
-        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"),
-        F.col("sh").alias("sh_a"), F.col("band").alias("band_a"),
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
     )
     b = shingled.select(
-        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"),
-        F.col("sh").alias("sh_b"), F.col("band").alias("band_b"),
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
     )
-    verified = cand.join(a, "doc_a").join(b, "doc_b").filter(
-        (F.col("lang_a") == F.col("lang_b"))
-        & (F.abs(F.col("band_a") - F.col("band_b")) <= 1)
-    )
+    verified = cand.join(a, "doc_a").join(b, "doc_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
