@@ -635,3 +635,43 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.avg("value"), 4).alias("avg_value"),
     )
+
+
+@register(
+    "customer_order_analytics",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           row_number()   OVER w AS rn,
+           ntile(4)       OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(o_totalprice - lag(o_totalprice, 1, 0.0) OVER w, 2) AS delta_prev,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS UNBOUNDED PRECEDING), 2) AS run_spend
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def customer_order_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full analytic-window complement (extends SURVEY.md §2.6, where the
+    reference only needs top-k/argmax rewrites): row_number, ntile,
+    percent_rank, lag, and a running sum per customer order history.
+
+    All five windows share one (partition, order) spec, so Catalyst plans
+    a single shuffle on o_custkey and a single sort — the frame variants
+    differ only in the running-buffer logic.  The orderkey tiebreak makes
+    every function deterministic (dates repeat within a customer)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(
+            F.col("o_totalprice") - F.lag("o_totalprice", 1, 0.0).over(w), 2
+        ).alias("delta_prev"),
+        F.round(F.sum("o_totalprice").over(wr), 2).alias("run_spend"),
+    )

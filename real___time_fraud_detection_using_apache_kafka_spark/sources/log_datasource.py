@@ -1,0 +1,135 @@
+"""Pluggable Python DataSource for the reference's log-file "tables".
+
+The reference persists its state as `=`-delimited multi-line text records
+(FD/producer.py:96-115 writes them; FD/dashboard.py:15-25 and
+FD/evaluation.py:60-89 re-parse them into DataFrames).  This module makes
+that format a first-class Spark source via the PySpark 4 DataSource API:
+
+    spark.dataSource.register(FraudLogDataSource)
+    df = spark.read.format("fraudlog").load("/path/to/consumer.log")
+
+Semantics mirror the reference parser (FD/evaluation.py:60-89): records
+split on a run of >= 60 '=' chars (tolerating the reference's own 60-vs-68
+delimiter drift, SURVEY.md §2.11-5), `key: value` lines parsed with keys
+normalized ``lower().replace(' ', '_')``, currency values stripped of `$`.
+
+Scale design: one InputPartition per file — the natural split for
+append-only logs (a 100 TB log directory is many files; each reads
+independently).  This Python reader is the *pluggable-connector* surface;
+the hot path for log analytics remains the JVM text scan + regexp
+extraction (`log_parse_roundtrip`), which this source intentionally does
+not replace.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from collections.abc import Iterator
+
+try:  # pyspark >= 4.0
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    HAVE_DATASOURCE_API = True
+except ImportError:  # pragma: no cover - older pyspark
+    HAVE_DATASOURCE_API = False
+
+    class DataSource:  # type: ignore[no-redef]
+        def __init__(self, options=None):
+            self.options = options or {}
+
+    class DataSourceReader:  # type: ignore[no-redef]
+        pass
+
+    class InputPartition:  # type: ignore[no-redef]
+        def __init__(self, value):
+            self.value = value
+
+
+DELIMITER_RE = re.compile(r"^={60,}\s*$", re.MULTILINE)
+KV_RE = re.compile(r"^([^:\n]+):\s*(.*)$")
+
+# Typed projection of the reference's consumer.log record
+# (FD/consumer.py:134-154; old-format drift fields included, §2.11-2).
+LOG_SCHEMA = (
+    "transaction_id string, amount double, status string, "
+    "actual_fraud_status string, fraud_probability double, "
+    "fields map<string,string>, source_file string"
+)
+
+
+def parse_log_text(text: str) -> Iterator[dict[str, str]]:
+    """Split a log file's text into per-record normalized key->value dicts
+    (the reference's parse_log_entry, FD/evaluation.py:60-89, as a pure
+    function)."""
+    for chunk in DELIMITER_RE.split(text):
+        fields: dict[str, str] = {}
+        for line in chunk.splitlines():
+            m = KV_RE.match(line.strip())
+            if not m:
+                continue
+            key = m.group(1).strip().lower().replace(" ", "_")
+            fields[key] = m.group(2).strip()
+        if fields:
+            yield fields
+
+
+def _money(v: str | None) -> float | None:
+    if v is None:
+        return None
+    try:
+        return float(v.lstrip("$").replace(",", ""))
+    except ValueError:
+        return None
+
+
+def _record_to_row(fields: dict[str, str], path: str) -> tuple:
+    return (
+        fields.get("transaction_id"),
+        _money(fields.get("amount")),
+        fields.get("status") or fields.get("fraud_status"),
+        fields.get("actual_fraud_status"),
+        _money(fields.get("fraud_probability")),
+        fields,
+        os.path.basename(path),
+    )
+
+
+class FraudLogReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("fraudlog source requires a path")
+
+    def partitions(self):
+        # one split per file: append-only logs scale by file count
+        if os.path.isdir(self.path):
+            files = sorted(
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if f.endswith(".log") or f.endswith(".txt")
+            )
+        else:
+            files = [self.path]
+        return [InputPartition(f) for f in files]
+
+    def read(self, partition) -> Iterator[tuple]:
+        path = partition.value
+        with open(path, encoding="utf-8", errors="replace") as fh:
+            text = fh.read()
+        for fields in parse_log_text(text):
+            yield _record_to_row(fields, path)
+
+
+class FraudLogDataSource(DataSource):
+    """`spark.read.format("fraudlog").load(path)` for reference-format logs."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "fraudlog"
+
+    def schema(self) -> str:
+        return LOG_SCHEMA
+
+    def reader(self, schema) -> FraudLogReader:
+        return FraudLogReader(self.options)

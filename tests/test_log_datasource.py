@@ -1,0 +1,63 @@
+"""Pluggable fraudlog DataSource (sources/log_datasource.py): the
+reference's `=`-delimited log format as a registered Spark source."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from real___time_fraud_detection_using_apache_kafka_spark.sources.log_datasource import (
+    HAVE_DATASOURCE_API,
+    FraudLogDataSource,
+    parse_log_text,
+)
+
+RECORD = """\
+New Transaction Processed:
+Transaction ID: TXN123456
+Amount: $1,234.56
+Status: Fraud
+Actual Fraud Status: Not Fraud
+Fraud Probability: 0.8731
+{}
+Transaction ID: TXN777
+Amount: $10.00
+Status: Not Fraud
+{}
+garbage line without colon separator at all
+""".format("=" * 68, "=" * 60)  # both delimiter widths the reference uses
+
+
+@pytest.fixture()
+def log_dir():
+    d = tempfile.mkdtemp(prefix="fraudlog_")
+    with open(f"{d}/consumer.log", "w") as f:
+        f.write(RECORD)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_parse_log_text_normalizes_keys_and_tolerates_drift():
+    recs = list(parse_log_text(RECORD))
+    assert len(recs) == 2  # trailing garbage chunk has no k:v lines
+    assert recs[0]["transaction_id"] == "TXN123456"
+    assert recs[0]["actual_fraud_status"] == "Not Fraud"  # old-format drift line
+    assert recs[1]["transaction_id"] == "TXN777"
+
+
+@pytest.mark.skipif(not HAVE_DATASOURCE_API, reason="needs pyspark >= 4.0")
+def test_fraudlog_datasource_reads_records(spark, log_dir):
+    spark.dataSource.register(FraudLogDataSource)
+    df = spark.read.format("fraudlog").load(log_dir)
+    rows = {r["transaction_id"]: r for r in df.collect()}
+    assert set(rows) == {"TXN123456", "TXN777"}
+    r = rows["TXN123456"]
+    assert r["amount"] == pytest.approx(1234.56)
+    assert r["status"] == "Fraud"
+    assert r["actual_fraud_status"] == "Not Fraud"
+    assert r["fraud_probability"] == pytest.approx(0.8731)
+    assert r["fields"]["new_transaction_processed"] == ""
+    assert r["source_file"] == "consumer.log"
+    assert rows["TXN777"]["actual_fraud_status"] is None
