@@ -3,17 +3,28 @@
 - Brute-force cosine top-k: the correctness baseline.  The dot product is
   a higher-order-function fold over the zipped arrays — pure JVM, and the
   accumulation order is the array order, so the DuckDB oracle (same fold)
-  matches bit-for-bit.
-- LSH-bucketed variant: random-hyperplane signs as the blocking key; at
-  scale the candidate join is an equi-join on the bucket, not a cartesian.
+  matches bit-for-bit.  Row norms are computed ONCE per row before the
+  join, so each candidate pair evaluates a single fold (the dot), not
+  three.
+- All-pairs near-dup: two-phase.  Phase 1 generates candidates with a
+  block nested-loop join whose kernel is one vectorized float64 matmul
+  per block pair (numpy via cogrouped applyInPandas) — the scan cost is
+  O(N^2 / B) matrix ops instead of N^2 interpreted array folds.  Phase 2
+  re-verifies the (few) survivors JVM-side with the exact sequential
+  fold, so the output is bit-identical to the naive plan and the SQL
+  oracle.
+- Hyperplane-LSH and IVF variants: the 100 TB strategies (bucket key /
+  cell id caps the candidate count; equi-join instead of cartesian).
 
 Scale notes: brute-force is O(Q x N) — fine when Q (probe set) is small
-and broadcastable; the LSH path is the 100 TB strategy (bucket key caps
-pair count; recall tuned by number of hyperplanes/tables).
+and broadcastable.  The block kernel shuffles each row to ~B/2 partner
+blocks (replication factor B/2, tunable); at 100 TB you bound B so a
+block pair fits executor memory and let LSH/IVF prune block pairs first.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -36,6 +47,13 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine with precomputed norms: identical doubles to :func:`cosine`
+    (same fold produces the norm, same op order) at a third of the fold
+    evaluations per pair."""
+    return dot(a, b) / (na * nb)
+
+
 def brute_force_topk(queries: DataFrame, candidates: DataFrame, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact cosine top-k neighbors for each query vector.
@@ -45,10 +63,12 @@ def brute_force_topk(queries: DataFrame, candidates: DataFrame, k: int = 5,
     per-query top-k reduces via a window on the (small) scored result.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
     )
     c = candidates.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
     )
     scored = c.crossJoin(F.broadcast(q)).filter(
         F.col("query_id") != F.col("neighbor_id")
@@ -56,7 +76,9 @@ def brute_force_topk(queries: DataFrame, candidates: DataFrame, k: int = 5,
     scored = scored.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        F.round(
+            _cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
+        ).alias("cosine"),
     )
     from .windows import topk_per_group
 
@@ -66,20 +88,88 @@ def brute_force_topk(queries: DataFrame, candidates: DataFrame, k: int = 5,
     )
 
 
+def _block_pair_candidates(embeddings: DataFrame, threshold: float,
+                           id_col: str, vec_col: str,
+                           n_blocks: int) -> DataFrame:
+    """Phase-1 candidate pairs for all-pairs cosine: block nested loop
+    with a vectorized kernel.
+
+    Rows are hashed into ``n_blocks`` blocks.  The left side replicates
+    each row to every partner block >= its own; the right side keys rows
+    by their own block; cogrouped ``applyInPandas`` then sees exactly one
+    (block_i, block_j) pair per key j (i <= j) and scores the full cosine
+    matrix with one float64 matmul.  Cross-block pairs surface exactly
+    once; same-block pairs are deduped by the id order mask.  The kernel
+    emits ids only (no vectors) at ``threshold - 1e-6`` — wide enough to
+    cover both float reassociation and the round-to-6 boundary — and the
+    caller re-verifies exactly.
+    """
+    tagged = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+    partners = F.array(*[F.lit(j) for j in range(n_blocks)])
+    left = tagged.withColumn(
+        "pblk", F.explode(F.filter(partners, lambda j: j >= F.col("blk")))
+    )
+    margin = threshold - 1e-6
+
+    def kernel(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64")})
+        va = np.asarray(lpdf["v"].tolist(), dtype=np.float64)
+        vb = np.asarray(rpdf["v"].tolist(), dtype=np.float64)
+        na = np.linalg.norm(va, axis=1)
+        nb = np.linalg.norm(vb, axis=1)
+        na[na == 0.0] = 1.0
+        nb[nb == 0.0] = 1.0
+        sim = (va / na[:, None]) @ (vb / nb[:, None]).T
+        ia = lpdf["id"].to_numpy()
+        ib = rpdf["id"].to_numpy()
+        ba = lpdf["blk"].to_numpy()
+        bb = rpdf["blk"].to_numpy()
+        cross = ba[:, None] < bb[None, :]
+        same_lower = (ba[:, None] == bb[None, :]) & (ia[:, None] < ib[None, :])
+        ii, jj = np.nonzero((sim >= margin) & (cross | same_lower))
+        return pd.DataFrame({
+            "id_a": np.minimum(ia[ii], ib[jj]),
+            "id_b": np.maximum(ia[ii], ib[jj]),
+        })
+
+    return (
+        left.groupBy("pblk")
+        .cogroup(tagged.groupBy("blk"))
+        .applyInPandas(kernel, "id_a long, id_b long")
+    )
+
+
 def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.45,
                          id_col: str = "vec_id",
-                         vec_col: str = "embedding") -> DataFrame:
-    """All pairs with cosine >= threshold (embedding near-dup dedup).
+                         vec_col: str = "embedding",
+                         n_blocks: int = 8) -> DataFrame:
+    """All pairs with round(cosine, 6) >= threshold (embedding near-dup).
 
-    Local-scale implementation is the exact all-pairs join; the scale path
-    is :func:`hyperplane_lsh_pairs` which blocks by sign-bucket first.
+    Candidates from the vectorized block kernel; exact JVM fold re-verify
+    on the survivors keeps the result bit-identical to the naive
+    all-pairs plan (and the DuckDB oracle).  ``hyperplane_lsh_pairs``
+    additionally prunes candidate generation by sign-bucket when recall
+    < 1 is acceptable.
     """
+    cand = _block_pair_candidates(embeddings, threshold, id_col, vec_col, n_blocks)
     a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    return pairs.select(
-        "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine")
-    ).filter(F.col("cosine") >= threshold)
+    return (
+        cand.join(a, "id_a").join(b, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
 
 
 def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int = 5,
@@ -90,7 +180,9 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int = 5,
 
     Index build: seeded MLlib KMeans partitions the candidate set into
     ``n_centroids`` cells; each candidate is stored under its nearest
-    centroid (one narrow transform — the "inverted file").
+    centroid (one narrow transform — the "inverted file").  The assembled
+    feature frame is persisted for the duration of the fit so Lloyd
+    iterations scan memory, not parquet.
     Probe: each query scores only candidates in its ``n_probe`` nearest
     cells, so the scored fraction is ~n_probe/n_centroids of the corpus
     instead of all of it; the cell match is an EQUI-join on centroid id
@@ -101,17 +193,18 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int = 5,
     broadcast literal, never a shuffle.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     cand_vec = candidates.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
-    )
+    ).persist()
     km = KMeans(k=n_centroids, seed=seed, featuresCol="features",
                 predictionCol="cell")
     model = km.fit(cand_vec)
-    indexed = model.transform(cand_vec).select("neighbor_id", "cv", "cell")
+    indexed = model.transform(cand_vec).select("neighbor_id", "cv", "cn", "cell")
 
     centroids = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
@@ -119,7 +212,10 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int = 5,
     spark = candidates.sparkSession
     cent_df = spark.createDataFrame(centroids, ["cell", "centroid"])
 
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
     # rank the (tiny, broadcast) centroid table per query; keep n_probe cells
     q_cells = (
         q.crossJoin(F.broadcast(cent_df))
@@ -131,14 +227,16 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int = 5,
             ),
         )
         .filter(F.col("rk") <= n_probe)
-        .select("query_id", "qv", "cell")
+        .select("query_id", "qv", "qn", "cell")
     )
     scored = q_cells.join(indexed, "cell").filter(
         F.col("query_id") != F.col("neighbor_id")
     ).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        F.round(
+            _cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
+        ).alias("cosine"),
     )
     from .windows import topk_per_group
 
@@ -172,15 +270,21 @@ def hyperplane_lsh_pairs(embeddings: DataFrame, threshold: float = 0.45,
 
     tagged = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nv"),
         sign_bits(F.col(vec_col)).alias("bucket"),
     )
     a = tagged.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket"
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("nv").alias("na"), "bucket",
     )
     b = tagged.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket"
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nv").alias("nb"), "bucket",
     )
     cand = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
     return cand.select(
-        "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine")
+        "id_a", "id_b",
+        F.round(
+            _cosine_pre(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 6
+        ).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)
