@@ -32,9 +32,12 @@ HEADLINE = [
     "asof_last_error_before_purchase",
     "user_sessions",
     "clicks_before_purchase",
+    "rolling_user_velocity",
     "ngram_jaccard_neardup",
     "minhash_neardup",
     "embedding_knn",
+    "embedding_cosine_neardup",
+    "tfidf_top_terms",
     "doc_quality",
 ]
 

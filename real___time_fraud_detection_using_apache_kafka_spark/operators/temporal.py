@@ -165,3 +165,29 @@ def session_stats(df: DataFrame, key_cols: Sequence[str], ts_col: str,
             / 1_000_000
         ).cast("long").alias("duration_sec"),
     )
+
+
+def rolling_range_stats(df: DataFrame, key_cols: Sequence[str], ts_col: str,
+                        lookback: str, value_col: str) -> DataFrame:
+    """Per-row trailing-window stats (velocity features): event count and
+    exact decimal sum of ``value_col`` over ``[ts - lookback, ts]`` within
+    each key — the per-account "how much activity in the last hour" signal
+    a fraud scorer consumes.
+
+    One shuffle on the key; the RANGE frame runs over unix microseconds so
+    the boundary arithmetic is integer-exact, and Spark maintains the
+    sliding aggregate incrementally within the sorted partition (no
+    per-row rescan).  The sum is carried in DECIMAL(18,2): exact
+    arithmetic makes the result independent of accumulation order, so any
+    engine/parallelism computes the identical value (oracle-comparable).
+    """
+    lb = _interval_micros(lookback)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.unix_micros(F.col(ts_col)))
+        .rangeBetween(-lb, 0)
+    )
+    return df.withColumn("n_trailing", F.count("*").over(w)).withColumn(
+        "sum_trailing",
+        F.sum(F.col(value_col).cast("decimal(18,2)")).over(w).cast("decimal(18,2)"),
+    )

@@ -675,3 +675,41 @@ def customer_order_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("delta_prev"),
         F.round(F.sum("o_totalprice").over(wr), 2).alias("run_spend"),
     )
+
+
+@register(
+    "grouping_sets_orders",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n_orders,
+           cast(sum(cast(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (§2.5 extension complement to cube/rollup):
+    status totals, priority totals, and the grand total in one pass —
+    Catalyst expands the sets before a single partial-agg shuffle, vs
+    three scans for the UNION ALL equivalent.  Decimal sum keeps the
+    totals accumulation-order-independent."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus", "o_orderpriority",
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+             .cast("decimal(18,2)").alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )

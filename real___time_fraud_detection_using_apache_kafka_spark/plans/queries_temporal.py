@@ -150,3 +150,34 @@ def clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases, clicks, on=["user_id"],
         left_ts="purchase_ts", right_ts="click_ts", lookback="10 minutes",
     )
+
+
+@register(
+    "rolling_user_velocity",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           count(*) OVER w AS n_1h,
+           cast(sum(cast(value AS DECIMAL(18,2))) OVER w AS DECIMAL(18,2))
+               AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_user_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1h velocity per user (extension): per-event count and
+    exact decimal sum over a RANGE frame — the batch dual of the
+    streaming per-key running stats, and the classic fraud-velocity
+    feature (N txns / $X in the last hour).  One shuffle on user_id;
+    incremental sliding-frame aggregation, decimal sum for
+    order-independent results."""
+    from ..operators.temporal import rolling_range_stats
+
+    e = load_table(spark, sf_dir, "events")
+    return rolling_range_stats(
+        e, ["user_id"], "ts", "1 hour", "value"
+    ).select(
+        "event_id", "user_id", "ts",
+        F.col("n_trailing").alias("n_1h"),
+        F.col("sum_trailing").alias("sum_1h"),
+    )

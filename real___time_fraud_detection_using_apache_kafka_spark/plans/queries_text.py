@@ -414,3 +414,67 @@ def log_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("line").startswith("Fraud Count:"), 1)).alias("n_counter_lines"),
         F.count(F.when(F.col("line").contains("Status: Fraud"), 1)).alias("n_fraud_lines"),
     )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+        FROM documents
+    ), tokens AS (
+        SELECT doc_id, term FROM raw WHERE length(term) >= 3
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY doc_id, term
+    ), dfreq AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), n AS (
+        SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               round(tf.tf * ln(cast(n.n_docs AS DOUBLE) / dfreq.df), 6)
+                   AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ), ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, term ASC) AS rank
+        FROM scored
+    )
+    SELECT doc_id, term, tf, tfidf, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-5 terms per document (text-analysis extension).
+
+    Plan shape: narrow tokenize/explode -> (doc,term) count shuffle ->
+    term-level doc-frequency shuffle -> join back (term table is small
+    after aggregation; AQE picks broadcast at test scale, shuffle join at
+    100 TB) -> per-doc window top-k.  Ranking compares the ROUNDED score
+    on both engines so a last-ulp ln() difference can't reorder ties;
+    remaining ties break on term.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
+    ).filter(F.length("term") >= 3)
+    tf = tokens.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "term", "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    from ..operators.windows import topk_per_group
+
+    return topk_per_group(
+        scored, ["doc_id"], [F.desc("tfidf"), F.asc("term")], 5, rank_col="rank"
+    ).select("doc_id", "term", "tf", "tfidf", "rank")
