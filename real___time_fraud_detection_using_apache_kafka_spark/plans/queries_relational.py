@@ -713,3 +713,42 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price",
         )
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT cast(sum(cast(l_extendedprice AS DECIMAL(18,2))
+                   * cast(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
+               AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 analog: pure filter + aggregate, zero shuffles beyond the
+    final single-group reduce.  All four predicates push to the parquet
+    scan (row-group pruning via min/max stats on l_shipdate/l_discount/
+    l_quantity) and only 4 of 11 columns are read — the plan's
+    ``PushedFilters``/``ReadSchema`` are pinned in test_plan_quality.
+    Decimal multiply-sum keeps the revenue order-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_discount").cast("decimal(18,2)")
+            ).cast("decimal(18,4)").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )

@@ -132,6 +132,23 @@ def windowed_counts(scored: DataFrame, ts_col: str = "time",
     )
 
 
+def sliding_counts(scored: DataFrame, ts_col: str = "time",
+                   window: str = "2 minutes", slide: str = "1 minute",
+                   watermark: str = "4 minutes") -> DataFrame:
+    """T7 extension: sliding event-time windows — each event lands in
+    window/slide overlapping windows (here 2), giving a smoothed fraud
+    rate per minute.  State per key is bounded by watermark + overlap
+    factor; Spark expands the window assignment before the single
+    partial-agg shuffle, so the cost is (overlap x) rows shuffled, not
+    extra passes."""
+    with_ts = scored.withColumn("event_ts", F.timestamp_seconds(F.col(ts_col)))
+    return (
+        with_ts.withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", window, slide), "prediction")
+        .agg(F.count("*").alias("n"), F.round(F.sum("amount"), 2).alias("amount_sum"))
+    )
+
+
 def session_counts(scored: DataFrame, ts_col: str = "time",
                    gap: str = "30 minutes",
                    watermark: str = "1 hour") -> DataFrame:

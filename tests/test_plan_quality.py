@@ -82,3 +82,26 @@ def test_knn_broadcasts_probe_side(spark):
     """Brute-force knn: probes broadcast, candidate scan stays put."""
     plan = plan_of(spark, "embedding_knn")
     assert "BroadcastExchange" in plan
+
+
+def test_q6_pushes_all_predicates_and_prunes(spark):
+    """Q6 is the pushdown showcase: all four predicates reach the parquet
+    scan and only the 4 referenced columns are read."""
+    import re
+
+    plan = plan_of(spark, "q6_forecast_revenue")
+    assert "PushedFilters:" in plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({col})" in plan, col
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = [c.split(":")[0] for c in m.group(1).split(",")]
+    assert set(cols) <= {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+
+
+def test_q6_selects_rows(spark):
+    """The predicate ranges must actually intersect the testdata."""
+    row = plans.queries()["q6_forecast_revenue"](spark, SF).first()
+    assert row["n_lines"] > 0

@@ -142,6 +142,37 @@ def test_windowed_counts_watermark_schema(spark, tmpdir):
         q.stop()
 
 
+def test_sliding_counts_overlap(spark, tmpdir):
+    """T7: sliding windows assign each event to window/slide overlapping
+    windows — total count across windows is overlap x the event count."""
+    from real___time_fraud_detection_using_apache_kafka_spark.streaming.pipeline import sliding_counts
+
+    src_dir = f"{tmpdir}/src"
+    ckpt = f"{tmpdir}/ckpt"
+    _write_json_batch(spark, batch_transactions(spark, 100), src_dir)
+    stream = (
+        spark.readStream.schema("v string").text(src_dir)
+        .select(F.from_json(F.col("v"), TXN_SCHEMA).alias("txn"))
+        .select("txn.*")
+    )
+    q = (
+        sliding_counts(score_stream(stream), window="2 minutes", slide="1 minute")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("slide_t")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM slide_t").collect()
+        assert set(rows[0].asDict()) == {"window", "prediction", "n", "amount_sum"}
+        # every event is counted exactly twice (2 min window / 1 min slide)
+        assert sum(r["n"] for r in rows) == 200
+    finally:
+        q.stop()
+
+
 def test_json_parse_corrupt_record_flagging(spark):
     """PERMISSIVE from_json never yields a null struct in Spark 4 — the
     corrupt-record sidecar column is what flags bad payloads (the property
