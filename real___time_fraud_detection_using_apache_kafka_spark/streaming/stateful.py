@@ -138,3 +138,78 @@ def txn_event_interval_join(
         F.col(f"e.{event_ts}").alias(event_ts),
         "e.event_type",
     )
+
+
+try:  # Spark >= 4.0 typed-state API
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class AccountStatsProcessor(StatefulProcessor):
+        """Per-customer running stats on the Spark 4 ``transformWithState``
+        typed-state API — the successor to ``applyInPandasWithState``.
+
+        State is a named ValueState managed by the state store (RocksDB
+        provider: changelog-checkpointed, spills off-heap, supports key
+        domains far beyond executor memory — the 100 TB posture for
+        unbounded per-key state).  Same fold as ``_update_account``; the
+        two implementations are interchangeable and tested against each
+        other's totals.
+        """
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("acct", ACCOUNT_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            prior = self._state.get() if self._state.exists() else None
+            n, amt, fraud, mx = prior if prior is not None else (0, 0.0, 0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                amt += float(pdf["amount"].sum())
+                fraud += int(pdf["prediction"].sum())
+                if len(pdf):
+                    mx = max(mx, float(pdf["amount"].max()))
+            self._state.update((n, amt, fraud, mx))
+            yield pd.DataFrame(
+                {
+                    "customer_id": [key[0]],
+                    "n_txn": [n],
+                    "amount_sum": [round(amt, 2)],
+                    "n_fraud": [fraud],
+                    "max_amount": [mx],
+                    "avg_amount": [round(amt / n, 2) if n else 0.0],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    def account_running_stats_tws(scored: DataFrame) -> DataFrame:
+        """``transformWithStateInPandas`` flavor of account_running_stats.
+
+        Requires the RocksDB state store provider (set here on the
+        session; a no-op if already configured) and a working
+        ``google.protobuf`` (the typed-state Python driver worker speaks
+        protobuf to the JVM — absent in some minimal containers, in which
+        case use :func:`account_running_stats`).
+        """
+        scored.sparkSession.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        return (
+            scored.select("customer_id", "amount", "prediction")
+            .groupBy("customer_id")
+            .transformWithStateInPandas(
+                statefulProcessor=AccountStatsProcessor(),
+                outputStructType=ACCOUNT_OUTPUT_SCHEMA,
+                outputMode="update",
+                timeMode="none",
+            )
+        )
+
+except ImportError:  # pragma: no cover - older Spark
+    AccountStatsProcessor = None  # type: ignore[assignment]
+    account_running_stats_tws = None  # type: ignore[assignment]

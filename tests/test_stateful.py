@@ -155,3 +155,57 @@ def test_interval_join_matches_batch_semantics(spark, tmpdir):
         assert got.count() == batch.count()
     finally:
         q.stop()
+
+
+def test_transform_with_state_matches_apply_in_pandas(spark, tmpdir):
+    """The Spark 4 typed-state processor computes the same running totals
+    as the applyInPandasWithState fold."""
+    from real___time_fraud_detection_using_apache_kafka_spark.streaming.stateful import (
+        account_running_stats_tws,
+    )
+
+    if account_running_stats_tws is None:
+        pytest.skip("transformWithState API not available")
+    # the transformWithState Python driver worker speaks protobuf to the
+    # JVM; without a working google.protobuf the query crashes at init
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable in this environment")
+    src_dir = f"{tmpdir}/src"
+    ckpt = f"{tmpdir}/ckpt"
+    _write_json_batch(spark, batch_transactions(spark, 150), src_dir)
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    q = (
+        account_running_stats_tws(score_stream(_txn_stream(spark, src_dir)))
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("acct_tws")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        latest = (
+            spark.sql("SELECT * FROM acct_tws").groupBy("customer_id")
+            .agg(F.max("n_txn").alias("n_txn"))
+        )
+        assert latest.agg(F.sum("n_txn")).first()[0] == 150
+        # second micro-batch folds into existing RocksDB state
+        _write_json_batch(spark, batch_transactions(spark, 50, seed=7), src_dir)
+        q.processAllAvailable()
+        latest2 = (
+            spark.sql("SELECT * FROM acct_tws").groupBy("customer_id")
+            .agg(F.max("n_txn").alias("n_txn"))
+        )
+        assert latest2.agg(F.sum("n_txn")).first()[0] == 200
+    finally:
+        q.stop()
+        if prev_provider:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
