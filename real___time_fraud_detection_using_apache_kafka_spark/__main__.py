@@ -1,0 +1,168 @@
+"""CLI entry points — the engine's analog of the reference's run book
+(`/root/reference/README.md`: run producer.py, model.py, consumer.py,
+dashboard.py as separate processes):
+
+    python -m real___time_fraud_detection_using_apache_kafka_spark produce --n 1000 --out /tmp/txns
+    python -m real___time_fraud_detection_using_apache_kafka_spark train --n 20000 --model-dir /tmp/model
+    python -m real___time_fraud_detection_using_apache_kafka_spark stream --seconds 10 --watch
+
+- ``produce`` = FD/producer.py: synthesize transactions (seeded, JVM-side
+  column exprs) to JSON files or a Kafka topic.
+- ``train``   = FD/model.py: fit the one shared MLlib pipeline, report the
+  metric battery, persist model + metrics artifacts.
+- ``stream``  = FD/consumer.py + FD/dashboard.py: score a live stream with
+  the broadcast pipeline model (or the deterministic rule), keep running
+  counters in a queryable memory sink, and poll-print them — the 2 s
+  dashboard tick against incrementally-maintained state instead of an
+  O(stream) log re-parse.
+
+Everything here is a thin argparse shim over the library; no logic lives
+in this module.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+
+
+def _spark(app: str):
+    from .session import get_spark
+
+    return get_spark(app)
+
+
+def cmd_produce(args: argparse.Namespace) -> int:
+    from pyspark.sql import functions as F
+
+    from .sources.generator import batch_transactions, to_kafka_json
+    from .sources.io import kafka_batch_sink
+
+    spark = _spark("produce")
+    txns = batch_transactions(spark, args.n, seed=args.seed)
+    if args.brokers:
+        kafka_batch_sink(txns, args.brokers, args.topic)
+        print(f"published {args.n} transactions to kafka topic {args.topic}")
+    else:
+        to_kafka_json(txns).select(F.col("value")).write.mode(
+            "overwrite"
+        ).text(args.out)
+        print(f"wrote {args.n} transactions as JSON lines to {args.out}")
+    return 0
+
+
+def cmd_train(args: argparse.Namespace) -> int:
+    from pyspark.sql import functions as F
+
+    from .ml.pipeline import feature_importances, score, train
+    from .operators.aggregates import classification_metrics, confusion_cells
+    from .sources.generator import batch_transactions
+    from .sources.io import read_transactions_csv
+
+    spark = _spark("train")
+    txns = (
+        read_transactions_csv(spark, args.csv)
+        if args.csv
+        else batch_transactions(spark, args.n, seed=args.seed)
+    )
+    model, _train_df, test_df = train(txns, classifier=args.classifier)
+    scored = score(model, test_df)
+    cells = confusion_cells(
+        scored, F.col("is_fraud"), F.col("prediction").cast("int")
+    )
+    metrics = {
+        k: v for k, v in classification_metrics(cells).first().asDict().items()
+    }
+    print(json.dumps({"classifier": args.classifier, **metrics}))
+    print("top feature importances:")
+    for name, imp in feature_importances(model, top_k=args.top_k):
+        print(f"  {name}\t{imp:.4f}")
+    if args.model_dir:
+        model.write().overwrite().save(args.model_dir)
+        print(f"model saved to {args.model_dir}")
+    if args.metrics_out:
+        with open(args.metrics_out, "w") as fh:
+            json.dump(metrics, fh)
+        print(f"metrics written to {args.metrics_out}")
+    return 0
+
+
+def cmd_stream(args: argparse.Namespace) -> int:
+    from .streaming.pipeline import run_scoring_pipeline
+
+    spark = _spark("stream")
+    model = None
+    if args.model_dir:
+        from pyspark.ml import PipelineModel
+
+        model = PipelineModel.load(args.model_dir)
+    ckpt = args.checkpoint or tempfile.mkdtemp(prefix="fraud_stream_ckpt_")
+    query = run_scoring_pipeline(spark, ckpt, model=model)
+    deadline = time.time() + args.seconds
+    try:
+        while time.time() < deadline:
+            time.sleep(args.tick)
+            if args.watch:
+                rows = spark.sql(
+                    "SELECT prediction, n FROM fraud_counts ORDER BY prediction"
+                ).collect()
+                counts = {int(r["prediction"]): int(r["n"]) for r in rows}
+                print(
+                    f"non-fraud: {counts.get(0, 0)}  fraud: {counts.get(1, 0)}",
+                    flush=True,
+                )
+    finally:
+        query.stop()
+    rows = spark.sql("SELECT prediction, n FROM fraud_counts").collect()
+    total = sum(int(r["n"]) for r in rows)
+    print(json.dumps({
+        "processed": total,
+        "counts": {int(r["prediction"]): int(r["n"]) for r in rows},
+    }))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(
+        prog="real___time_fraud_detection_using_apache_kafka_spark",
+        description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pp = sub.add_parser("produce", help="synthesize a transaction batch")
+    pp.add_argument("--n", type=int, default=1000)
+    pp.add_argument("--seed", type=int, default=42)
+    pp.add_argument("--out", default="/tmp/fraud_txns")
+    pp.add_argument("--brokers", default=None, help="Kafka bootstrap servers")
+    pp.add_argument("--topic", default="fraud_topic")
+    pp.set_defaults(fn=cmd_produce)
+
+    tp = sub.add_parser("train", help="fit pipeline, report metric battery")
+    tp.add_argument("--n", type=int, default=20000)
+    tp.add_argument("--seed", type=int, default=42)
+    tp.add_argument("--csv", default=None, help="training CSV (else synthetic)")
+    tp.add_argument("--classifier", default="gbt",
+                    choices=["logreg", "rf", "gbt"])
+    tp.add_argument("--model-dir", default=None)
+    tp.add_argument("--metrics-out", default=None)
+    tp.add_argument("--top-k", type=int, default=10)
+    tp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("stream", help="score a live stream, watch counters")
+    sp.add_argument("--seconds", type=float, default=10.0)
+    sp.add_argument("--tick", type=float, default=2.0)
+    sp.add_argument("--watch", action="store_true")
+    sp.add_argument("--checkpoint", default=None)
+    sp.add_argument("--model-dir", default=None)
+    sp.set_defaults(fn=cmd_stream)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

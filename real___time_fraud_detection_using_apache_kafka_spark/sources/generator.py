@@ -86,12 +86,26 @@ def batch_transactions(spark: SparkSession, n: int, seed: int = 42,
 def stream_transactions(spark: SparkSession, rows_per_second: float = 0.5,
                         seed: int = 42) -> DataFrame:
     """Streaming generator on the ``rate`` source (T2: the reference's 2 s
-    cadence at the default 0.5 rows/s)."""
-    rate = (
-        spark.readStream.format("rate")
-        .option("rowsPerSecond", str(rows_per_second))
-        .load()
-    )
+    cadence at the default 0.5 rows/s).
+
+    The rate source only accepts integer rows/s, so fractional rates run
+    it at 1 row/s and keep every ``round(1/rate)``-th row — same average
+    cadence, still a single narrow source (no state, no shuffle).
+    """
+    if rows_per_second >= 1:
+        rate = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", str(int(rows_per_second)))
+            .load()
+        )
+    else:
+        period = max(1, round(1.0 / rows_per_second))
+        rate = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", "1")
+            .load()
+            .filter(F.col("value") % period == 0)
+        )
     return rate.select(*txn_columns(F.col("value"), F.col("timestamp"), seed))
 
 

@@ -51,3 +51,34 @@ def test_kafka_wire_roundtrip(spark):
         F.from_json(F.col("value"), TXN_SCHEMA).alias("txn")
     ).select("txn.*")
     assert sorted(df.collect()) == sorted(back.collect())
+
+
+def test_stream_transactions_rate_source_runs(spark, tmp_path):
+    """T2: the rate-source generator must actually start — the rate source
+    rejects fractional rowsPerSecond, so the default 0.5 rows/s runs at
+    1 row/s with a modulo keep-filter (regression: NumberFormatException)."""
+    from real___time_fraud_detection_using_apache_kafka_spark.sources.generator import stream_transactions
+
+    for rate in (0.5, 5):
+        stream = stream_transactions(spark, rows_per_second=rate)
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(f"rate_txn_{str(rate).replace('.', '_')}")
+            .option("checkpointLocation", str(tmp_path / f"ckpt{rate}"))
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        try:
+            import time as _t
+
+            deadline = _t.time() + 15
+            n = 0
+            while _t.time() < deadline and n == 0:
+                _t.sleep(0.5)
+                n = spark.sql(
+                    f"SELECT count(*) FROM rate_txn_{str(rate).replace('.', '_')}"
+                ).first()[0]
+            assert n > 0, f"rate={rate} produced no rows"
+        finally:
+            q.stop()
