@@ -23,6 +23,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_regional_revenue",
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
     "fraud_patterns",
     "classification_metrics",
     "roc_auc",

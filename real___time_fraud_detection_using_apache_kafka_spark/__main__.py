@@ -125,6 +125,33 @@ def cmd_stream(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_evaluate(args: argparse.Namespace) -> int:
+    """FD/evaluation.py analog: metric battery + fraud patterns over the
+    scored stream's append sink — a columnar scan of what the reference
+    re-derived by re-parsing its own text logs every 2 s."""
+    from pyspark.sql import functions as F
+
+    from .operators.aggregates import classification_metrics, confusion_cells
+
+    spark = _spark("evaluate")
+    scored = spark.read.parquet(args.scored_dir)
+    cells = confusion_cells(
+        scored,
+        F.col(args.label_col).cast("int"),
+        F.col("prediction").cast("int"),
+    )
+    metrics = classification_metrics(cells).first().asDict()
+    fraud = scored.filter(F.col("prediction") == 1)
+    patterns = fraud.agg(
+        F.count("*").alias("n_fraud"),
+        F.round(F.avg("amount"), 2).alias("avg_amount"),
+        F.mode("location").alias("top_location"),
+        F.mode("transaction_type").alias("top_type"),
+    ).first().asDict()
+    print(json.dumps({"metrics": metrics, "fraud_patterns": patterns}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(
         prog="real___time_fraud_detection_using_apache_kafka_spark",
@@ -159,6 +186,12 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--checkpoint", default=None)
     sp.add_argument("--model-dir", default=None)
     sp.set_defaults(fn=cmd_stream)
+
+    ep = sub.add_parser("evaluate", help="metric battery over scored output")
+    ep.add_argument("--scored-dir", required=True,
+                    help="parquet dir written by the scored append sink")
+    ep.add_argument("--label-col", default="is_fraud")
+    ep.set_defaults(fn=cmd_evaluate)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -752,3 +752,52 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT round(100.0 * cast(sum(CASE WHEN p_type LIKE 'PROMO%'
+                     THEN cast(l_extendedprice AS DECIMAL(18,2))
+                          * cast(1 - l_discount AS DECIMAL(18,2))
+                     ELSE cast(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                / cast(sum(cast(l_extendedprice AS DECIMAL(18,2))
+                          * cast(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE),
+                6) AS promo_pct,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 analog: promotion revenue share for one ship month.
+
+    Fact-dim join with the dimension (part) broadcast — the lineitem scan
+    keeps its partitioning, no shuffle at all; the month predicate prunes
+    row groups at the scan.  Both sums run in DECIMAL (exact,
+    order-independent); only the final ratio drops to double, rounded on
+    both engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    net = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    )
+    promo = F.when(F.col("p_type").like("PROMO%"), net).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0) * F.sum(promo).cast("double")
+                / F.sum(net).cast("double"),
+                6,
+            ).alias("promo_pct"),
+            F.count("*").alias("n_lines"),
+        )
+    )
