@@ -173,7 +173,7 @@ def main(argv: list[str] | None = None) -> int:
     tp.add_argument("--seed", type=int, default=42)
     tp.add_argument("--csv", default=None, help="training CSV (else synthetic)")
     tp.add_argument("--classifier", default="gbt",
-                    choices=["logreg", "rf", "gbt"])
+                    choices=["lr", "rf", "gbt"])
     tp.add_argument("--model-dir", default=None)
     tp.add_argument("--metrics-out", default=None)
     tp.add_argument("--top-k", type=int, default=10)

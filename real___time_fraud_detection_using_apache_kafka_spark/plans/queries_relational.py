@@ -801,3 +801,35 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+@register(
+    "unpivot_order_stats",
+    oracle="""
+    WITH wide AS (
+        SELECT o_orderstatus AS status,
+               cast(count(*) AS DOUBLE)                     AS n_orders,
+               round(sum(o_totalprice), 2)                  AS total_price,
+               round(avg(o_totalprice), 4)                  AS avg_price
+        FROM orders GROUP BY o_orderstatus
+    )
+    SELECT status, metric, value
+    FROM wide UNPIVOT (value FOR metric IN (n_orders, total_price, avg_price))
+    """,
+)
+def unpivot_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (§2.5 extension complement, inverse of pivot): wide
+    per-status aggregates reshaped to (status, metric, value) long form —
+    one agg shuffle, then a narrow generate (no extra shuffle)."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").cast("double").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+    return wide.unpivot(
+        ids=["status"],
+        values=["n_orders", "total_price", "avg_price"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

@@ -478,3 +478,46 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_per_group(
         scored, ["doc_id"], [F.desc("tfidf"), F.asc("term")], 5, rank_col="rank"
     ).select("doc_id", "term", "tf", "tfidf", "rank")
+
+
+SUM_SQL = (
+    "list_reduce(list_prepend(cast(0.0 AS DOUBLE), "
+    "list_transform({a}, x -> cast(x AS DOUBLE))), (s, x) -> s + x)"
+)
+
+
+@register(
+    "embedding_array_stats",
+    oracle=f"""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           round(sqrt({DOT_SQL.format(a='embedding', b='embedding')}), 6)
+               AS l2_norm,
+           round({SUM_SQL.format(a='embedding')}
+                 / cast(len(embedding) AS DOUBLE), 6) AS mean_val,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos
+    FROM embeddings
+    """,
+)
+def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (extension): per-vector stats computed
+    entirely with JVM-side lambda expressions (transform / filter /
+    aggregate) — zero Python, zero explode, zero shuffle; a narrow map
+    over the scan.  The DuckDB oracle folds in the same element order, so
+    doubles match bit-for-bit before the defensive round."""
+    from ..operators.similarity import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    total = F.aggregate(
+        F.transform(v, lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    return emb.select(
+        "vec_id",
+        F.size(v).alias("dim"),
+        F.round(F.sqrt(dot(v, v)), 6).alias("l2_norm"),
+        F.round(total / F.size(v).cast("double"), 6).alias("mean_val"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+    )

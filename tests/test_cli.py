@@ -1,0 +1,72 @@
+"""CLI run-book smoke (package __main__): the four reference processes —
+produce, train, stream/sink, evaluate — drive end-to-end through the
+argparse surface, not just the library functions."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from real___time_fraud_detection_using_apache_kafka_spark.__main__ import main
+from real___time_fraud_detection_using_apache_kafka_spark.schemas import TXN_SCHEMA
+from real___time_fraud_detection_using_apache_kafka_spark.sources.generator import (
+    batch_transactions,
+)
+from real___time_fraud_detection_using_apache_kafka_spark.streaming.pipeline import (
+    score_stream,
+    scored_append_sink,
+)
+
+
+def test_cli_produce_writes_wire_json(spark, tmp_path, capsys):
+    out = str(tmp_path / "txns")
+    assert main(["produce", "--n", "50", "--out", out]) == 0
+    back = (
+        spark.read.schema("v string").text(out)
+        .select(F.from_json("v", TXN_SCHEMA).alias("t"))
+        .select("t.*")
+    )
+    assert back.count() == 50
+    assert back.filter(F.col("transaction_id").isNull()).count() == 0
+
+
+def test_cli_train_prints_metric_battery(tmp_path, capsys):
+    metrics_path = str(tmp_path / "m.json")
+    assert main([
+        "train", "--n", "800", "--classifier", "lr",
+        "--metrics-out", metrics_path,
+    ]) == 0
+    captured = capsys.readouterr().out
+    battery = json.loads(captured.splitlines()[0])
+    for k in ("accuracy", "precision", "recall", "f1", "mcc"):
+        assert k in battery, k
+    with open(metrics_path) as fh:
+        assert json.load(fh)["accuracy"] == battery["accuracy"]
+
+
+def test_stream_sink_then_evaluate(spark, tmp_path, capsys):
+    """Integration: scored stream -> parquet append sink -> evaluate CLI
+    computes the metric battery over the sink (the reference's
+    log-then-reparse loop, structured)."""
+    src = str(tmp_path / "src")
+    batch_transactions(spark, 300).select(
+        F.to_json(F.struct("*")).alias("v")
+    ).write.text(src)
+    stream = (
+        spark.readStream.schema("v string").text(src)
+        .select(F.from_json("v", TXN_SCHEMA).alias("t"))
+        .select("t.*")
+    )
+    sink = str(tmp_path / "scored")
+    q = scored_append_sink(
+        score_stream(stream), sink, str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert main(["evaluate", "--scored-dir", sink]) == 0
+    out = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert out["metrics"]["tp"] + out["metrics"]["fn"] == 150  # planted fraud
+    assert out["fraud_patterns"]["n_fraud"] >= 1
