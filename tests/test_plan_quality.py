@@ -105,3 +105,21 @@ def test_q6_selects_rows(spark):
     """The predicate ranges must actually intersect the testdata."""
     row = plans.queries()["q6_forecast_revenue"](spark, SF).first()
     assert row["n_lines"] > 0
+
+
+def test_headline_queries_run_inside_codegen(spark):
+    """The hot path must stay JVM-side: after execution, the final AQE
+    plan shows whole-stage-codegen spans (the `*(n)` markers) — no
+    interpreted row-at-a-time operators in scan->agg pipelines."""
+    import contextlib
+    import io
+
+    for name in ("q1_pricing_summary", "q6_forecast_revenue", "fraud_patterns"):
+        df = plans.queries()[name](spark, SF)
+        df.collect()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("simple")
+        plan = buf.getvalue()
+        assert "isFinalPlan=true" in plan, name
+        assert plan.count("*(") >= 2, f"{name}: no codegen spans\n{plan}"
