@@ -41,6 +41,7 @@ HEADLINE = [
     "embedding_cosine_neardup",
     "tfidf_top_terms",
     "doc_quality",
+    "curate_documents",
 ]
 
 

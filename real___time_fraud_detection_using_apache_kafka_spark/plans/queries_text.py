@@ -521,3 +521,67 @@ def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(total / F.size(v).cast("double"), 6).alias("mean_val"),
         F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
     )
+
+
+@register(
+    "curate_documents",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id, text, lang, n_chars,
+               CASE WHEN trim(text) = '' THEN 0 ELSE len({TOKS}) END AS q_tokens,
+               round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                     / cast(greatest(length(text), 1) AS DOUBLE), 6) AS q_punct_ratio,
+               round(len(list_distinct({TOKS}))
+                     / cast(greatest(CASE WHEN trim(text) = '' THEN 0 ELSE len({TOKS}) END, 1) AS DOUBLE), 6)
+                     AS q_distinct_ratio
+        FROM documents
+    ), good AS (
+        SELECT doc_id, text, lang, n_chars,
+               round(1.0 - least(q_punct_ratio * 5, 0.5)
+                     - CASE WHEN q_tokens < 10 THEN 0.3 ELSE 0.0 END
+                     - CASE WHEN q_distinct_ratio < 0.2 THEN 0.2 ELSE 0.0 END, 6)
+                     AS quality_score
+        FROM feats
+    ), kept0 AS (
+        SELECT * FROM good WHERE quality_score >= 0.5
+    ), sh AS (
+        SELECT doc_id, lang, {NGRAM_SQL} AS sh,
+               cast(floor(n_chars / 200) AS BIGINT) AS band
+        FROM kept0
+    ), dropped AS (
+        SELECT DISTINCT b.doc_id
+        FROM sh a JOIN sh b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id
+         AND b.band BETWEEN a.band - 1 AND a.band + 1
+        WHERE len(list_intersect(a.sh, b.sh))
+              / cast(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+                     AS DOUBLE) >= 0.5
+    )
+    SELECT k.doc_id, k.lang, k.n_chars, k.quality_score
+    FROM kept0 k LEFT JOIN dropped d ON k.doc_id = d.doc_id
+    WHERE d.doc_id IS NULL
+    """,
+)
+def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data curation pipeline (flagship extension): quality gate
+    -> near-dup drop, in one plan — the pass a 100 TB corpus runs before
+    training.
+
+    Stage order IS the scale design: the quality gate is a narrow
+    codegen'd filter, so it prunes the corpus BEFORE the expensive
+    near-dup self-join (shingling + prefix-filter candidates run only on
+    survivors).  Near-dups resolve greedily to the lowest doc_id: any doc
+    with a smaller-id neighbor at jaccard >= 0.5 drops — deterministic,
+    transitive-free, and embarrassingly parallel (no iterative connected
+    components on the hot path; see SCALE.md).
+    """
+    from ..operators import dedup as D
+    from ..operators import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    good = TX.quality_score(docs).filter(F.col("keep") == 1)
+    pairs = D.ngram_jaccard_pairs(good, n=3, threshold=0.5, band_width=200)
+    dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return good.join(dropped, "doc_id", "left_anti").select(
+        "doc_id", "lang", "n_chars", "quality_score"
+    )
