@@ -84,3 +84,51 @@ def test_confusion_cells_sum_to_total(spark, trained):
     scored = score(model, test_df.drop("class_weight"))
     c = confusion_cells(scored, F.col("is_fraud"), F.col("prediction")).collect()[0]
     assert c["tp"] + c["fp"] + c["fn"] + c["tn"] == scored.count()
+
+
+def test_metric_battery_agrees_with_mllib_evaluators(spark, trained):
+    """SURVEY §5.5: the expression-based metric battery and MLlib's
+    evaluators must compute the same numbers on the same predictions —
+    the two implementations cross-check each other."""
+    from pyspark.ml.evaluation import (
+        BinaryClassificationEvaluator,
+        MulticlassClassificationEvaluator,
+    )
+
+    from real___time_fraud_detection_using_apache_kafka_spark.operators.aggregates import (
+        classification_metrics,
+    )
+
+    model, _train_df, test_df = trained
+    scored = score(model, test_df)
+
+    ours = classification_metrics(
+        confusion_cells(
+            scored, F.col("is_fraud"), F.col("prediction").cast("int")
+        )
+    ).first()
+    acc_eval = MulticlassClassificationEvaluator(
+        labelCol="is_fraud", predictionCol="prediction", metricName="accuracy"
+    ).evaluate(scored)
+    f1_eval = MulticlassClassificationEvaluator(
+        labelCol="is_fraud", predictionCol="prediction", metricName="f1"
+    ).evaluate(scored)
+    assert abs(ours["accuracy"] - acc_eval) < 1e-5
+    # our f1 is the positive-class f1; MLlib's default is weighted — they
+    # only coincide when classes are balanced, so compare positive-class
+    # f1 via (beta=1, label=1) metric instead
+    f1_pos = MulticlassClassificationEvaluator(
+        labelCol="is_fraud", predictionCol="prediction",
+        metricName="fMeasureByLabel", metricLabel=1.0,
+    ).evaluate(scored)
+    assert abs(ours["f1"] - f1_pos) < 1e-5
+    assert f1_eval > 0  # weighted f1 computes without error
+
+    auc_eval = BinaryClassificationEvaluator(
+        labelCol="is_fraud", rawPredictionCol="probability",
+        metricName="areaUnderROC",
+    ).evaluate(scored)
+    ours_auc = roc_auc(
+        scored, F.col("is_fraud"), F.col("probability_fraud")
+    ).first()["roc_auc"]
+    assert abs(ours_auc - auc_eval) < 1e-3
