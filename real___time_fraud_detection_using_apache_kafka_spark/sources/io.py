@@ -90,3 +90,37 @@ def foreach_batch_jdbc(url: str, table: str, num_partitions: int = 8,
         ).mode("append").save()
 
     return sink
+
+
+def write_partitioned_parquet(df: DataFrame, path: str,
+                              partition_cols: list[str],
+                              sort_cols: list[str] | None = None) -> None:
+    """Hive-style partitioned parquet layout — the storage shape that
+    makes partition PRUNING (not just row-group skipping) possible: a
+    filter on a partition column eliminates whole directories before any
+    file is opened.
+
+    ``sort_cols`` sorts within each output file so range predicates on
+    those columns skip row groups via min/max stats — the cheap stand-in
+    for clustered storage.  At 100 TB this is how the events table should
+    land: partitioned by day, sorted by (user_id, ts)."""
+    out = df
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    out.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed_table(df: DataFrame, table: str, bucket_col: str,
+                         n_buckets: int = 8,
+                         sort_col: str | None = None) -> None:
+    """Bucketed managed table: pre-shuffles rows into ``n_buckets`` by
+    hash(bucket_col) at WRITE time, so every later equi-join or groupBy
+    on that column skips its shuffle entirely (Catalyst sees the
+    bucketing as a satisfied distribution requirement).
+
+    This is the co-located-join strategy for repeatedly-joined 100 TB
+    fact tables: pay the shuffle once at ingest, never per query."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
