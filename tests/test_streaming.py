@@ -273,3 +273,53 @@ def test_session_window_counts(spark, tmpdir):
                 "n_txn", "amount_sum", "n_fraud"} == set(df.columns)
     finally:
         q.stop()
+
+
+def test_running_counts_recover_from_checkpoint(spark, tmpdir):
+    """T1: checkpointed state must survive a query restart — after stop,
+    new data, and relaunch from the same checkpoint, the counters
+    CONTINUE from prior state instead of restarting from zero (the
+    at-least-once offset + state-store recovery contract the reference
+    delegated to Kafka group offsets and in-process globals)."""
+    src_dir = f"{tmpdir}/src"
+    ckpt = f"{tmpdir}/ckpt"
+    snap = f"{tmpdir}/snap"
+
+    def launch():
+        stream = (
+            spark.readStream.schema("v string").text(src_dir)
+            .select(F.from_json(F.col("v"), TXN_SCHEMA).alias("txn"))
+            .select("txn.*")
+        )
+        counts = running_counts(score_stream(stream))
+        return (
+            counts.writeStream.outputMode("complete")
+            .foreachBatch(
+                lambda df, _id: df.write.mode("overwrite").parquet(snap)
+            )
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    def total():
+        return (
+            spark.read.parquet(snap).agg(F.sum("n").alias("t")).first()["t"]
+        )
+
+    _write_json_batch(spark, batch_transactions(spark, 200), src_dir)
+    q = launch()
+    try:
+        q.processAllAvailable()
+        assert total() == 200
+    finally:
+        q.stop()
+
+    # new data arrives while the query is DOWN; restart must fold it into
+    # recovered state, not recount from scratch or lose the old total
+    _write_json_batch(spark, batch_transactions(spark, 80, seed=5), src_dir)
+    q2 = launch()
+    try:
+        q2.processAllAvailable()
+        assert total() == 280
+    finally:
+        q2.stop()
