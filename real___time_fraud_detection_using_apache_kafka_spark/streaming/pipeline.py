@@ -118,6 +118,22 @@ def running_counts(scored: DataFrame) -> DataFrame:
     return scored.groupBy(F.col("prediction")).agg(F.count("*").alias("n"))
 
 
+def running_confusion(scored: DataFrame,
+                      label_col: str = "is_fraud") -> DataFrame:
+    """Incremental 2x2 confusion state: groupBy(actual, predicted) over
+    the scored stream — four state rows, O(delta) per micro-batch.  The
+    ENTIRE dashboard metric battery (accuracy/precision/recall/F1/MCC/
+    specificity/FPR/FNR) derives from these four counts with plain column
+    arithmetic at read time, so the reference's O(stream-length)
+    log-reparse per 2 s tick becomes a constant-time lookup."""
+    return (
+        scored.groupBy(
+            F.col(label_col).cast("int").alias("actual"),
+            F.col("prediction").cast("int").alias("predicted"),
+        ).agg(F.count("*").alias("n"))
+    )
+
+
 def windowed_counts(scored: DataFrame, ts_col: str = "time",
                     window: str = "1 minute",
                     watermark: str = "2 minutes") -> DataFrame:

@@ -323,3 +323,63 @@ def test_running_counts_recover_from_checkpoint(spark, tmpdir):
         assert total() == 280
     finally:
         q2.stop()
+
+
+def test_running_confusion_feeds_metric_battery(spark, tmpdir):
+    """The streaming 2x2 confusion state must reconcile with the batch
+    confusion cells, and the derived metric battery must compute from the
+    memory sink without touching raw data."""
+    from real___time_fraud_detection_using_apache_kafka_spark.operators.aggregates import (
+        classification_metrics,
+    )
+    from real___time_fraud_detection_using_apache_kafka_spark.streaming.pipeline import (
+        running_confusion,
+    )
+
+    src_dir = f"{tmpdir}/src"
+    ckpt = f"{tmpdir}/ckpt"
+    batch = batch_transactions(spark, 250)
+    _write_json_batch(spark, batch, src_dir)
+    stream = (
+        spark.readStream.schema("v string").text(src_dir)
+        .select(F.from_json(F.col("v"), TXN_SCHEMA).alias("txn"))
+        .select("txn.*")
+    )
+    q = (
+        running_confusion(score_stream(stream))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("conf_t")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        state = spark.sql("SELECT * FROM conf_t")
+        assert state.count() <= 4
+        assert state.agg(F.sum("n")).first()[0] == 250
+        # derive the battery from the four state rows only
+        cells = state.agg(
+            F.sum(F.when((F.col("actual") == 1) & (F.col("predicted") == 1),
+                         F.col("n")).otherwise(0)).alias("tp"),
+            F.sum(F.when((F.col("actual") == 0) & (F.col("predicted") == 1),
+                         F.col("n")).otherwise(0)).alias("fp"),
+            F.sum(F.when((F.col("actual") == 1) & (F.col("predicted") == 0),
+                         F.col("n")).otherwise(0)).alias("fn"),
+            F.sum(F.when((F.col("actual") == 0) & (F.col("predicted") == 0),
+                         F.col("n")).otherwise(0)).alias("tn"),
+        )
+        m = classification_metrics(cells).first()
+        # batch ground truth on the same records
+        from real___time_fraud_detection_using_apache_kafka_spark.operators.aggregates import (
+            confusion_cells,
+        )
+
+        batch_m = classification_metrics(
+            confusion_cells(
+                score_stream(batch), F.col("is_fraud"), F.col("prediction")
+            )
+        ).first()
+        assert m.asDict() == batch_m.asDict()
+    finally:
+        q.stop()
