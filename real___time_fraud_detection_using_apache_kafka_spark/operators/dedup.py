@@ -235,3 +235,62 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
         )
         fp = bit if fp is None else fp + bit
     return agg.select("doc_id", fp.alias("simhash"))
+
+
+def connected_components(pairs: DataFrame, src: str = "doc_a",
+                         dst: str = "doc_b", max_iter: int = 20) -> DataFrame:
+    """Cluster near-dup pairs into components: every node gets its
+    component's minimum id as ``cluster_id`` (min-label propagation to
+    fixpoint).
+
+    Each iteration is one equi-join + min-aggregate (both shuffles on
+    node id); propagation converges in O(component diameter) rounds —
+    near-dup components are shallow (a dup of a dup of a dup is rare), so
+    this converges in 2-3 rounds in practice, with ``max_iter`` as the
+    safety bound and an early exit the moment no label changes.  At
+    100 TB the same loop holds because state is one (node, label) row per
+    member of a pair — the corpus's non-duplicated majority never enters
+    the iteration.
+    """
+    edges = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    edges = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(max_iter):
+        neigh_min = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+            .groupBy("node")
+            .agg(F.min("label").alias("neigh_label"))
+        )
+        updated = (
+            labels.join(neigh_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("neigh_label"), F.col("label")),
+                ).alias("label"),
+                (F.col("neigh_label") < F.col("label")).alias("chg"),
+            )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        n_changed = updated.filter(F.col("chg")).count()
+        old = labels
+        labels = updated.select("node", "label")
+        old.unpersist()
+        if n_changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

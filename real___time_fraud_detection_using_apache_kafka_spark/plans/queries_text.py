@@ -585,3 +585,46 @@ def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return good.join(dropped, "doc_id", "left_anti").select(
         "doc_id", "lang", "n_chars", "quality_score"
     )
+
+
+@register(
+    "neardup_clusters",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id, lang, n_chars, {NGRAM_SQL} AS sh,
+               cast(floor(n_chars / 200) AS BIGINT) AS band
+        FROM documents
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id
+         AND b.band BETWEEN a.band - 1 AND a.band + 1
+        WHERE len(list_intersect(a.sh, b.sh))
+              / cast(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+                     AS DOUBLE) >= 0.5
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ), reach AS (
+        SELECT src AS node, src AS r FROM edges
+        UNION
+        SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node
+    )
+    SELECT node AS doc_id, min(r) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering (extension): connected components over the
+    jaccard>=0.5 pair graph — each doc in a duplicate group labeled with
+    the group's min doc_id.  Spark side is iterative min-label
+    propagation (O(component-diameter) join+agg rounds, early exit);
+    the oracle computes the same closure with a recursive CTE.  This is
+    the group-aware upgrade of curate_documents' greedy drop: keep one
+    representative PER COMPONENT."""
+    from ..operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.5, band_width=200)
+    return D.connected_components(pairs.select("doc_a", "doc_b"))

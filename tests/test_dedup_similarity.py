@@ -141,3 +141,21 @@ def test_ivf_partial_probe_recall(spark):
     got = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
     recall = len(truth & got) / len(truth)
     assert recall >= 0.7, f"recall@5 = {recall:.2f}"
+
+
+def test_connected_components_multihop_chain(spark):
+    """Min-label propagation must traverse chains (a-b, b-c, c-d => one
+    component labeled a), not just direct pairs — plus an independent
+    pair keeps its own label."""
+    from real___time_fraud_detection_using_apache_kafka_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["doc_a", "doc_b"]
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
