@@ -628,3 +628,30 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.5, band_width=200)
     return D.connected_components(pairs.select("doc_a", "doc_b"))
+
+
+@register(
+    "sample_documents_stratified",
+    oracle=f"""
+    SELECT doc_id, lang,
+           {poly_hash_duckdb("cast(doc_id AS VARCHAR)")} % 100 AS bucket
+    FROM documents
+    WHERE {poly_hash_duckdb("cast(doc_id AS VARCHAR)")} % 100
+          < CASE WHEN lang = 'en' THEN 50 ELSE 10 END
+    """,
+)
+def sample_documents_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (extension): per-stratum keep
+    rates (50% of 'en', 10% of everything else) gated by the portable
+    hash of the id — NOT ``rand()``, so the sample is reproducible across
+    engines, runs, and partitionings (the property a training-data split
+    needs: re-running the pipeline yields the same corpus).  Narrow
+    filter, no shuffle; at 100 TB the gate evaluates inside the scan."""
+    from ..functions.hashing import poly_hash_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(poly_hash_expr("cast(doc_id as string)"), F.lit(100))
+    rate = F.when(F.col("lang") == "en", F.lit(50)).otherwise(F.lit(10))
+    return docs.filter(bucket < rate).select(
+        "doc_id", "lang", bucket.alias("bucket")
+    )
