@@ -25,6 +25,9 @@ HEADLINE = [
     "q5_regional_revenue",
     "q6_forecast_revenue",
     "q14_promo_revenue",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q18_large_volume_customers",
     "fraud_patterns",
     "classification_metrics",
     "roc_auc",
