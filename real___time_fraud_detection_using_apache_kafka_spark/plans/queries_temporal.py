@@ -181,3 +181,63 @@ def rolling_user_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_trailing").alias("n_1h"),
         F.col("sum_trailing").alias("sum_1h"),
     )
+
+
+@register(
+    "purchase_funnel",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view'     THEN ts END) AS first_view,
+               min(CASE WHEN event_type = 'click'    THEN ts END) AS first_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT sum(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS n_viewed,
+           sum(CASE WHEN first_click > first_view THEN 1 ELSE 0 END) AS n_clicked,
+           sum(CASE WHEN first_click > first_view AND first_purchase > first_click
+                    THEN 1 ELSE 0 END) AS n_purchased,
+           round(sum(CASE WHEN first_click > first_view THEN 1 ELSE 0 END)
+                 / cast(greatest(sum(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END), 1)
+                        AS DOUBLE), 6) AS view_to_click,
+           round(sum(CASE WHEN first_click > first_view AND first_purchase > first_click
+                          THEN 1 ELSE 0 END)
+                 / cast(greatest(sum(CASE WHEN first_click > first_view THEN 1 ELSE 0 END), 1)
+                        AS DOUBLE), 6) AS click_to_purchase
+    FROM per_user
+    """,
+)
+def purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence funnel (extension): users who viewed, then clicked
+    after first viewing, then purchased after that click — the ordered
+    conversion analysis the reference's dashboard patterns gesture at.
+
+    Per-user firsts are conditional MINs (one shuffle on user_id, fully
+    map-side partial); the funnel reduction is a single global aggregate
+    over one row per user.  No window functions, no self-joins — at
+    100 TB this is two pipelined hash aggregations.
+    """
+    e = load_table(spark, sf_dir, "events")
+    first_of = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    per_user = e.groupBy("user_id").agg(
+        first_of("view").alias("first_view"),
+        first_of("click").alias("first_click"),
+        first_of("purchase").alias("first_purchase"),
+    )
+    clicked = (F.col("first_click") > F.col("first_view")).cast("int")
+    purchased = (
+        (F.col("first_click") > F.col("first_view"))
+        & (F.col("first_purchase") > F.col("first_click"))
+    ).cast("int")
+    viewed = F.col("first_view").isNotNull().cast("int")
+    return per_user.agg(
+        F.sum(viewed).alias("n_viewed"),
+        F.sum(clicked).alias("n_clicked"),
+        F.sum(purchased).alias("n_purchased"),
+        F.round(
+            F.sum(clicked) / F.greatest(F.sum(viewed), F.lit(1)).cast("double"), 6
+        ).alias("view_to_click"),
+        F.round(
+            F.sum(purchased) / F.greatest(F.sum(clicked), F.lit(1)).cast("double"), 6
+        ).alias("click_to_purchase"),
+    )

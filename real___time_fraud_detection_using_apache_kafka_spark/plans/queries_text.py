@@ -655,3 +655,142 @@ def sample_documents_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(bucket < rate).select(
         "doc_id", "lang", bucket.alias("bucket")
     )
+
+
+@register(
+    "doc_repetition",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({TOKS}) AS tok FROM documents
+    ), per_tok AS (
+        SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           sum(cnt)  AS n_tokens,
+           count(*)  AS n_distinct,
+           round(1.0 - count(*) / cast(sum(cnt) AS DOUBLE), 6) AS repetition_ratio,
+           round(max(cnt) / cast(sum(cnt) AS DOUBLE), 6)       AS top_token_share
+    FROM per_tok GROUP BY doc_id
+    """,
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition stats (training-data extension): token
+    repetition ratio and the hottest token's share — the signals a corpus
+    filter uses to drop boilerplate/spam docs (cf. Gopher/C4 repetition
+    rules, public).
+
+    explode -> (doc, token) count -> per-doc rollup: both aggregations
+    partial map-side; the shuffle key (doc_id, tok) is high-cardinality
+    and skew-free, so this scales linearly with corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    )
+    per_tok = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
+    total = F.sum("cnt")
+    return per_tok.groupBy("doc_id").agg(
+        total.alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.round(
+            F.lit(1.0) - F.count("*") / total.cast("double"), 6
+        ).alias("repetition_ratio"),
+        F.round(F.max("cnt") / total.cast("double"), 6).alias("top_token_share"),
+    )
+
+
+@register(
+    "corpus_top_tokens",
+    oracle=f"""
+    SELECT tok, count(*) AS cnt
+    FROM (SELECT unnest({TOKS}) AS tok FROM documents) t
+    GROUP BY tok
+    ORDER BY cnt DESC, tok ASC
+    LIMIT 20
+    """,
+)
+def corpus_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token frequency top-20 (Zipf head) — the vocabulary
+    census a tokenizer-training pass runs first.
+
+    One explode + one count shuffle; the final top-20 is
+    TakeOrderedAndProject over the aggregated (vocab-sized, not
+    corpus-sized) result.  Ties break on the token itself so the cut is
+    deterministic across engines and partitionings.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(20)
+    )
+
+
+@register(
+    "embedding_gated_curation",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id, lang,
+               CASE WHEN trim(text) = '' THEN 0 ELSE len({TOKS}) END AS q_tokens,
+               round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                     / cast(greatest(length(text), 1) AS DOUBLE), 6) AS q_punct_ratio,
+               round(len(list_distinct({TOKS}))
+                     / cast(greatest(CASE WHEN trim(text) = '' THEN 0 ELSE len({TOKS}) END, 1) AS DOUBLE), 6)
+                     AS q_distinct_ratio
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, lang,
+               round(1.0 - least(q_punct_ratio * 5, 0.5)
+                     - CASE WHEN q_tokens < 10 THEN 0.3 ELSE 0.0 END
+                     - CASE WHEN q_distinct_ratio < 0.2 THEN 0.2 ELSE 0.0 END, 6)
+                     AS quality_score
+        FROM feats
+    ), norms AS (
+        SELECT vec_id,
+               round(sqrt({DOT_SQL.format(a='embedding', b='embedding')}), 6) AS l2_norm,
+               round(list_max(list_transform(embedding, x -> abs(cast(x AS DOUBLE)))), 6)
+                   AS max_abs
+        FROM embeddings
+    )
+    SELECT s.doc_id, s.lang, s.quality_score, n.l2_norm, n.max_abs
+    FROM scored s JOIN norms n ON n.vec_id = s.doc_id
+    WHERE s.quality_score >= 0.5 AND n.max_abs <= 0.35
+    """,
+)
+def embedding_gated_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal curation (training-data extension): keep documents that
+    pass BOTH the text quality gate and an embedding-concentration gate —
+    the join a multimodal corpus runs to drop rows whose embedding is
+    degenerate (the testdata vectors are unit-norm, so the usable sanity
+    signal is concentration: a near-one-hot vector has one dominant
+    component; max|x| <= 0.35 keeps the well-spread ~60%).  The l2 norm
+    rides along as an output column (max is order-independent, so the
+    gate is bit-exact across engines — no accumulation involved).
+
+    Both gates are narrow column/array expressions evaluated BEFORE the
+    equi-join, so the shuffle carries only survivors; at 100 TB the join
+    key (doc_id = vec_id) is unique per side — no skew, and bucketing
+    both tables on the id would eliminate the shuffle entirely (see
+    sources/io.py bucketed writers).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    good = (
+        TX.quality_score(docs)
+        .filter(F.col("keep") == 1)
+        .select("doc_id", "lang", "quality_score")
+    )
+    v = F.col("embedding")
+    norms = emb.select(
+        "vec_id",
+        F.round(F.sqrt(SIM.dot(v, v)), 6).alias("l2_norm"),
+        F.round(
+            F.array_max(F.transform(v, lambda x: F.abs(x.cast("double")))), 6
+        ).alias("max_abs"),
+    ).filter(F.col("max_abs") <= 0.35)
+    return good.join(norms, good.doc_id == norms.vec_id).select(
+        "doc_id", "lang", "quality_score", "l2_norm", "max_abs"
+    )
