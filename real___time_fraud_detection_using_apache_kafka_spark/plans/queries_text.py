@@ -794,3 +794,72 @@ def embedding_gated_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return good.join(norms, good.doc_id == norms.vec_id).select(
         "doc_id", "lang", "quality_score", "l2_norm", "max_abs"
     )
+
+
+@register(
+    "benchmark_contamination",
+    oracle=f"""
+    WITH bench AS (
+        SELECT DISTINCT unnest({NGRAM_SQL}) AS g
+        FROM documents WHERE source = 'src0'
+    ), cand AS (
+        SELECT doc_id, {NGRAM_SQL} AS grams
+        FROM documents WHERE source <> 'src0'
+    ), cg AS (
+        SELECT doc_id, unnest(grams) AS g FROM cand
+    ), hits AS (
+        SELECT cg.doc_id, count(*) AS n_overlap
+        FROM cg JOIN bench ON cg.g = bench.g
+        GROUP BY cg.doc_id
+    )
+    SELECT c.doc_id, len(c.grams) AS n_grams,
+           coalesce(h.n_overlap, 0) AS n_overlap,
+           round(coalesce(h.n_overlap, 0) / cast(len(c.grams) AS DOUBLE), 6)
+               AS overlap_frac,
+           CASE WHEN coalesce(h.n_overlap, 0) / cast(len(c.grams) AS DOUBLE) >= 0.1
+                THEN 1 ELSE 0 END AS contaminated
+    FROM cand c LEFT JOIN hits h ON h.doc_id = c.doc_id
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination scan (training-data extension): per
+    candidate document, the fraction of its distinct word-3-grams that
+    also appear in a held-out benchmark set (source 'src0' stands in for
+    the eval suite) — the overlap check run before training to avoid
+    eval leakage (public practice: GPT-3/PaLM n-gram decontamination).
+
+    Scale design: the benchmark side collapses to DISTINCT n-grams once
+    (eval suites are tiny vs the corpus, so this side broadcasts); the
+    corpus side explodes to (doc_id, gram) and probes the broadcast —
+    a map-side semi-join, no shuffle of the corpus n-grams.  The per-doc
+    hit count then aggregates on doc_id, and a left join restores
+    zero-overlap docs.  At 100 TB the only wide ops are keyed on doc_id.
+    """
+    from ..operators.text import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench_grams = (
+        docs.filter(F.col("source") == "src0")
+        .select(F.explode(word_ngrams(F.col("text"), 3)).alias("g"))
+        .distinct()
+    )
+    cand = docs.filter(F.col("source") != "src0").select(
+        "doc_id", word_ngrams(F.col("text"), 3).alias("grams")
+    )
+    cg = cand.select("doc_id", F.explode("grams").alias("g"))
+    hits = (
+        cg.join(F.broadcast(bench_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    frac = F.coalesce(F.col("n_overlap"), F.lit(0)) / F.size("grams").cast("double")
+    return (
+        cand.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("grams").alias("n_grams"),
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            F.round(frac, 6).alias("overlap_frac"),
+            F.when(frac >= 0.1, 1).otherwise(0).alias("contaminated"),
+        )
+    )

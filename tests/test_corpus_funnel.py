@@ -54,3 +54,14 @@ def test_purchase_funnel_monotone(spark, sf_dir):
         e.filter(F.col("event_type") == "view").select("user_id").distinct().count()
     )
     assert r.n_viewed == n_viewers
+
+
+def test_contamination_flags_benchmark_overlap(spark, sf_dir):
+    df = Q["benchmark_contamination"].fn(spark, sf_dir)
+    rows = df.collect()
+    docs = load_table(spark, sf_dir, "documents")
+    assert len(rows) == docs.filter(F.col("source") != "src0").count()
+    for r in rows:
+        assert 0 <= r.n_overlap <= r.n_grams
+        assert 0.0 <= r.overlap_frac <= 1.0
+        assert r.contaminated == (1 if r.overlap_frac >= 0.1 else 0)
