@@ -45,6 +45,11 @@ HEADLINE = [
     "tfidf_top_terms",
     "doc_quality",
     "curate_documents",
+    "doc_repetition",
+    "corpus_top_tokens",
+    "benchmark_contamination",
+    "embedding_gated_curation",
+    "purchase_funnel",
 ]
 
 

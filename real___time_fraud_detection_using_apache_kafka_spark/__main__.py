@@ -152,6 +152,33 @@ def cmd_evaluate(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_query(args: argparse.Namespace) -> int:
+    """Interactive analytics surface: run a named catalog query or raw SQL
+    over the testdata views — the engine's answer to "every query a user
+    of the reference runs today", one command away."""
+    from . import plans
+    from .sources.tables import register_temp_views
+
+    spark = _spark("query")
+    if args.list:
+        for name, spec in sorted(plans.QUERIES.items()):
+            first = (spec.doc or "").strip().splitlines()
+            print(f"{name}\t{first[0] if first else ''}")
+        return 0
+    catalog = plans.queries()
+    if args.query in catalog:
+        df = catalog[args.query](spark, args.sf_dir)
+    else:
+        register_temp_views(spark, args.sf_dir)
+        df = spark.sql(args.query)
+    if args.explain:
+        df.explain("formatted")
+    rows = (df.limit(args.limit) if args.limit else df).collect()
+    for r in rows:
+        print(json.dumps(r.asDict(), default=str))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(
         prog="real___time_fraud_detection_using_apache_kafka_spark",
@@ -192,6 +219,19 @@ def main(argv: list[str] | None = None) -> int:
                     help="parquet dir written by the scored append sink")
     ep.add_argument("--label-col", default="is_fraud")
     ep.set_defaults(fn=cmd_evaluate)
+
+    qp = sub.add_parser("query", help="run a catalog query or raw SQL")
+    qp.add_argument("query", nargs="?", default="fraud_patterns",
+                    help="catalog query name, or a SQL string over the "
+                         "testdata views")
+    qp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    qp.add_argument("--limit", type=int, default=20,
+                    help="row cap for printing (0 = all)")
+    qp.add_argument("--explain", action="store_true",
+                    help="print the formatted physical plan first")
+    qp.add_argument("--list", action="store_true",
+                    help="list catalog query names and exit")
+    qp.set_defaults(fn=cmd_query)
 
     args = p.parse_args(argv)
     return args.fn(args)

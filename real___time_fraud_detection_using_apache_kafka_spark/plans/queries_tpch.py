@@ -39,8 +39,8 @@ from .registry import register
     JOIN customer c ON c.c_custkey  = o.o_custkey
     JOIN nation  sn ON sn.n_nationkey = s.s_nationkey
     JOIN nation  cn ON cn.n_nationkey = c.c_nationkey
-    WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
-        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+    WHERE ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_8')
+        OR (sn.n_name = 'NATION_8' AND cn.n_name = 'NATION_3'))
       AND l.l_shipdate >= TIMESTAMP '1996-01-01'
       AND l.l_shipdate <  TIMESTAMP '1998-01-01'
     GROUP BY supp_nation, cust_nation, ship_year
@@ -56,7 +56,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders is the lone shuffle join.
     """
     nat = load_table(spark, sf_dir, "nation").filter(
-        F.col("n_name").isin("NATION_1", "NATION_2")
+        F.col("n_name").isin("NATION_3", "NATION_8")
     )
     s = (
         load_table(spark, sf_dir, "supplier")
@@ -77,8 +77,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .filter(
-            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
-            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8"))
+            | ((F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3"))
         )
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
         .agg(

@@ -110,6 +110,24 @@ def write_partitioned_parquet(df: DataFrame, path: str,
     out.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
 
 
+def write_orc(df: DataFrame, path: str,
+              partition_cols: list[str] | None = None) -> None:
+    """ORC sink (source-format complement to parquet): same columnar,
+    predicate-pushdown-capable layout from Spark's second built-in
+    columnar format — kept at full parity so a warehouse standardized on
+    ORC can adopt the engine without a storage migration."""
+    w = df.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — filters and column pruning push down exactly as with
+    parquet (vectorized reader, min/max row-group skipping)."""
+    return spark.read.orc(path)
+
+
 def write_bucketed_table(df: DataFrame, table: str, bucket_col: str,
                          n_buckets: int = 8,
                          sort_col: str | None = None) -> None:

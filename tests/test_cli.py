@@ -70,3 +70,25 @@ def test_stream_sink_then_evaluate(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.splitlines()[-1])
     assert out["metrics"]["tp"] + out["metrics"]["fn"] == 150  # planted fraud
     assert out["fraud_patterns"]["n_fraud"] >= 1
+
+
+def test_cli_query_named_catalog_entry(capsys):
+    assert main([
+        "query", "q1_pricing_summary",
+        "--sf-dir", "/root/testdata/sf0.001", "--limit", "0",
+    ]) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    rows = [json.loads(l) for l in lines]
+    assert rows and {"l_returnflag", "l_linestatus", "sum_qty"} <= set(rows[0])
+
+
+def test_cli_query_raw_sql_and_list(capsys):
+    assert main([
+        "query", "SELECT count(*) AS n FROM orders",
+        "--sf-dir", "/root/testdata/sf0.001",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert json.loads(out.splitlines()[-1])["n"] > 0
+    assert main(["query", "--list"]) == 0
+    listed = capsys.readouterr().out
+    assert "fraud_patterns" in listed and "q18_large_volume_customers" in listed

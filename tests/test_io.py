@@ -92,3 +92,19 @@ def test_sink_factories_construct(spark):
     assert jdbc_batch_sink(df, "jdbc:postgresql://h/db", "t") is not None
     sink = foreach_batch_jdbc("jdbc:postgresql://h/db", "t")
     assert callable(sink) and sink.__code__.co_argcount == 2
+
+
+def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
+    from real___time_fraud_detection_using_apache_kafka_spark.sources.io import read_orc, write_orc
+    from real___time_fraud_detection_using_apache_kafka_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path)
+    back = read_orc(spark, path)
+    assert back.count() == orders.count()
+    assert set(back.columns) == set(orders.columns)
+    # predicate + projection reach the ORC scan
+    q = back.filter(back.o_orderstatus == "F").select("o_orderkey")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_orderstatus" in plan
