@@ -61,3 +61,38 @@ def test_fraudlog_datasource_reads_records(spark, log_dir):
     assert r["fields"]["new_transaction_processed"] == ""
     assert r["source_file"] == "consumer.log"
     assert rows["TXN777"]["actual_fraud_status"] is None
+
+
+@pytest.mark.skipif(not HAVE_DATASOURCE_API, reason="needs pyspark >= 4.0")
+def test_fraudlog_stream_tails_appends_and_skips_torn_record(spark, log_dir, tmp_path):
+    """Streaming read: each micro-batch consumes only appended bytes, and a
+    half-written record (no trailing delimiter yet) waits for completion."""
+    path = f"{log_dir}/consumer.log"
+    spark.dataSource.register(FraudLogDataSource)
+    q = (
+        spark.readStream.format("fraudlog").load(path)
+        .writeStream.format("memory").queryName("taillog")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql(
+            "SELECT count(*) FROM taillog"
+        ).first()[0] == 2  # both initial complete records
+
+        # torn append: record without its closing delimiter must NOT appear
+        with open(path, "a") as f:
+            f.write("Transaction ID: TXN999\nAmount: $5.00\nStatus: Fraud\n")
+        q.processAllAvailable()
+        got = {r[0] for r in spark.sql("SELECT transaction_id FROM taillog").collect()}
+        assert "TXN999" not in got
+
+        # completing the record (delimiter line) makes it visible
+        with open(path, "a") as f:
+            f.write("=" * 68 + "\n")
+        q.processAllAvailable()
+        got = {r[0] for r in spark.sql("SELECT transaction_id FROM taillog").collect()}
+        assert got == {"TXN123456", "TXN777", "TXN999"}
+    finally:
+        q.stop()
