@@ -560,3 +560,62 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "supplier_revenue_windows",
+    oracle="""
+    WITH rev AS (
+      SELECT s.s_nationkey AS nationkey, l.l_suppkey AS suppkey,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY s.s_nationkey, l.l_suppkey
+    )
+    SELECT nationkey, suppkey, revenue,
+           dense_rank() OVER w AS rnk,
+           round(cume_dist() OVER (PARTITION BY nationkey ORDER BY revenue), 6)
+               AS cume_frac,
+           round(first_value(revenue) OVER w - revenue, 2) AS gap_to_top,
+           round(avg(revenue) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)
+               AS ma3
+    FROM rev
+    WINDOW w AS (PARTITION BY nationkey ORDER BY revenue DESC, suppkey ASC)
+    """,
+)
+def supplier_revenue_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window complement (SURVEY.md §2.6 extension): dense_rank,
+    cume_dist, first_value gap, and a 3-row moving average over supplier
+    revenue, PARTITIONED BY NATION — every window shares one
+    (nationkey, revenue desc) sort, so Catalyst plans a single Exchange +
+    Sort for all four functions.  Partitioning by nation is the
+    scale-honest choice: a global ORDER BY window would serialize 100 TB
+    through one task; per-nation windows parallelize across the key.
+    Ties break on suppkey so ranks and frames are deterministic.
+    """
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("nationkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("nationkey").orderBy(F.desc("revenue"), F.asc("suppkey"))
+    w_asc = Window.partitionBy("nationkey").orderBy(F.asc("revenue"))
+    return rev.select(
+        "nationkey",
+        "suppkey",
+        "revenue",
+        F.dense_rank().over(w).alias("rnk"),
+        F.round(F.cume_dist().over(w_asc), 6).alias("cume_frac"),
+        F.round(F.first("revenue").over(w) - F.col("revenue"), 2).alias("gap_to_top"),
+        F.round(F.avg("revenue").over(w.rowsBetween(-2, 0)), 2).alias("ma3"),
+    )

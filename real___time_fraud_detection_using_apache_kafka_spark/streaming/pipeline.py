@@ -240,3 +240,50 @@ def scored_append_sink(scored: DataFrame, path: str, checkpoint_dir: str,
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def foreach_batch_dual_sink(scored: DataFrame, data_path: str,
+                            counts_path: str, checkpoint_dir: str
+                            ) -> StreamingQuery:
+    """SURVEY.md §3 entry-point-1 fan-out: ONE streaming query feeding two
+    sinks via foreachBatch — (a) the scored-transaction append log, (b)
+    per-batch class counts — instead of running two queries that each
+    re-read and re-score the source.
+
+    Counter semantics are replay-safe: each micro-batch appends its counts
+    tagged with batch_id, and ``read_running_counts`` folds duplicates (a
+    batch re-run after failure re-appends the SAME batch_id, so max-per-
+    (batch, class) before summing gives effectively-exactly-once totals,
+    while the data sink stays plain append/at-least-once like the
+    reference's log).
+    """
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        batch_df.write.mode("append").parquet(data_path)
+        (
+            batch_df.groupBy("prediction")
+            .count()
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(counts_path)
+        )
+        batch_df.unpersist()
+
+    return (
+        scored.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def read_running_counts(spark: SparkSession, counts_path: str) -> DataFrame:
+    """Current totals from the dual-sink counter ledger: dedupe batch
+    replays (max per batch_id x class), then sum — O(batches), tiny."""
+    ledger = spark.read.parquet(counts_path)
+    return (
+        ledger.groupBy("batch_id", "prediction")
+        .agg(F.max("count").alias("count"))
+        .groupBy("prediction")
+        .agg(F.sum("count").alias("count"))
+    )

@@ -132,3 +132,20 @@ def test_metric_battery_agrees_with_mllib_evaluators(spark, trained):
         scored, F.col("is_fraud"), F.col("probability_fraud")
     ).first()["roc_auc"]
     assert abs(ours_auc - auc_eval) < 1e-3
+
+
+def test_tune_returns_best_model_and_grid_metrics(spark):
+    from real___time_fraud_detection_using_apache_kafka_spark.ml.pipeline import score, tune
+    from real___time_fraud_detection_using_apache_kafka_spark.sources.generator import (
+        batch_transactions,
+    )
+
+    txns = batch_transactions(spark, 600, seed=11)
+    best, metrics = tune(txns, classifier="lr", parallelism=2)
+    assert len(metrics) == 6  # 3 regParam x 2 elasticNetParam
+    for params, auc in metrics:
+        assert set(params) <= {"regParam", "elasticNetParam"}
+        assert 0.0 <= auc <= 1.0
+    scored = score(best, txns)
+    assert {"prediction", "probability_fraud"} <= set(scored.columns)
+    assert scored.count() == 600

@@ -383,3 +383,42 @@ def test_running_confusion_feeds_metric_battery(spark, tmpdir):
         assert m.asDict() == batch_m.asDict()
     finally:
         q.stop()
+
+
+def test_foreach_batch_dual_sink_counts_match_data(spark, tmpdir):
+    """One query, two sinks: the counter ledger's folded totals must equal
+    a direct groupBy over the data sink, across multiple micro-batches."""
+    from real___time_fraud_detection_using_apache_kafka_spark.streaming.pipeline import (
+        foreach_batch_dual_sink,
+        read_running_counts,
+    )
+
+    src_dir = f"{tmpdir}/src"
+    data_path = f"{tmpdir}/scored"
+    counts_path = f"{tmpdir}/counts"
+    _write_json_batch(spark, batch_transactions(spark, 80), src_dir)
+    stream = (
+        spark.readStream.schema("v string").text(src_dir)
+        .select(F.from_json(F.col("v"), TXN_SCHEMA).alias("txn"))
+        .select("txn.*")
+    )
+    q = foreach_batch_dual_sink(
+        score_stream(stream), data_path, counts_path, f"{tmpdir}/ckpt_dual"
+    )
+    try:
+        q.processAllAvailable()
+        _write_json_batch(spark, batch_transactions(spark, 40, seed=9), src_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    data = spark.read.parquet(data_path)
+    assert data.count() == 120
+    direct = {
+        r["prediction"]: r["n"]
+        for r in data.groupBy("prediction").agg(F.count("*").alias("n")).collect()
+    }
+    folded = {
+        r["prediction"]: r["count"]
+        for r in read_running_counts(spark, counts_path).collect()
+    }
+    assert folded == direct
