@@ -106,3 +106,47 @@ def approx_event_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("hll_users"),
         F.count("*").alias("n"),
     )
+
+
+@register("heavy_hitter_tokens")  # rows-only: local-pruning approximation
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitters top-20 tokens via per-partition local pruning — the
+    massive-vocabulary variant of ``corpus_top_tokens``.
+
+    The exact query's map-side partial aggregation still shuffles one row
+    per distinct (token) per map task; fine for word vocabularies, ruinous
+    for 10B-distinct n-gram vocabularies at 100 TB.  Here each partition
+    counts locally in one Arrow batch stream and emits only its top
+    k*oversample candidates, so the shuffle carries O(partitions x k)
+    rows regardless of vocabulary size.  A candidate missing from some
+    partition's local top list undercounts — classic space-saving-style
+    approximation — so the result is rows-only checked, with an accuracy
+    contract (recall vs exact top-k) in tests.
+    """
+    import pandas as pd
+
+    from ..sources.tables import load_table as _lt
+
+    k, oversample = 20, 4
+    docs = _lt(spark, sf_dir, "documents")
+
+    def local_topk(batches):
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for pdf in batches:
+            for text in pdf["text"]:
+                counts.update(str(text).split())
+        top = counts.most_common(k * oversample)
+        yield pd.DataFrame({"tok": [t for t, _ in top],
+                            "cnt": [c for _, c in top]})
+
+    candidates = docs.select("text").mapInPandas(
+        local_topk, schema="tok string, cnt long"
+    )
+    return (
+        candidates.groupBy("tok")
+        .agg(F.sum("cnt").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(k)
+    )

@@ -142,3 +142,25 @@ def write_bucketed_table(df: DataFrame, table: str, bucket_col: str,
     if sort_col:
         w = w.sortBy(sort_col)
     w.saveAsTable(table)
+
+
+def write_training_shards(df: DataFrame, path: str, shard_key: str,
+                          records_per_file: int = 100_000,
+                          n_shards: int | None = None) -> None:
+    """Size-balanced training-shard writer: the layout a dataloader wants —
+    many similar-sized files, rows spread evenly, order decorrelated from
+    ingest order.
+
+    ``repartitionByRange`` on the shard key gives near-equal partitions
+    (range boundaries come from reservoir sampling the key), and
+    ``maxRecordsPerFile`` caps file size so a skewed partition splits
+    rather than producing one giant straggler file.  At 100 TB this is
+    the difference between 10k x 10 GB files and one task writing a 1 TB
+    file."""
+    n = n_shards or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.repartitionByRange(n, shard_key)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", records_per_file)
+        .parquet(path)
+    )

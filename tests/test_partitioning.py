@@ -61,3 +61,27 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS cust_b")
+
+
+def test_training_shards_balanced_and_capped(spark, sf_dir, tmp_path):
+    import glob
+
+    from real___time_fraud_detection_using_apache_kafka_spark.sources.io import (
+        write_training_shards,
+    )
+    from real___time_fraud_detection_using_apache_kafka_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, "doc_id", records_per_file=100, n_shards=4)
+    files = glob.glob(f"{out}/part-*.parquet")
+    # 4 range partitions x ceil(rows/4/100) files each; every file <= cap
+    assert len(files) >= 4
+    total = 0
+    for f in files:
+        n = spark.read.parquet(f).count()
+        assert n <= 100
+        total += n
+    assert total == docs.count()

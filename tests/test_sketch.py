@@ -44,3 +44,20 @@ def test_sketch_estimates_near_exact(spark, sf_dir):
         assert abs(r["approx_users"] - nd) <= max(2, 0.05 * nd)
         assert abs(r["hll_users"] - nd) <= max(2, 0.05 * nd)
         assert r["approx_p50"] <= r["approx_p95"]
+
+
+def test_heavy_hitter_tokens_recall_vs_exact(spark, sf_dir):
+    """Local-pruning top-20 must recover the exact top-20 (with tolerance
+    for approximation at the tail: recall >= 0.9)."""
+    from real___time_fraud_detection_using_apache_kafka_spark import plans
+
+    approx = plans.QUERIES["heavy_hitter_tokens"].fn(spark, sf_dir).collect()
+    exact = plans.QUERIES["corpus_top_tokens"].fn(spark, sf_dir).collect()
+    approx_set = {r.tok for r in approx}
+    exact_set = {r.tok for r in exact}
+    assert len(approx_set & exact_set) >= 0.9 * len(exact_set)
+    # counts of recovered heads must not exceed the true counts
+    exact_counts = {r.tok: r.cnt for r in exact}
+    for r in approx:
+        if r.tok in exact_counts:
+            assert r.cnt <= exact_counts[r.tok]
