@@ -28,6 +28,8 @@ HEADLINE = [
     "q9_product_profit",
     "q13_customer_distribution",
     "q18_large_volume_customers",
+    "q2_min_cost_supplier",
+    "q21_waiting_suppliers",
     "fraud_patterns",
     "classification_metrics",
     "roc_auc",

@@ -3,6 +3,7 @@ from .registry import QUERIES, oracle_sql, queries, register
 # Importing the query modules populates the registry.
 from . import queries_relational  # noqa: E402,F401
 from . import queries_tpch  # noqa: E402,F401
+from . import queries_tpch3  # noqa: E402,F401
 from . import queries_metrics  # noqa: E402,F401
 from . import queries_text  # noqa: E402,F401
 from . import queries_temporal  # noqa: E402,F401
