@@ -52,6 +52,8 @@ HEADLINE = [
     "benchmark_contamination",
     "embedding_gated_curation",
     "purchase_funnel",
+    "pii_scrub_stats",
+    "pack_training_sequences",
 ]
 
 

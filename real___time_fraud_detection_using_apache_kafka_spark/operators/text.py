@@ -141,3 +141,34 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     """Document fingerprint: portable polynomial rolling hash of the full
     text (content-addressable exact-dup key; oracle-reproducible)."""
     return df.withColumn(out_col, poly_hash_expr(text_col))
+
+
+# PII / boilerplate scrubbing patterns.  Written in the regex subset that
+# Java (Spark) and RE2 (DuckDB oracle) interpret identically: character
+# classes, bounded repeats, no backrefs or lookaround.  Replacement order
+# is email -> url -> phone; counts are measured on the ORIGINAL text so
+# each category is independent of the others' replacements.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "phone": r"\+?\d[\d-]{7,}\d",
+}
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / URLs / phone numbers from a text column
+    (training-data pipeline hygiene op).
+
+    Adds ``n_email`` / ``n_url`` / ``n_phone`` match counts (on the
+    original text) and ``scrubbed_text`` with each span replaced by a
+    typed sentinel (``<EMAIL>`` etc).  Pure JVM ``regexp_count`` /
+    ``regexp_replace`` column expressions — a narrow, shuffle-free map
+    that scales with the scan; no Python in the hot path."""
+    col = F.col(text_col)
+    out = df
+    for name, pat in PII_PATTERNS.items():
+        out = out.withColumn(f"n_{name}", F.regexp_count(col, F.lit(pat)))
+    scrubbed = col
+    for name, pat in PII_PATTERNS.items():
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+    return out.withColumn("scrubbed_text", scrubbed)

@@ -863,3 +863,166 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(frac >= 0.1, 1).otherwise(0).alias("contaminated"),
         )
     )
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_URL = r"https?://[^\s]+"
+_PII_PHONE = r"\+?\d[\d-]{7,}\d"
+
+_PII_INJECT_SQL = """
+      SELECT doc_id, source,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' contact user' || doc_id || '@example.com'
+                     ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' see https://example.com/page' || doc_id
+                     ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                     THEN ' call +1-555-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END AS text
+      FROM documents
+"""
+
+
+@register(
+    "pii_scrub_stats",
+    oracle="""
+    WITH injected AS (""" + _PII_INJECT_SQL + """
+    ),
+    scrubbed AS (
+      SELECT source, text,
+             len(regexp_extract_all(text, '""" + _PII_EMAIL + """')) AS n_email,
+             len(regexp_extract_all(text, '""" + _PII_URL + """')) AS n_url,
+             len(regexp_extract_all(text, '""" + _PII_PHONE + """')) AS n_phone,
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '""" + _PII_EMAIL + """', '<EMAIL>', 'g'),
+               '""" + _PII_URL + """', '<URL>', 'g'),
+               '""" + _PII_PHONE + """', '<PHONE>', 'g') AS st
+      FROM injected
+    )
+    SELECT source, count(*) AS n_docs,
+           sum(n_email) AS emails, sum(n_url) AS urls, sum(n_phone) AS phones,
+           sum(CASE WHEN n_email + n_url + n_phone > 0 THEN 1 ELSE 0 END)
+               AS docs_with_pii,
+           sum(length(text) - length(st)) AS chars_delta
+    FROM scrubbed GROUP BY source
+    """,
+)
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (training-data hygiene extension): redact emails /
+    URLs / phone numbers, report per-source match and redaction stats.
+
+    The raw corpus is synthetic word-soup with no organic PII, so the
+    query deterministically injects typed spans (keyed on doc_id mod
+    7/11/13) before scrubbing — the injection is part of the query on
+    BOTH engines, making every count oracle-checkable.  The scrub itself
+    (``operators.text.scrub_pii``) is a narrow all-JVM regexp map: at
+    100 TB it runs entirely inside the scan stage, and the per-source
+    rollup is the only (tiny, pre-aggregated) shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" see https://example.com/page"),
+                    F.col("doc_id").cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(
+                    F.lit(" call +1-555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    s = TX.scrub_pii(injected)
+    any_pii = (F.col("n_email") + F.col("n_url") + F.col("n_phone")) > 0
+    return s.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_email").alias("emails"),
+        F.sum("n_url").alias("urls"),
+        F.sum("n_phone").alias("phones"),
+        F.sum(F.when(any_pii, 1).otherwise(0)).alias("docs_with_pii"),
+        F.sum(F.length("text") - F.length("scrubbed_text")).alias("chars_delta"),
+    )
+
+
+@register(
+    "pack_training_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id,
+             CASE WHEN trim(text) = '' THEN 0 ELSE len({TOKS}) END AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT source, CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS seq_id,
+           count(*) AS n_docs, sum(n_tok) AS seq_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM c GROUP BY source, seq_id
+    """,
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (training-data extension): concatenate documents
+    per source in doc_id order and split at a 512-token budget — each doc
+    lands in the sequence holding its FIRST token (GPT-style
+    concat-then-chunk; docs may straddle the boundary into the next
+    chunk, exactly like a real packed-pretokenized dataset).
+
+    Implementation is one window cumsum partitioned by source (the same
+    key the corpus would be stored bucketed by), so the only exchange is
+    hash-by-source; assignment and the per-sequence rollup then stay
+    within the same partitioning.  At 100 TB the per-source ordered scan
+    parallelizes across sources; a global pack order would instead
+    serialize through one task — the per-source grain is the
+    scale-honest choice.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = TX.token_count(F.col("text"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = docs.select(
+        "source", "doc_id", n_tok.alias("n_tok")
+    ).withColumn("cum", F.sum("n_tok").over(w))
+    return (
+        c.select(
+            "source",
+            "doc_id",
+            "n_tok",
+            F.floor((F.col("cum") - F.col("n_tok")) / 512.0).alias("seq_id"),
+        )
+        .groupBy("source", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

@@ -80,3 +80,55 @@ def test_fingerprint_deterministic_and_content_addressed(spark):
     # stable across runs (pure function of content)
     again = {r["doc_id"]: r["fingerprint"] for r in TX.fingerprint(df).collect()}
     assert got == again
+
+
+def test_scrub_pii_removes_every_match(spark, sf_dir):
+    """Re-scanning scrubbed text with the same patterns finds nothing:
+    the sentinel tokens contain no scannable spans."""
+    from real___time_fraud_detection_using_apache_kafka_spark.operators.text import PII_PATTERNS, scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@corp.example.org today"),
+            (2, "see https://a.example.com/p?q=1 and http://b.io/x"),
+            (3, "call +1-555-867-5309 or 555-123-4567 now"),
+            (4, "nothing sensitive here"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    s = scrub_pii(df)
+    rows = {r.doc_id: r for r in s.collect()}
+    assert rows[1].n_email == 1 and "<EMAIL>" in rows[1].scrubbed_text
+    assert rows[2].n_url == 2 and rows[2].scrubbed_text.count("<URL>") == 2
+    assert rows[3].n_phone == 2
+    assert rows[4].scrubbed_text == "nothing sensitive here"
+    rescan = scrub_pii(s.select("doc_id", F.col("scrubbed_text").alias("text")))
+    assert rescan.agg(
+        F.sum(F.col("n_email") + F.col("n_url") + F.col("n_phone"))
+    ).first()[0] == 0
+
+
+def test_pack_training_sequences_partitions_corpus_exactly(spark, sf_dir):
+    from real___time_fraud_detection_using_apache_kafka_spark import plans
+    from real___time_fraud_detection_using_apache_kafka_spark.sources.tables import load_table
+    from real___time_fraud_detection_using_apache_kafka_spark.operators.text import token_count
+
+    df = plans.QUERIES["pack_training_sequences"].fn(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    # every document lands in exactly one sequence
+    assert df.agg(F.sum("n_docs")).first()[0] == docs.count()
+    # token mass is conserved
+    total_tok = docs.select(F.sum(token_count(F.col("text")))).first()[0]
+    assert df.agg(F.sum("seq_tokens")).first()[0] == total_tok
+    # within a source, seq_ids are dense from 0 and doc ranges don't
+    # overlap: ordering by seq_id orders the (first_doc, last_doc) ranges
+    for src_rows in (
+        df.groupBy("source").agg(
+            F.sort_array(F.collect_list(F.struct("seq_id", "first_doc", "last_doc"))).alias("seqs")
+        ).collect()
+    ):
+        seqs = src_rows.seqs
+        assert seqs[0].seq_id == 0
+        for a, b in zip(seqs, seqs[1:]):
+            assert a.last_doc < b.first_doc
