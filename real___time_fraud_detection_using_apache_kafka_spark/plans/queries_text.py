@@ -1026,3 +1026,146 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+@register(
+    "embedding_quantize_stats",
+    oracle="""
+    WITH s AS (
+      SELECT label, embedding,
+             greatest(list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))), 1e-12) / 127.0 AS scale
+      FROM embeddings
+    ),
+    q AS (
+      SELECT label, scale, embedding,
+             list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT)) AS qv
+      FROM s
+    ),
+    e AS (
+      SELECT label, scale,
+             list_max(list_transform(qv, x -> abs(x))) AS maxq,
+             sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                 i -> pow(CAST(embedding[i] AS DOUBLE) - qv[i] * scale, 2))))
+             / sqrt(list_sum(list_transform(embedding,
+                 x -> pow(CAST(x AS DOUBLE), 2)))) AS rel_err
+      FROM q
+    )
+    SELECT label, count(*) AS n_vecs,
+           round(avg(rel_err), 6) AS avg_rel_err,
+           round(avg(scale), 8) AS avg_scale,
+           max(maxq) AS max_abs_q
+    FROM e GROUP BY label
+    """,
+)
+def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (similarity-
+    search scale path: 4x memory cut for ANN working sets) with per-label
+    reconstruction-error audit.
+
+    Everything is higher-order array expressions over the scan — per-row
+    absmax scale, round-to-int8, and an index-folded dequantization
+    error — so quantization is a narrow map with zero shuffles; the only
+    exchange carries 10 label cells.  Fold order is array order on both
+    engines, so the error sums are bit-identical before the final
+    rounding.  max_abs_q == 127 doubles as the no-overflow proof.
+    """
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    df = load_table(spark, sf_dir, "embeddings").select(
+        "label",
+        e.alias("e"),
+        (
+            F.greatest(
+                F.array_max(F.transform(e, F.abs)), F.lit(1e-12)
+            ) / 127.0
+        ).alias("scale"),
+    )
+    qv = F.transform(F.col("e"), lambda x: F.round(x / F.col("scale")).cast("int"))
+    df = df.withColumn("qv", qv)
+    sq_err = F.aggregate(
+        F.zip_with(
+            F.col("e"),
+            F.col("qv"),
+            lambda x, q: F.pow(x - q * F.col("scale"), F.lit(2.0)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sq_norm = F.aggregate(
+        F.transform(F.col("e"), lambda x: F.pow(x, F.lit(2.0))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    per_vec = df.select(
+        "label",
+        "scale",
+        F.array_max(F.transform(F.col("qv"), F.abs)).alias("maxq"),
+        (F.sqrt(sq_err) / F.sqrt(sq_norm)).alias("rel_err"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg("rel_err"), 6).alias("avg_rel_err"),
+        F.round(F.avg("scale"), 8).alias("avg_scale"),
+        F.max("maxq").alias("max_abs_q"),
+    )
+
+
+@register(
+    "mix_sources_token_budget",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id,
+             CASE WHEN trim(text) = '' THEN 0 ELSE len({TOKS}) END AS n_tok,
+             {poly_hash_duckdb('text')} AS hv
+      FROM documents
+    ),
+    o AS (
+      SELECT source, doc_id, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY hv, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT source, count(*) AS kept_docs, sum(n_tok) AS kept_tokens,
+           round(sum(n_tok) / 800.0, 6) AS budget_frac
+    FROM o WHERE cum <= 800 GROUP BY source
+    """,
+)
+def mix_sources_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture subsampling (pretrain pipeline op): cap every source
+    at an 800-token budget, choosing documents in portable-hash order so
+    the selection is an unbiased, engine-reproducible sample — the
+    building block for 'sample source X at weight w' mixture specs.
+
+    One window cumsum per source (hash-ordered) and a filter; the
+    exchange is hash-by-source and the kept set never materializes
+    outside the scan stage.  At 100 TB each source's running sum
+    parallelizes across the source partitioning, and budgets in tokens
+    (not docs) is what an LLM data recipe actually specifies.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.hashing import poly_hash_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tok"),
+        poly_hash_expr("text").alias("hv"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("hv", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    o = t.withColumn("cum", F.sum("n_tok").over(w))
+    return (
+        o.filter(F.col("cum") <= 800)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("kept_docs"),
+            F.sum("n_tok").alias("kept_tokens"),
+            F.round(F.sum("n_tok") / 800.0, 6).alias("budget_frac"),
+        )
+    )

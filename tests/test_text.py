@@ -132,3 +132,50 @@ def test_pack_training_sequences_partitions_corpus_exactly(spark, sf_dir):
         assert seqs[0].seq_id == 0
         for a, b in zip(seqs, seqs[1:]):
             assert a.last_doc < b.first_doc
+
+
+def test_embedding_quantize_bounds_and_error(spark, sf_dir):
+    from real___time_fraud_detection_using_apache_kafka_spark import plans
+
+    df = plans.QUERIES["embedding_quantize_stats"].fn(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) > 0
+    # int8 range proof and sane reconstruction error for 64-dim vectors
+    assert all(r.max_abs_q == 127 for r in rows)
+    assert all(0 < r.avg_rel_err < 0.05 for r in rows)
+    assert all(r.avg_scale > 0 for r in rows)
+
+
+def test_mix_sources_budget_is_maximal_hash_prefix(spark, sf_dir):
+    from real___time_fraud_detection_using_apache_kafka_spark import plans
+    from real___time_fraud_detection_using_apache_kafka_spark.functions.hashing import poly_hash_expr
+    from real___time_fraud_detection_using_apache_kafka_spark.operators.text import token_count
+    from real___time_fraud_detection_using_apache_kafka_spark.sources.tables import load_table
+    from pyspark.sql import Window
+
+    kept = {
+        r.source: r
+        for r in plans.QUERIES["mix_sources_token_budget"].fn(spark, sf_dir).collect()
+    }
+    assert kept and all(r.kept_tokens <= 800 for r in kept.values())
+    # maximality: the next doc in hash order would blow the budget
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        token_count(F.col("text")).alias("n_tok"),
+        poly_hash_expr("text").alias("hv"),
+        "doc_id",
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("hv", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    nxt = (
+        docs.withColumn("cum", F.sum("n_tok").over(w))
+        .filter(F.col("cum") > 800)
+        .groupBy("source")
+        .agg(F.min("cum").alias("first_over"))
+    )
+    for r in nxt.collect():
+        if r.source in kept:
+            assert kept[r.source].kept_tokens < r.first_over
