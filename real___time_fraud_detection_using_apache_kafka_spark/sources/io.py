@@ -17,7 +17,7 @@ writes per partition with controlled fan-in (``numPartitions``) so a
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..schemas import TXN_SCHEMA
@@ -162,5 +162,71 @@ def write_training_shards(df: DataFrame, path: str, shard_key: str,
         df.repartitionByRange(n, shard_key)
         .write.mode("overwrite")
         .option("maxRecordsPerFile", records_per_file)
+        .parquet(path)
+    )
+
+
+def zorder_key(cols: list[str], bits: int = 16) -> Column:
+    """Morton (Z-order) interleave of k non-negative integer columns:
+    output bit ``i*k + j`` is bit ``i`` of column ``j``.
+
+    Pure JVM bit arithmetic via an ``aggregate`` fold over bit indexes —
+    no UDF, runs inside codegen.  Callers bucketize doubles/strings to
+    ints first; values must fit in ``bits`` bits (the fold masks higher
+    bits away, so out-of-range values degrade to collisions, never
+    errors)."""
+    k = len(cols)
+    terms = " | ".join(
+        f"shiftleft((cast({c} as bigint) >> i) & 1, i * {k} + {j})"
+        for j, c in enumerate(cols)
+    )
+    return F.expr(
+        f"aggregate(sequence(0, {bits - 1}), cast(0 as bigint), "
+        f"(acc, i) -> acc | {terms})"
+    )
+
+
+def write_zordered(df: DataFrame, path: str, cols: list[str],
+                   n_files: int = 32, bits: int = 16) -> None:
+    """Z-order clustered parquet writer: range-partition + sort on the
+    Morton interleave of ``cols`` so file/row-group min-max stats become
+    selective in EVERY interleaved dimension at once.
+
+    A single-key sort clusters only its leading column — a predicate on
+    the second key touches every file.  The Z-curve keeps multi-dim
+    locality, so a box predicate on any subset of ``cols`` skips most
+    row groups via plain parquet stats pushdown: the same mechanism
+    Delta/Iceberg OPTIMIZE ZORDER relies on, built from
+    ``repartitionByRange`` + ``sortWithinPartitions``.  At 100 TB this
+    is the difference between scanning the fleet and scanning ~1/sqrt(N)
+    of it for 2-D boxes.
+
+    Each column is min-max scaled to the full ``bits`` range before
+    interleaving — otherwise the widest key monopolizes the high Z bits
+    and narrow keys get no clustering (Delta's OPTIMIZE ZORDER does the
+    same with per-column range ids).  The min/max pass is one metadata
+    aggregate; at scale it would come from table statistics."""
+    stats = df.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in cols],
+        *[F.max(c).alias(f"mx_{c}") for c in cols],
+    ).first()
+    top = (1 << bits) - 1
+    scaled = df
+    for c in cols:
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        span = max(int(mx) - int(mn), 1)
+        scaled = scaled.withColumn(
+            f"__s_{c}",
+            ((F.col(c) - F.lit(int(mn))).cast("double") * (top / span))
+            .cast("bigint"),
+        )
+    z = zorder_key([f"__s_{c}" for c in cols], bits)
+    (
+        scaled.withColumn("__z", z)
+        .drop(*[f"__s_{c}" for c in cols])
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
         .parquet(path)
     )

@@ -85,3 +85,46 @@ def test_training_shards_balanced_and_capped(spark, sf_dir, tmp_path):
         assert n <= 100
         total += n
     assert total == docs.count()
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from real___time_fraud_detection_using_apache_kafka_spark.sources.io import zorder_key
+
+    df = spark.createDataFrame([(0, 0), (1, 0), (0, 1), (3, 5)], "x long, y long")
+    got = {(r.x, r.y): r.z for r in df.select("x", "y", zorder_key(["x", "y"]).alias("z")).collect()}
+    # interleave(x=0b11, y=0b101): x bits at even positions, y at odd
+    #   x: 1->bit0, 1->bit2 ; y: 1->bit1, 0->bit3, 1->bit5  => 0b100111 = 39
+    assert got[(0, 0)] == 0 and got[(1, 0)] == 1 and got[(0, 1)] == 2
+    assert got[(3, 5)] == 39
+
+
+def test_zorder_layout_prunes_second_dimension(spark, sf_dir, tmp_path):
+    """For a predicate on the NON-leading key, a z-ordered layout
+    concentrates matches in far fewer files than a single-key-sorted
+    layout — the file/row-group pruning win the writer exists for."""
+    from real___time_fraud_detection_using_apache_kafka_spark.sources.io import write_zordered
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    zpath, lpath = str(tmp_path / "zord"), str(tmp_path / "linear")
+    write_zordered(li, zpath, ["l_partkey", "l_suppkey"], n_files=16)
+    (
+        li.repartitionByRange(16, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+    pred = F.col("l_suppkey") < 4
+    n_z = (
+        spark.read.parquet(zpath).filter(pred)
+        .select(F.input_file_name()).distinct().count()
+    )
+    n_lin = (
+        spark.read.parquet(lpath).filter(pred)
+        .select(F.input_file_name()).distinct().count()
+    )
+    # matches exist, and the z-layout touches at most half the files the
+    # leading-key layout does
+    assert spark.read.parquet(zpath).filter(pred).count() > 0
+    assert n_z * 2 <= n_lin, (n_z, n_lin)
