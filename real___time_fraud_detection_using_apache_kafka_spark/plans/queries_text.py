@@ -1169,3 +1169,57 @@ def mix_sources_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("n_tok") / 800.0, 6).alias("budget_frac"),
         )
     )
+
+
+@register("curate_documents_lsh", oracle=None)
+def curate_documents_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB deployment shape of ``curate_documents``: identical
+    quality gate and greedy lowest-id near-dup drop, but candidates come
+    from MinHash-LSH banding instead of exact prefix-filtered Jaccard
+    (SCALE.md: the exact tier degenerates quadratically on low-entropy
+    corpora; the LSH tier stays near-linear and verifies candidates
+    with the same exact array_intersect, so false positives are
+    impossible and only recall is probabilistic).  Rows-only driver
+    check — the probabilistic candidate tier cannot promise oracle
+    equality; `test_curate_lsh_matches_exact` pins agreement with the
+    exact pipeline on the real corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    good = TX.quality_score(docs).filter(F.col("keep") == 1)
+    pairs = D.minhash_lsh_pairs(good, n=3, bands=4, rows_per_band=4, threshold=0.5)
+    # re-apply the exact pipeline's pair semantics (same lang, length
+    # band within +-1) — the LSH bucket key carries neither, and without
+    # them this variant would drop MORE than the exact tier, not fewer
+    attrs = good.select(
+        "doc_id", "lang", F.floor(F.col("n_chars") / 200).alias("band")
+    )
+    constrained = (
+        pairs.join(
+            attrs.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("lang").alias("lang_a"),
+                F.col("band").alias("band_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            attrs.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("lang").alias("lang_b"),
+                F.col("band").alias("band_b"),
+            ),
+            "doc_b",
+        )
+        .filter(
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.abs(F.col("band_a") - F.col("band_b")) <= 1)
+        )
+    )
+    # drop the larger doc_id of every surviving pair (same greedy rule as
+    # the exact pipeline)
+    dropped = constrained.select(
+        F.greatest("doc_a", "doc_b").alias("doc_id")
+    ).distinct()
+    return good.join(dropped, "doc_id", "left_anti").select(
+        "doc_id", "lang", "n_chars", "quality_score"
+    )

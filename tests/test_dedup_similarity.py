@@ -159,3 +159,22 @@ def test_connected_components_multihop_chain(spark):
         for r in connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_curate_lsh_matches_exact(spark, sf_dir):
+    """The LSH-candidate curation (100 TB shape) agrees with the exact
+    pipeline on the real corpus: LSH can only MISS pairs (no false
+    positives), so its kept-set is a superset — and on this corpus,
+    where planted near-dups are unambiguous, exactly equal."""
+    from real___time_fraud_detection_using_apache_kafka_spark import plans
+
+    exact = {
+        r.doc_id
+        for r in plans.QUERIES["curate_documents"].fn(spark, sf_dir).collect()
+    }
+    lsh = {
+        r.doc_id
+        for r in plans.QUERIES["curate_documents_lsh"].fn(spark, sf_dir).collect()
+    }
+    assert lsh >= exact
+    assert lsh == exact
