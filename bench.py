@@ -54,6 +54,7 @@ HEADLINE = [
     "purchase_funnel",
     "pii_scrub_stats",
     "pack_training_sequences",
+    "unigram_logprob",
 ]
 
 

@@ -1223,3 +1223,57 @@ def curate_documents_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return good.join(dropped, "doc_id", "left_anti").select(
         "doc_id", "lang", "n_chars", "quality_score"
     )
+
+
+@register(
+    "unigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest({TOKS}) AS tok
+        FROM documents WHERE trim(text) <> ''
+    ), uni AS (
+        SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+    ), tot AS (
+        SELECT sum(cnt) AS n_total FROM uni
+    )
+    SELECT t.doc_id, t.lang,
+           count(*) AS n_tokens,
+           round(avg(ln(u.cnt) - ln(tot.n_total)), 6) AS avg_logprob
+    FROM toks t JOIN uni u USING (tok) CROSS JOIN tot
+    GROUP BY t.doc_id, t.lang
+    """,
+)
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring (training-data extension): per-doc
+    mean token log-probability under the corpus's own unigram
+    distribution — the cheap perplexity proxy pretraining pipelines use
+    to rank documents before an expensive neural-LM quality pass
+    (KenLM-style filtering, done with counts instead of a model).
+
+    Plan shape: one token explode feeds (a) the vocab count (map-side
+    partial agg, vocab-sized result) and (b) the scoring join; the vocab
+    and the 1-row grand total are broadcast, so scoring is a map-side
+    probe and the only corpus-sized shuffle is the final groupBy(doc_id).
+    At 100 TB a heavy-tail vocab can outgrow broadcast — dropping the
+    hint degrades to a shuffled hash join keyed on the token with the
+    Zipf head handled by AQE skew-split; no rewrite needed.  Mirrors the
+    reference's per-record probability scoring (FD/consumer.py:125) at
+    corpus granularity.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.filter(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id", "lang", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    )
+    uni = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    tot = uni.agg(F.sum("cnt").alias("n_total"))
+    return (
+        toks.join(F.broadcast(uni), "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.log("cnt") - F.log("n_total")), 6).alias(
+                "avg_logprob"
+            ),
+        )
+    )
