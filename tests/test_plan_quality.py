@@ -196,3 +196,44 @@ def test_supplier_windows_share_one_sort(spark):
 
     sorts = len(re.findall(r"\(\d+\) Sort\b", plan))
     assert sorts <= 2, plan
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Catalyst's runtime bloom-filter injection (the 100 TB shuffle
+    reducer for selective fact-dim sort-merge joins): when the dim side
+    carries a selective filter and the join can't broadcast, the probe
+    side must be pre-filtered with might_contain(bloom_filter_agg(...))
+    BEFORE its shuffle, so the exchange carries only candidate rows."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    od = spark.read.parquet(f"{SF}/orders.parquet").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    old = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        assert (
+            spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+            == "true"
+        )
+        j = (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
