@@ -65,6 +65,18 @@ CATEGORICAL_FEATURES = [
 
 NUMERIC_FEATURES = [f for f in FEATURE_ORDER if f not in CATEGORICAL_FEATURES]
 
+# Documents table (TESTDATA.md) — also the landing-file schema for the
+# incremental ingest stream (file sources require an explicit schema).
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
 # Testdata tables (TESTDATA.md) available to every query.
 TESTDATA_TABLES = [
     "region",

@@ -1,0 +1,104 @@
+"""Incremental file-stream ingestion (streaming/ingest.py): each
+Trigger.AvailableNow pass must process exactly the landing files the
+checkpoint has not seen (O(delta), never a corpus recompute), apply the
+batch-identical quality gate, and append atomically."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from real___time_fraud_detection_using_apache_kafka_spark.operators.text import quality_score
+from real___time_fraud_detection_using_apache_kafka_spark.streaming.ingest import (
+    ingest_documents_available_now,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def dirs():
+    root = tempfile.mkdtemp(prefix="ingest_test_")
+    d = {k: os.path.join(root, k) for k in ("landing", "curated", "ckpt")}
+    os.makedirs(d["landing"])
+    yield d
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _land(spark, lo: int, hi: int, landing: str) -> int:
+    """Write documents with doc_id in [lo, hi) as one new landing file set."""
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        .coalesce(1)
+    )
+    docs.write.mode("append").parquet(landing)
+    return docs.count()
+
+
+def _expected_kept(spark, lo: int, hi: int) -> int:
+    base = spark.read.parquet(f"{SF}/documents.parquet").filter(
+        (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+    )
+    return quality_score(base).filter("quality_score >= 0.5").count()
+
+
+def test_available_now_ingest_is_incremental(spark, dirs):
+    _land(spark, 0, 200, dirs["landing"])
+    q1 = ingest_documents_available_now(
+        spark, dirs["landing"], dirs["curated"], dirs["ckpt"]
+    )
+    q1.awaitTermination(120)
+    first = spark.read.parquet(dirs["curated"])
+    n1 = first.count()
+    assert n1 == _expected_kept(spark, 0, 200)
+    assert first.filter(F.col("quality_score") < 0.5).count() == 0
+
+    # second landing batch: 100 real docs plus a junk file that must be
+    # gated out (the sf0.001 corpus is uniformly quality 1.0, so the
+    # drop path needs synthetic low-quality rows)
+    _land(spark, 200, 300, dirs["landing"])
+    junk_text = "spam, spam, spam, spam, spam, spam,"
+    junk = spark.createDataFrame(
+        [(10_000 + i, junk_text, "en", "junk", len(junk_text)) for i in range(25)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1)
+    junk.write.mode("append").parquet(dirs["landing"])
+    q2 = ingest_documents_available_now(
+        spark, dirs["landing"], dirs["curated"], dirs["ckpt"]
+    )
+    q2.awaitTermination(120)
+    processed = sum(p["numInputRows"] for p in q2.recentProgress)
+    assert processed == 125, processed  # delta only, not 325
+    curated = spark.read.parquet(dirs["curated"])
+    total = curated.count()
+    # every junk row (high punct ratio + short + repetitive -> score 0.0)
+    # was dropped; every real row kept
+    assert curated.filter(F.col("source") == "junk").count() == 0
+    assert total == _expected_kept(spark, 0, 300)
+
+    # idempotent catch-up: nothing new -> nothing processed, sink unchanged
+    q3 = ingest_documents_available_now(
+        spark, dirs["landing"], dirs["curated"], dirs["ckpt"]
+    )
+    q3.awaitTermination(120)
+    assert sum(p["numInputRows"] for p in q3.recentProgress) == 0
+    assert spark.read.parquet(dirs["curated"]).count() == total
+
+
+def test_curated_sink_partitioned_by_lang(spark, dirs):
+    _land(spark, 0, 150, dirs["landing"])
+    q = ingest_documents_available_now(
+        spark, dirs["landing"], dirs["curated"], dirs["ckpt"]
+    )
+    q.awaitTermination(120)
+    parts = [p for p in os.listdir(dirs["curated"]) if p.startswith("lang=")]
+    assert len(parts) >= 2, parts
+    # partition pruning: a per-language read touches one directory
+    en = spark.read.parquet(dirs["curated"]).filter(F.col("lang") == "en")
+    assert en.count() > 0
+    assert en.filter(F.col("lang") != "en").count() == 0
