@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -93,3 +93,38 @@ def intersect(a: DataFrame, b: DataFrame) -> DataFrame:
 
 def except_all(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.exceptAll(b)
+
+
+def merge_latest(base: DataFrame, updates: DataFrame, keys: Sequence[str],
+                 version_col: str, delete_col: str | None = None) -> DataFrame:
+    """Latest-wins MERGE/upsert: apply ``updates`` onto ``base`` so each
+    key keeps only its highest-``version_col`` row (update existing keys,
+    insert new ones, and — when ``delete_col`` names a boolean tombstone
+    column in ``updates`` — remove deleted keys entirely).
+
+    The MERGE the reference never needed (its log sinks are append-only)
+    but an incrementally-refreshed corpus does: re-crawled documents
+    replace stale versions by doc_id.  Implemented as union →
+    row_number over (key, version desc) → keep first — ONE shuffle on
+    the key, no join, no driver state; at 100 TB both sides shard by the
+    same key and AQE sizes the reducers.  Ties on version break toward
+    the updates side so a same-version re-submit is idempotent.
+    """
+    keys = list(keys)
+    tomb = delete_col or "_deleted"
+    # base rows are never tombstones; updates carry the real flag (or a
+    # constant False when the caller has no delete channel)
+    b = base.withColumn(tomb, F.lit(False)).withColumn("_src", F.lit(0))
+    u = updates if delete_col is not None else updates.withColumn(
+        tomb, F.lit(False)
+    )
+    u = u.withColumn("_src", F.lit(1))
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(version_col).desc(), F.col("_src").desc()
+    )
+    return (
+        b.unionByName(u)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (~F.col(tomb)))
+        .drop("_rn", "_src", tomb)
+    )

@@ -869,3 +869,60 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                         AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
         GROUP BY o_orderpriority
     """)
+
+
+@register(
+    "corpus_upsert_refresh",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, text, lang, source, n_chars,
+               1 AS version, FALSE AS deleted, 0 AS _src
+        FROM documents
+    ), upd AS (
+        SELECT doc_id,
+               'v2 ' || text AS text, lang, source,
+               n_chars + 3 AS n_chars,
+               2 AS version,
+               (doc_id % 17 = 0) AS deleted, 1 AS _src
+        FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 1000000, text, lang, 'recrawl', n_chars,
+               2, FALSE, 1
+        FROM documents WHERE doc_id % 50 = 0
+    ), merged AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY version DESC, _src DESC) AS _rn
+        FROM (SELECT * FROM base UNION ALL SELECT * FROM upd)
+    )
+    SELECT doc_id, lang, source, version, n_chars
+    FROM merged WHERE _rn = 1 AND NOT deleted
+    """,
+)
+def corpus_upsert_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins MERGE (extension; the reference only ever appends —
+    FD/producer.py:96-115): a re-crawl batch updates every 5th document
+    (higher version wins), tombstones every 85th (doc_id % 5 and % 17),
+    and inserts brand-new ids — one ``merge_latest`` call, one shuffle
+    on doc_id, no join.  The refresh pattern an incrementally-maintained
+    training corpus runs on every crawl cycle."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.withColumn("version", F.lit(1))
+    upd = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .withColumn("text", F.concat(F.lit("v2 "), F.col("text")))
+        .withColumn("n_chars", F.col("n_chars") + 3)
+        .withColumn("version", F.lit(2))
+        .withColumn("deleted", F.col("doc_id") % 17 == 0)
+    )
+    ins = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .withColumn("source", F.lit("recrawl"))
+        .withColumn("version", F.lit(2))
+        .withColumn("deleted", F.lit(False))
+    )
+    merged = R.merge_latest(
+        base, upd.unionByName(ins), ["doc_id"], "version", delete_col="deleted"
+    )
+    return merged.select("doc_id", "lang", "source", "version", "n_chars")

@@ -135,3 +135,53 @@ def test_salted_skew_join_matches_plain_join(spark):
     l_plain = left.join(right, ["k"], "left")
     l_salted = salted_skew_join(left, right, ["k"], salt=4, how="left")
     assert sorted(map(tuple, l_plain.collect())) == sorted(map(tuple, l_salted.collect()))
+
+
+def test_merge_latest_upsert_insert_delete(spark):
+    from real___time_fraud_detection_using_apache_kafka_spark.operators.relational import merge_latest
+
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 1)], "k long, v string, ver int"
+    )
+    upd = spark.createDataFrame(
+        [
+            (2, "b2", 2, False),   # update
+            (4, "d", 2, False),    # insert
+            (3, None, 2, True),    # tombstone existing key
+            (9, None, 2, True),    # tombstone never-seen key -> no-op
+        ],
+        "k long, v string, ver int, deleted boolean",
+    )
+    out = merge_latest(base, upd, ["k"], "ver", delete_col="deleted")
+    rows = {r.k: (r.v, r.ver) for r in out.collect()}
+    assert rows == {1: ("a", 1), 2: ("b2", 2), 4: ("d", 2)}
+    assert out.columns == ["k", "v", "ver"]
+
+
+def test_merge_latest_same_version_resubmit_is_idempotent(spark):
+    """A re-submitted update with an unchanged version must win the tie
+    against the already-merged row (updates-side preference), so applying
+    the same batch twice yields the same table."""
+    from real___time_fraud_detection_using_apache_kafka_spark.operators.relational import merge_latest
+
+    base = spark.createDataFrame([(1, "old", 1)], "k long, v string, ver int")
+    upd = spark.createDataFrame([(1, "new", 2)], "k long, v string, ver int")
+    once = merge_latest(base, upd, ["k"], "ver")
+    twice = merge_latest(once, upd, ["k"], "ver")
+    assert once.collect() == twice.collect() == [(1, "new", 2)]
+
+
+def test_merge_latest_single_exchange(spark):
+    """The merge must cost ONE hash exchange on the key (union is
+    shuffle-free; row_number and filter ride the same partitioning)."""
+    from real___time_fraud_detection_using_apache_kafka_spark.operators.relational import merge_latest
+
+    base = spark.range(100).withColumn("ver", F.lit(1))
+    upd = spark.range(0, 100, 2).withColumn("ver", F.lit(2))
+    plan = (
+        merge_latest(base, upd, ["id"], "ver")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
