@@ -230,3 +230,87 @@ def write_zordered(df: DataFrame, path: str, cols: list[str],
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_parquet(spark: SparkSession, path: str,
+                    target_file_mb: int = 256) -> tuple[int, int]:
+    """Compact a parquet directory's small files into ~``target_file_mb``
+    files, preserving rows and any hive-style partition layout.
+
+    Streaming sinks (streaming/ingest.py, foreachBatch writers) commit
+    one file set per micro-batch; after thousands of batches a 100 TB
+    table becomes millions of KB-sized files and scan planning (listing,
+    footer reads, task scheduling) dominates query time.  Compaction is
+    the maintenance pass every table format schedules (Delta OPTIMIZE /
+    Iceberg rewrite_data_files); here it is plain Spark:
+
+    - file census is driver-side METADATA only (os.walk over the
+      directory — never reads data);
+    - rows are rewritten once through ``repartition(n)`` sized from the
+      on-disk byte total, so output files land near the target size;
+    - partition columns are re-derived from the directory layout by the
+      parquet reader and re-applied with ``partitionBy`` on write, so
+      downstream partition pruning is unchanged;
+    - the rewrite goes to a sibling temp dir, then an atomic rename
+      swap — readers see the old file set or the new one, never a mix.
+
+    Returns (files_before, files_after).
+    """
+    import math
+    import os
+    import shutil
+    import uuid
+
+    def census(root: str) -> tuple[int, int]:
+        n, total = 0, 0
+        for dirpath, _dirnames, filenames in os.walk(root):
+            for fn in filenames:
+                if fn.endswith(".parquet"):
+                    n += 1
+                    total += os.path.getsize(os.path.join(dirpath, fn))
+        return n, total
+
+    files_before, total_bytes = census(path)
+    df = spark.read.parquet(path)
+    # hive-layout columns at any nesting level (lang=en/source=web/...)
+    dir_keys = set()
+    for dirpath, dirnames, _fn in os.walk(path):
+        dir_keys.update(d.split("=", 1)[0] for d in dirnames if "=" in d)
+    part_cols = [f for f in df.schema.names if f in dir_keys]
+    n_out = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    tmp = f"{path.rstrip('/')}_compact_{uuid.uuid4().hex[:8]}"
+    writer = df.repartition(n_out).write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(tmp)
+    old = f"{path.rstrip('/')}_old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    # invalidate any cached file listings for the path — a pre-swap
+    # DataFrame's snapshot would otherwise point at deleted files
+    spark.catalog.refreshByPath(path)
+    files_after, _ = census(path)
+    return files_before, files_after
+
+
+def observed_quality(df: DataFrame, cols: list[str], name: str = "quality"):
+    """Attach zero-cost data-quality metrics to a DataFrame via
+    ``df.observe``: row count plus per-column null counts, computed
+    DURING whatever action consumes the frame — no second scan, no
+    separate QA job.  At 100 TB a dedicated quality pass costs as much
+    as the pipeline itself; observation metrics ride the existing one.
+
+    Returns (observed_df, Observation); read ``observation.get`` after
+    an action on the returned frame.  (The reference's only QA was
+    counting skipped records in an error log — FD/consumer_error.log.)
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        metrics.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}")
+        )
+    return df.observe(obs, *metrics), obs

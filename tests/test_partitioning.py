@@ -128,3 +128,48 @@ def test_zorder_layout_prunes_second_dimension(spark, sf_dir, tmp_path):
     # leading-key layout does
     assert spark.read.parquet(zpath).filter(pred).count() > 0
     assert n_z * 2 <= n_lin, (n_z, n_lin)
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    """Micro-batch sinks leave one file set per commit; compaction must
+    collapse them near the target size without changing a row or
+    breaking the hive partition layout (pruning survives)."""
+    import os
+
+    from real___time_fraud_detection_using_apache_kafka_spark.sources.io import compact_parquet
+
+    d = str(tmp_path / "tbl")
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    for i in range(6):  # six tiny "micro-batch" commits, 4 files each
+        docs.filter((F.col("doc_id") % 6) == i).repartition(4).write.mode(
+            "append"
+        ).partitionBy("lang").parquet(d)
+    before = spark.read.parquet(d)
+    before_rows = before.count()
+    before_en = before.filter(F.col("lang") == "en").count()
+    fb, fa = compact_parquet(spark, d, target_file_mb=256)
+    after = spark.read.parquet(d)
+    assert fa < fb
+    assert after.count() == before_rows
+    # layout intact: same partition dirs, pruning still directory-level
+    assert sorted(p for p in os.listdir(d) if p.startswith("lang=")) == sorted(
+        {f"lang={r.lang}" for r in docs.select("lang").distinct().collect()}
+    )
+    assert after.filter(F.col("lang") == "en").count() == before_en
+
+
+def test_observed_quality_metrics_ride_the_action(spark, tmp_path):
+    """df.observe metrics must match a direct computation without a
+    second scan: one write action yields count + per-column null counts."""
+    from real___time_fraud_detection_using_apache_kafka_spark.sources.io import observed_quality
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    with_nulls = docs.withColumn(
+        "maybe", F.when(F.col("doc_id") % 3 == 0, F.col("text"))
+    )
+    odf, obs = observed_quality(with_nulls, ["maybe", "text"])
+    odf.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = obs.get
+    n = docs.count()
+    expected_nulls = docs.filter(F.col("doc_id") % 3 != 0).count()
+    assert got == {"n_rows": n, "null_maybe": expected_nulls, "null_text": 0}
