@@ -179,6 +179,34 @@ def cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_ingest(args: argparse.Namespace) -> int:
+    """One incremental catch-up pass over a landing directory (O(delta):
+    only files the checkpoint has not seen are read)."""
+    from .streaming.ingest import ingest_documents_available_now
+
+    spark = _spark("ingest")
+    ckpt = args.checkpoint or tempfile.mkdtemp(prefix="ingest_ckpt_")
+    q = ingest_documents_available_now(
+        spark, args.landing_dir, args.curated_dir, ckpt,
+        min_quality=args.min_quality,
+    )
+    q.awaitTermination()
+    rows = sum(p["numInputRows"] for p in q.recentProgress)
+    print(f"processed {rows} new rows from {args.landing_dir} "
+          f"-> {args.curated_dir} (checkpoint {ckpt})")
+    return 0
+
+
+def cmd_compact(args: argparse.Namespace) -> int:
+    from .sources.io import compact_parquet
+
+    spark = _spark("compact")
+    before, after = compact_parquet(spark, args.path,
+                                    target_file_mb=args.target_file_mb)
+    print(f"compacted {args.path}: {before} -> {after} files")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(
         prog="real___time_fraud_detection_using_apache_kafka_spark",
@@ -232,6 +260,19 @@ def main(argv: list[str] | None = None) -> int:
     qp.add_argument("--list", action="store_true",
                     help="list catalog query names and exit")
     qp.set_defaults(fn=cmd_query)
+
+    ip = sub.add_parser("ingest", help="incremental corpus catch-up pass")
+    ip.add_argument("--landing-dir", required=True)
+    ip.add_argument("--curated-dir", required=True)
+    ip.add_argument("--checkpoint", default=None,
+                    help="reuse across passes for O(delta) behavior")
+    ip.add_argument("--min-quality", type=float, default=0.5)
+    ip.set_defaults(fn=cmd_ingest)
+
+    cp = sub.add_parser("compact", help="compact a parquet dir's small files")
+    cp.add_argument("path")
+    cp.add_argument("--target-file-mb", type=int, default=256)
+    cp.set_defaults(fn=cmd_compact)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -92,3 +92,29 @@ def test_cli_query_raw_sql_and_list(capsys):
     assert main(["query", "--list"]) == 0
     listed = capsys.readouterr().out
     assert "fraud_patterns" in listed and "q18_large_volume_customers" in listed
+
+
+def test_cli_ingest_then_compact(spark, tmp_path):
+    """Run book: land files -> ingest catch-up -> compact the curated
+    sink; the second ingest pass over an unchanged landing dir is a
+    no-op (checkpoint-owned progress)."""
+    from real___time_fraud_detection_using_apache_kafka_spark.__main__ import main
+
+    landing = str(tmp_path / "landing")
+    curated = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.limit(100).repartition(4).write.parquet(landing)
+
+    assert main(["ingest", "--landing-dir", landing, "--curated-dir", curated,
+                 "--checkpoint", ckpt]) == 0
+    n = spark.read.parquet(curated).count()
+    assert n == 100  # sf0.001 docs are uniformly quality 1.0
+
+    assert main(["ingest", "--landing-dir", landing, "--curated-dir", curated,
+                 "--checkpoint", ckpt]) == 0
+    spark.catalog.refreshByPath(curated)
+    assert spark.read.parquet(curated).count() == n  # no reprocessing
+
+    assert main(["compact", curated]) == 0
+    assert spark.read.parquet(curated).count() == n
