@@ -256,6 +256,22 @@ def embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("embedding_knn_pca")  # rows-only: PCA+KMeans index isn't SQL-expressible
+def embedding_knn_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search, reduce->probe->re-rank tier (extension): IVF
+    shortlist in PCA-32 space, exact cosine re-rank in full space —
+    corpus-sized stages run at half the FLOPs while returned scores are
+    bit-identical to brute force (recall + score-fidelity pinned in
+    tests).  The composition a 100 TB ANN deployment runs."""
+    from ..ml.embedding import pca_ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return pca_ivf_topk(
+        probes, emb, k=5, pca_k=32, oversample=6, n_centroids=16, n_probe=8
+    ).select("query_id", "neighbor_id", "cosine", "rank")
+
+
 @register(
     "embedding_cosine_neardup",
     oracle=f"""

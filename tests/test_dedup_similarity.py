@@ -178,3 +178,42 @@ def test_curate_lsh_matches_exact(spark, sf_dir):
     }
     assert lsh >= exact
     assert lsh == exact
+
+
+def test_pca_reduce_projects_to_k_dims(spark):
+    from real___time_fraud_detection_using_apache_kafka_spark.ml.embedding import pca_reduce
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    red, model = pca_reduce(emb, k=16)
+    row = red.first()
+    assert len(row.embedding) == 16
+    # components capture decreasing variance by construction
+    ev = list(model.explainedVariance)
+    assert ev == sorted(ev, reverse=True)
+    # a second frame transformed with the SAME model lands in the same basis
+    red2, _ = pca_reduce(emb.limit(10), k=16, model=model)
+    a = {r.vec_id: r.embedding for r in red.filter("vec_id < 10").collect()}
+    b = {r.vec_id: r.embedding for r in red2.collect()}
+    assert all(a[i] == b[i] for i in a)
+
+
+def test_pca_ivf_rerank_beats_plain_ivf_and_keeps_exact_scores(spark):
+    """The reduce->probe->re-rank tier must (a) reach higher recall than
+    plain IVF probing the same corpus fraction at its default budget and
+    (b) emit EXACT full-space cosines for every returned pair — scores
+    never suffer from the reduced basis, only the shortlist does."""
+    from real___time_fraud_detection_using_apache_kafka_spark.ml.embedding import pca_ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 50)
+    truth = SIM.brute_force_topk(probes, emb, k=5)
+    t = {(r.query_id, r.neighbor_id) for r in truth.collect()}
+    approx = pca_ivf_topk(
+        probes, emb, k=5, pca_k=32, oversample=6, n_centroids=16, n_probe=8
+    )
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(t & a) / len(t)
+    assert recall >= 0.7, f"recall@5 = {recall:.2f}"
+    td = {(r.query_id, r.neighbor_id): r.cosine for r in truth.collect()}
+    ad = {(r.query_id, r.neighbor_id): r.cosine for r in approx.collect()}
+    assert all(abs(td[p] - ad[p]) < 1e-9 for p in (t & a))
