@@ -1293,3 +1293,43 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "corpus_mix_report",
+    oracle=f"""
+    WITH cell AS (
+        SELECT source, lang,
+               count(*) AS n_docs,
+               sum(CASE WHEN trim(text) = '' THEN 0 ELSE len({TOKS}) END)
+                   AS total_tokens
+        FROM documents GROUP BY source, lang
+    )
+    SELECT source, lang, n_docs, total_tokens,
+           round(total_tokens / cast(sum(total_tokens) OVER () AS DOUBLE), 6)
+               AS token_share
+    FROM cell
+    """,
+)
+def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture dashboard (training-data extension): token counts and
+    corpus share per (source, lang) cell — the report a mixture-weights
+    decision starts from.  The share is a window over the AGGREGATED
+    frame (sources × langs cells, not corpus rows), so the unpartitioned
+    window costs a single-partition pass over a few dozen rows while the
+    corpus-sized work stays in one map-side-combined groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    cell = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(TX.token_count(F.col("text"))).alias("total_tokens"),
+    )
+    from pyspark.sql import Window
+
+    return cell.withColumn(
+        "token_share",
+        F.round(
+            F.col("total_tokens")
+            / F.sum("total_tokens").over(Window.partitionBy()),
+            6,
+        ),
+    )
