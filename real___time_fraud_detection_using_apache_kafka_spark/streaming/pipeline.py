@@ -134,6 +134,77 @@ def running_confusion(scored: DataFrame,
     )
 
 
+def binned_score_counts(scored: DataFrame, n_bins: int = 1000,
+                        proba_col: str = "probability_fraud",
+                        label_col: str = "is_fraud") -> DataFrame:
+    """Incremental PR-curve state (A14's streaming form, SURVEY.md §7
+    hard-part 4): a fixed-grid histogram of (score bin → row count,
+    positive count).
+
+    The reference re-derives its optimal threshold by re-parsing the
+    whole log per 5 s tick (FD/evaluation.py:97-140, O(stream) each
+    tick).  Sorting a stream per tick doesn't scale either — but the
+    PR curve only needs score RANKS, and a 1/n_bins grid bounds the
+    threshold error at 1/n_bins while making the state a streaming
+    groupBy with at most ``n_bins`` rows: O(delta) per micro-batch,
+    O(n_bins) memory forever, no sort anywhere.  Read the curve back
+    with :func:`threshold_from_bins`.
+    """
+    b = F.least(
+        F.floor(F.col(proba_col) * n_bins).cast("long"), F.lit(n_bins - 1)
+    )
+    return scored.groupBy(b.alias("bin")).agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col(label_col).cast("long")).alias("pos"),
+    )
+
+
+def threshold_from_bins(bins: DataFrame, n_bins: int = 1000) -> DataFrame:
+    """F1-optimal threshold from the binned PR state: cumulative TP and
+    predicted-positive counts from the top bin down, precision/recall/F1
+    per bin lower edge, argmax.  Runs over ≤ ``n_bins`` rows — the
+    single-partition window is bounded by construction, independent of
+    stream length.  Same output schema as the batch
+    ``pr_curve_best_threshold`` (threshold, precision, recall, f1)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("bin")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = bins.select(
+        (F.col("bin") / n_bins).alias("threshold"),
+        F.sum("pos").over(w).alias("tp"),
+        F.sum("cnt").over(w).alias("predicted_pos"),
+    )
+    totals = bins.agg(F.sum("pos").cast("double").alias("npos"))
+    curve = (
+        cum.crossJoin(F.broadcast(totals))
+        .select(
+            "threshold",
+            (F.col("tp") / F.col("predicted_pos")).alias("precision"),
+            (F.col("tp") / F.col("npos")).alias("recall"),
+        )
+        .withColumn(
+            "f1",
+            F.when(
+                F.col("precision") + F.col("recall") > 0,
+                2 * F.col("precision") * F.col("recall")
+                / (F.col("precision") + F.col("recall")),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    return (
+        curve.orderBy(F.desc("f1"), F.desc("threshold"))
+        .limit(1)
+        .select(
+            "threshold",
+            F.round("precision", 6).alias("precision"),
+            F.round("recall", 6).alias("recall"),
+            F.round("f1", 6).alias("f1"),
+        )
+    )
+
+
 def windowed_counts(scored: DataFrame, ts_col: str = "time",
                     window: str = "1 minute",
                     watermark: str = "2 minutes") -> DataFrame:

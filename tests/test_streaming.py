@@ -422,3 +422,47 @@ def test_foreach_batch_dual_sink_counts_match_data(spark, tmpdir):
         for r in read_running_counts(spark, counts_path).collect()
     }
     assert folded == direct
+
+
+def test_binned_pr_threshold_tracks_batch_curve(spark, tmpdir):
+    """A14 streaming form: the binned PR state must be maintainable as an
+    incremental streaming aggregation (complete mode, <= n_bins state
+    rows) and its F1-argmax must match the exact batch PR curve within
+    grid resolution."""
+    from real___time_fraud_detection_using_apache_kafka_spark.operators.windows import (
+        pr_curve_best_threshold,
+    )
+    from real___time_fraud_detection_using_apache_kafka_spark.streaming.pipeline import (
+        binned_score_counts,
+        threshold_from_bins,
+    )
+
+    txns = batch_transactions(spark, 2000, seed=7)
+    scored = score_stream(txns)  # batch: same exprs as the stream path
+    exact = pr_curve_best_threshold(
+        scored, F.col("is_fraud"), F.col("probability_fraud")
+    ).first()
+
+    data = f"{tmpdir}/scored_json"
+    _write_json_batch(spark, scored.select("probability_fraud", "is_fraud"), data)
+    stream = (
+        spark.readStream.schema("probability_fraud double, is_fraud int")
+        .json(data)
+    )
+    q = (
+        binned_score_counts(stream, n_bins=1000)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("pr_bins")
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        bins = spark.table("pr_bins")
+        assert bins.count() <= 1000
+        got = threshold_from_bins(bins, n_bins=1000).first()
+    finally:
+        q.stop()
+    assert abs(got.threshold - exact.threshold) <= 0.002, (got, exact)
+    assert abs(got.f1 - exact.f1) <= 0.02, (got, exact)
