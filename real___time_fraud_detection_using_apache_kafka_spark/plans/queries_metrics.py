@@ -262,3 +262,49 @@ def pr_curve_threshold_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholding, as a window cum-sum over one row per distinct score."""
     s = scored_events(spark, sf_dir)
     return pr_curve_best_threshold(s, F.col("actual"), F.col("score"))
+
+
+@register(
+    "pr_threshold_binned",
+    oracle=SCORED_CTE + """
+    , b AS (
+        SELECT least(cast(floor(score * 1000) AS BIGINT), 999) AS bin,
+               count(*) AS cnt, sum(actual) AS pos
+        FROM scored GROUP BY 1
+    ), c AS (
+        SELECT bin / 1000.0 AS threshold,
+               sum(pos) OVER (ORDER BY bin DESC) AS tp,
+               sum(cnt) OVER (ORDER BY bin DESC) AS predicted_pos
+        FROM b
+    ), f AS (
+        SELECT threshold,
+               tp / cast(predicted_pos AS DOUBLE) AS precision,
+               tp / (SELECT cast(sum(pos) AS DOUBLE) FROM b) AS recall
+        FROM c
+    )
+    SELECT threshold, round(precision, 6) AS precision,
+           round(recall, 6) AS recall,
+           round(CASE WHEN precision + recall > 0
+                      THEN 2 * precision * recall / (precision + recall)
+                      ELSE 0.0 END, 6) AS f1
+    FROM f
+    ORDER BY CASE WHEN precision + recall > 0
+                  THEN 2 * precision * recall / (precision + recall)
+                  ELSE 0.0 END DESC, threshold DESC
+    LIMIT 1
+    """,
+)
+def pr_threshold_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14, binned form (the streaming algorithm run in batch): fixed
+    1/1000-grid histogram -> cumulative TP/predicted-positive from the
+    top bin down -> F1 argmax.  Same operators the streaming path
+    maintains incrementally (streaming/pipeline.py binned_score_counts /
+    threshold_from_bins), here DuckDB-oracle-checked; state and read
+    cost are O(bins) regardless of corpus size."""
+    from ..streaming.pipeline import binned_score_counts, threshold_from_bins
+
+    s = scored_events(spark, sf_dir)
+    bins = binned_score_counts(
+        s, n_bins=1000, proba_col="score", label_col="actual"
+    )
+    return threshold_from_bins(bins, n_bins=1000)
