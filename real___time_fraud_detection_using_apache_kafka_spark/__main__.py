@@ -91,7 +91,13 @@ def cmd_train(args: argparse.Namespace) -> int:
 
 
 def cmd_stream(args: argparse.Namespace) -> int:
-    from .streaming.pipeline import run_scoring_pipeline
+    from .sources.generator import stream_transactions
+    from .streaming.pipeline import (
+        binned_score_counts,
+        run_scoring_pipeline,
+        score_stream,
+        threshold_from_bins,
+    )
 
     spark = _spark("stream")
     model = None
@@ -101,6 +107,17 @@ def cmd_stream(args: argparse.Namespace) -> int:
         model = PipelineModel.load(args.model_dir)
     ckpt = args.checkpoint or tempfile.mkdtemp(prefix="fraud_stream_ckpt_")
     query = run_scoring_pipeline(spark, ckpt, model=model)
+    # second query off the same logical source: incremental PR-curve
+    # state (<=1000 rows) so --watch can show the live optimal threshold
+    bins_q = (
+        binned_score_counts(score_stream(stream_transactions(spark),
+                                         model=model))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("pr_bins")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="pr_bins_ckpt_"))
+        .start()
+    )
     deadline = time.time() + args.seconds
     try:
         while time.time() < deadline:
@@ -110,12 +127,14 @@ def cmd_stream(args: argparse.Namespace) -> int:
                     "SELECT prediction, n FROM fraud_counts ORDER BY prediction"
                 ).collect()
                 counts = {int(r["prediction"]): int(r["n"]) for r in rows}
-                print(
-                    f"non-fraud: {counts.get(0, 0)}  fraud: {counts.get(1, 0)}",
-                    flush=True,
-                )
+                line = f"non-fraud: {counts.get(0, 0)}  fraud: {counts.get(1, 0)}"
+                if spark.table("pr_bins").limit(1).count():
+                    t = threshold_from_bins(spark.table("pr_bins")).first()
+                    line += f"  optimal-threshold: {t.threshold:.3f} (f1 {t.f1:.3f})"
+                print(line, flush=True)
     finally:
         query.stop()
+        bins_q.stop()
     rows = spark.sql("SELECT prediction, n FROM fraud_counts").collect()
     total = sum(int(r["n"]) for r in rows)
     print(json.dumps({
