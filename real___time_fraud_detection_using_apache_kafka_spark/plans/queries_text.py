@@ -1333,3 +1333,50 @@ def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ),
     )
+
+
+@register(
+    "embedding_salient_dims",
+    oracle="""
+    WITH pos AS (
+        SELECT vec_id, dim, embedding[dim + 1] AS x
+        FROM (SELECT vec_id, embedding,
+                     unnest(range(len(embedding))) AS dim
+              FROM embeddings)
+    ), ranked AS (
+        SELECT vec_id, dim, x,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY abs(x) DESC, dim ASC) AS rk
+        FROM pos
+    )
+    SELECT vec_id, dim, round(cast(x AS DOUBLE), 6) AS component, rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def embedding_salient_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector salient dimensions (training-data extension): the 3
+    largest-magnitude components of every embedding with their indices —
+    the inspection query behind dead-dimension / feature-collapse audits
+    of an embedding table.  ``posexplode`` keeps the dimension index
+    alongside the value (a narrow generate, no shuffle); the per-vector
+    top-3 is a WindowGroupLimit on the vec_id partitioning — one
+    exchange total, ties broken by index for cross-engine determinism."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("dim", "x")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc(F.abs(F.col("x"))), F.asc("dim")
+    )
+    return (
+        pos.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "vec_id",
+            "dim",
+            F.round(F.col("x").cast("double"), 6).alias("component"),
+            "rk",
+        )
+    )
