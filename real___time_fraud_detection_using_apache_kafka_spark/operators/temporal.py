@@ -70,6 +70,18 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     )
 
 
+def _micros(c):
+    """Epoch microseconds for TIMESTAMP *and* TIMESTAMP_NTZ inputs.
+
+    The driver testdata's parquet stores naive timestamps, which Spark 4
+    reads as TIMESTAMP_NTZ (``unix_micros`` rejects that type outright).
+    Casting through TIMESTAMP first is a no-op for tz-aware columns and
+    interprets NTZ in the session zone; every use below is a difference,
+    bucket, or sort key, so a constant zone shift cannot change results.
+    """
+    return F.unix_micros(c.cast("timestamp"))
+
+
 _UNIT_US = {
     "second": 1_000_000, "seconds": 1_000_000,
     "minute": 60_000_000, "minutes": 60_000_000,
@@ -107,8 +119,8 @@ def interval_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     on = list(on)
     gap = F.expr(f"INTERVAL {lookback}")
     bucket_us = _interval_micros(lookback)
-    lb = F.floor(F.unix_micros(F.col(left_ts)) / bucket_us)
-    rb = F.floor(F.unix_micros(F.col(right_ts)) / bucket_us)
+    lb = F.floor(_micros(F.col(left_ts)) / bucket_us)
+    rb = F.floor(_micros(F.col(right_ts)) / bucket_us)
     probe = left.withColumn(
         "_bucket", F.explode(F.array(lb.cast("long"), lb.cast("long") - 1))
     )
@@ -161,7 +173,7 @@ def session_stats(df: DataFrame, key_cols: Sequence[str], ts_col: str,
         # microsecond-exact difference, then whole seconds — subtracting
         # second-truncated timestamps would drift by up to 1 s
         (
-            (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col)))
+            (_micros(F.max(ts_col)) - _micros(F.min(ts_col)))
             / 1_000_000
         ).cast("long").alias("duration_sec"),
     )
@@ -184,7 +196,7 @@ def rolling_range_stats(df: DataFrame, key_cols: Sequence[str], ts_col: str,
     lb = _interval_micros(lookback)
     w = (
         Window.partitionBy(*key_cols)
-        .orderBy(F.unix_micros(F.col(ts_col)))
+        .orderBy(_micros(F.col(ts_col)))
         .rangeBetween(-lb, 0)
     )
     return df.withColumn("n_trailing", F.count("*").over(w)).withColumn(

@@ -31,7 +31,9 @@ def normalize(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
+        # exact shortest-roundtrip repr — the driver stringifies values, so
+        # a 1-ULP accumulation difference fails there; fail here first.
+        return repr(v)
     if isinstance(v, bytes):
         return v.hex()
     if hasattr(v, "isoformat"):
