@@ -31,7 +31,8 @@ def exact_dedup(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
-                        band_width: int = 200) -> DataFrame:
+                        band_width: int = 200,
+                        prefix_order: str = "hash") -> DataFrame:
     """Near-dup pairs by word-n-gram Jaccard similarity, with prefix-filter
     candidate generation (Vernica/PPJoin family).
 
@@ -43,12 +44,27 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     filtering instead exploits a theorem: order every shingle set by one
     global total order; if j(A, B) >= t then |A ∩ B| >= ceil(t*|A|), so the
     first ``|A| - ceil(t*|A|) + 1`` elements of A must intersect B's prefix.
-    Ordering by ascending global document frequency puts the RAREST
-    shingles in the prefix, so the candidate equi-join on (prefix shingle)
-    touches few pairs.  All stages are shuffles on bounded keys:
 
-      explode -> df-count groupBy -> per-doc row_number window ->
-      equi-join on prefix shingle -> exact verification of survivors.
+    Shingles are xxhash64-reduced to 64-bit longs the moment they are
+    formed, so every downstream shuffle and every ``array_intersect``
+    carries 8-byte keys instead of ~25-byte strings (collision odds at
+    corpus scale ~ |shingles|^2 / 2^64 — immaterial next to threshold
+    granularity).
+
+    ``prefix_order`` picks the total order:
+
+    - ``"hash"`` (default): order by the hash value itself.  The prefix is
+      then ``slice(array_sort(sh), prefix_len)`` — computed NARROWLY inside
+      the scan stage, no global document-frequency pass at all.  Right for
+      corpora without heavy boilerplate (uniformly-random order ≈ any
+      fixed order when most shingles are near-unique).
+    - ``"df"``: ascending global document frequency — the RAREST shingles
+      land in the prefix, minimizing candidate pairs on boilerplate-heavy
+      corpora at the cost of two extra shuffles (df groupBy + per-doc
+      row_number window).  The 100 TB default when dup rate is high.
+
+    Both orders are exact (ordering changes only candidate COUNT, never
+    the verified result — parity-tested).
     """
     # A small parquet file arrives as ONE input partition; spread the rows
     # before the (cpu-heavy) shingling so it runs on every core.  At scale
@@ -59,25 +75,41 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     shingled = docs.select(
         "doc_id",
         "lang",
-        word_ngrams(F.col("text"), n).alias("sh"),
+        F.array_sort(
+            F.array_distinct(
+                F.transform(word_ngrams(F.col("text"), n), lambda s: F.xxhash64(s))
+            )
+        ).alias("sh"),
         F.floor(F.col("n_chars") / band_width).alias("band"),
     ).filter(F.size("sh") > 0)
-    # consumed 3x (token explode + both verify sides) — persist so the
+    # consumed by candidate generation + both verify sides — persist so the
     # shingling runs once; spills to disk rather than recompute at scale
     shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
-    toks = shingled.select(
-        "doc_id", "lang", "band",
-        F.size("sh").alias("sz"), F.explode("sh").alias("shingle"),
-    )
-    freq = toks.groupBy("shingle").agg(F.count("*").alias("df"))
-    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
     prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    prefix = (
-        toks.join(freq, "shingle")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= prefix_len)
-        .select("doc_id", "lang", "band", "sz", "shingle")
-    ).persist(StorageLevel.MEMORY_AND_DISK)  # both sides of the self-join
+    if prefix_order == "hash":
+        # prefix = lowest-hash shingles, computed with array ops in the
+        # same narrow stage as the shingling — zero candidate-prep shuffles
+        prefix = (
+            shingled.withColumn("sz", F.size("sh"))
+            .select(
+                "doc_id", "lang", "band", "sz",
+                F.explode(F.slice(F.col("sh"), F.lit(1), prefix_len))
+                .alias("shingle"),
+            )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        toks = shingled.select(
+            "doc_id", "lang", "band",
+            F.size("sh").alias("sz"), F.explode("sh").alias("shingle"),
+        )
+        freq = toks.groupBy("shingle").agg(F.count("*").alias("df"))
+        w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
+        prefix = (
+            toks.join(freq, "shingle")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= prefix_len)
+            .select("doc_id", "lang", "band", "sz", "shingle")
+        ).persist(StorageLevel.MEMORY_AND_DISK)  # both sides of the self-join
     # Every pairwise predicate that doesn't need the shingle arrays moves
     # INTO candidate generation: lang joins as an equi-key, the length band
     # and the size-ratio bound (j >= t implies min(sz) >= t*max(sz)) filter
@@ -124,13 +156,17 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
 
 
 def _shingled(docs: DataFrame, n: int) -> DataFrame:
-    """(doc_id, sh) with input rebalanced across cores before the
+    """(doc_id, sh) with shingles xxhash64-reduced to longs (8-byte
+    shuffle/intersect keys) and input rebalanced across cores before the
     cpu-heavy shingling (a small parquet file arrives as one partition)."""
     docs = docs.repartition(
         docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
     )
     return docs.select(
-        "doc_id", word_ngrams(F.col("text"), n).alias("sh")
+        "doc_id",
+        F.array_distinct(
+            F.transform(word_ngrams(F.col("text"), n), lambda s: F.xxhash64(s))
+        ).alias("sh"),
     ).filter(F.size("sh") > 0)
 
 
@@ -141,15 +177,15 @@ def minhash_signatures(docs: DataFrame, n: int = 3,
 
     The driver checks this surface rows-only (LSH banding is not
     ANSI-SQL-expressible), so no oracle-portable hash is needed: shingles
-    hash with JVM-native ``xxhash64`` (one codegen call per shingle instead
-    of an O(chars) aggregate loop), mod-reduced into [0, MOD) so the same
-    affine permutations apply.  All K minima come from one pass over the
-    shingle array via higher-order functions — no explode, no shuffle.
+    arrive already xxhash64-reduced to longs (``_shingled``), mod-reduced
+    into [0, MOD) so the same affine permutations apply.  All K minima
+    come from one pass over the shingle array via higher-order functions —
+    no explode, no shuffle.
     """
     if shingled is None:
         shingled = _shingled(docs, n)
     sig = shingled.withColumn(
-        "h", F.transform("sh", lambda s: F.pmod(F.xxhash64(s), F.lit(MOD)))
+        "h", F.transform("sh", lambda x: F.pmod(x, F.lit(MOD)))
     )
     cols = [
         F.array_min(

@@ -46,6 +46,26 @@ def test_ngram_jaccard_finds_planted_pairs(corpus):
     assert all(a in (1, 3) for a, b in pairs)  # no false positives
 
 
+def test_ngram_jaccard_prefix_orders_agree(corpus):
+    """Prefix ordering (hash vs global-df) changes only the CANDIDATE set,
+    never the verified result — both orders must emit identical pairs and
+    identical jaccard values."""
+    key = lambda r: (r["doc_a"], r["doc_b"])  # noqa: E731
+    hash_rows = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in D.ngram_jaccard_pairs(
+            corpus, n=3, threshold=0.5, prefix_order="hash"
+        ).collect()
+    )
+    df_rows = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in D.ngram_jaccard_pairs(
+            corpus, n=3, threshold=0.5, prefix_order="df"
+        ).collect()
+    )
+    assert hash_rows == df_rows
+
+
 def test_minhash_lsh_finds_planted_pairs(corpus):
     pairs = {
         (r["doc_a"], r["doc_b"])
