@@ -638,6 +638,47 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "variant_props_stats",
+    oracle="""
+    SELECT event_type, count(*) AS n_events,
+           round(avg(cast(json_extract(props, '$.k') AS INT)), 4) AS avg_k,
+           cast(max(cast(json_extract(props, '$.k') AS INT)) AS BIGINT) AS max_k,
+           sum(CASE WHEN json_extract(props, '$.missing') IS NULL
+                    THEN 1 ELSE 0 END) AS n_missing
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (extends F19, FD/consumer.py:106):
+    ``parse_json`` decodes each props payload ONCE into Spark's binary
+    VARIANT encoding; every subsequent ``variant_get`` path extraction
+    reads the decoded tree instead of re-parsing the JSON string — the
+    100 TB answer to schemaless columns probed by many paths (the
+    reference re-deserializes the whole record per field access).
+    ``try_variant_get`` on an absent path yields null (the engine's
+    typed mirror of the consumer's defensive ``.get(key, default)``,
+    FD/consumer.py:37-38)."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return (
+        e.select("event_type", v.alias("v"))
+        .select(
+            "event_type",
+            F.variant_get("v", "$.k", "int").alias("k"),
+            F.try_variant_get("v", "$.missing", "int").alias("m"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").cast("long").alias("max_k"),
+            F.sum(F.when(F.col("m").isNull(), 1).otherwise(0)).alias("n_missing"),
+        )
+    )
+
+
+@register(
     "customer_order_analytics",
     oracle="""
     SELECT o_custkey, o_orderkey,

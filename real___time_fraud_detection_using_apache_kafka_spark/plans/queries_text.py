@@ -1045,6 +1045,62 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_chunks_overlap",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, {TOKS} AS t
+        FROM documents WHERE trim(text) <> ''
+    ), st AS (
+        SELECT doc_id, t,
+               generate_subscripts(range(1, greatest(len(t) - 4, 1) + 1, 12), 1)
+                   - 1 AS chunk_id,
+               unnest(range(1, greatest(len(t) - 4, 1) + 1, 12)) AS start
+        FROM tok
+    )
+    SELECT doc_id, chunk_id,
+           len(list_slice(t, start, start + 15)) AS n_tokens,
+           array_to_string(list_slice(t, start, start + 15), ' ') AS chunk_text
+    FROM st
+    """,
+)
+def doc_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window document chunking (training-data extension): the
+    RAG/context-extension counterpart of ``pack_training_sequences`` —
+    each doc splits into 16-token chunks on a 12-token stride (4-token
+    overlap), so every token appears in ≥1 chunk and boundary context is
+    never lost.
+
+    Entirely narrow: chunk starts come from ``sequence()`` and each chunk
+    is an array ``slice`` — tokenize, chunk, and render all happen inside
+    the scan stage with ZERO shuffles (plan has no Exchange), so the
+    operator is embarrassingly parallel at any corpus size.  The stride
+    rule (last start ≤ n_tokens - overlap) guarantees no chunk is fully
+    contained in its predecessor."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    t = TX.tokens(F.col("text"))
+    chunk, overlap, stride = 16, 4, 12
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(t) - overlap, F.lit(1)), F.lit(stride)
+    )
+    return (
+        docs.select(
+            "doc_id", t.alias("t"), F.posexplode(starts).alias("pos", "start")
+        )
+        .select(
+            "doc_id",
+            F.col("pos").alias("chunk_id"),
+            F.slice("t", F.col("start"), chunk).alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("chunk").alias("n_tokens"),
+            F.concat_ws(" ", "chunk").alias("chunk_text"),
+        )
+    )
+
+
+@register(
     "embedding_quantize_stats",
     oracle="""
     WITH s AS (

@@ -179,3 +179,36 @@ def test_mix_sources_budget_is_maximal_hash_prefix(spark, sf_dir):
     for r in nxt.collect():
         if r.source in kept:
             assert kept[r.source].kept_tokens < r.first_over
+
+
+def test_doc_chunks_overlap_short_and_striding(spark):
+    """A doc shorter than one chunk yields exactly one full-doc chunk; a
+    longer doc strides by 12 with 4-token overlap and never emits a chunk
+    fully contained in its predecessor."""
+    from real___time_fraud_detection_using_apache_kafka_spark.plans.queries_text import (
+        doc_chunks_overlap,
+    )
+    import real___time_fraud_detection_using_apache_kafka_spark.plans.queries_text as QT
+
+    short = "only five little tokens here"
+    long = " ".join(f"w{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, short, "en", "s", len(short)), (2, long, "en", "s", len(long))],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    orig = QT.load_table
+    QT.load_table = lambda sp, sf, name: df  # noqa: ARG005
+    try:
+        rows = sorted(
+            (r["doc_id"], r["chunk_id"], r["n_tokens"], r["chunk_text"])
+            for r in doc_chunks_overlap(spark, "unused").collect()
+        )
+    finally:
+        QT.load_table = orig
+    by_doc = {}
+    for doc, cid, n, txt in rows:
+        by_doc.setdefault(doc, []).append((cid, n, txt))
+    assert by_doc[1] == [(0, 5, short)]
+    # 30 tokens, starts 1,13,25 -> chunks of 16,16,6 tokens
+    assert [(c, n) for c, n, _ in by_doc[2]] == [(0, 16), (1, 16), (2, 6)]
+    assert by_doc[2][1][2].startswith("w12 ")  # stride 12, 4-token overlap
