@@ -464,21 +464,30 @@ def log_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-5 terms per document (text-analysis extension).
 
-    Plan shape: narrow tokenize/explode -> (doc,term) count shuffle ->
-    term-level doc-frequency shuffle -> join back (term table is small
-    after aggregation; AQE picks broadcast at test scale, shuffle join at
-    100 TB) -> per-doc window top-k.  Ranking compares the ROUNDED score
+    Plan shape: ONE up-front hash exchange on doc_id, then the whole
+    per-doc pipeline reuses it — the (doc,term) tf count needs clustering
+    on (doc_id, term), which hash-partitioning on the SUBSET key doc_id
+    already satisfies (same doc ⇒ same partition ⇒ same (doc,term) pair
+    co-located), and the final per-doc top-k window needs exactly doc_id.
+    Only the term-level doc-frequency aggregate shuffles again (keyed by
+    term — unavoidable, but it runs on the already-deduplicated (doc,term)
+    pairs and its output is vocabulary-sized, so AQE broadcasts it back
+    at any realistic corpus scale).  Ranking compares the ROUNDED score
     on both engines so a last-ulp ln() difference can't reorder ties;
     remaining ties break on term.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    raw = load_table(spark, sf_dir, "documents")
+    # metadata-only count from the un-repartitioned scan (no exchange)
+    n_docs = raw.agg(F.count("*").alias("n_docs"))
+    docs = raw.repartition(
+        raw.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
     tokens = docs.select(
         "doc_id",
         F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
     ).filter(F.length("term") >= 3)
     tf = tokens.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n_docs = docs.agg(F.count("*").alias("n_docs"))
     scored = (
         tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
