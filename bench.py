@@ -88,6 +88,15 @@ def main() -> None:
         timings[name] = round(samples[len(samples) // 2], 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
     total = round(sum(timings.values()), 3)
+    # Fixed-work calibration: time a constant JVM-side aggregation that
+    # touches no input data, so per-round totals measured on different
+    # hosts can be normalized (host speed varies round to round; the
+    # query mix does not).  Reported once, not added to the total.
+    t0 = time.time()
+    spark.range(0, 200_000_000, 1, 32).selectExpr(
+        "sum(id * 3 % 7) as s"
+    ).collect()
+    calibration = round(time.time() - t0, 3)
     print(
         json.dumps(
             {
@@ -96,6 +105,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf else None,
+                "calibration_sec": calibration,
             }
         )
     )

@@ -247,31 +247,49 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int = 5,
 
 
 def hyperplane_lsh_pairs(embeddings: DataFrame, threshold: float = 0.45,
-                         n_planes: int = 8, seed: int = 42,
+                         bands: int = 8, planes_per_band: int = 3,
+                         seed: int = 42,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding") -> DataFrame:
-    """Random-hyperplane LSH near-dup: bucket by the sign pattern of
-    ``n_planes`` fixed random projections, equi-join on bucket, verify
-    exact cosine.  Deterministic: hyperplanes come from a seeded NumPy RNG
-    broadcast as literal arrays."""
+    """Banded random-hyperplane LSH near-dup: each band hashes a vector to
+    the sign pattern of ``planes_per_band`` fixed random projections; two
+    vectors become candidates if they collide in ANY band
+    (OR-amplification, the cosine mirror of MinHash banding:
+    P[candidate] = 1 - (1 - p^r)^b with p = 1 - angle/pi).  Candidates
+    verify with exact cosine, so the output has no false positives;
+    recall at cosine c is tunable via (bands, planes_per_band) — the
+    defaults give ~0.92 at c = 0.45 and ~1.0 at c >= 0.7.
+
+    Deterministic: hyperplanes come from a seeded NumPy RNG broadcast as
+    literal arrays.  One explode (b rows per vector) + one equi-join on
+    (band, pattern) — bucket keys cap candidate cardinality at any corpus
+    size; no cartesian anywhere."""
     import numpy as np
 
     dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
     dim = dim_row["d"]
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
+    planes = rng.standard_normal((bands * planes_per_band, dim))
 
-    def sign_bits(vec: Column) -> Column:
+    def band_pattern(vec: Column, band: int) -> Column:
         bits = []
-        for p in planes:
+        for r in range(planes_per_band):
+            p = planes[band * planes_per_band + r]
             plane = F.array(*[F.lit(float(x)) for x in p])
             bits.append(F.when(dot(vec, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
         return F.concat(*bits)
 
+    bucket_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            band_pattern(F.col(vec_col), band).alias("pattern"),
+        ).alias(f"b{band}")
+        for band in range(bands)
+    ]
     tagged = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
         norm(F.col(vec_col)).alias("nv"),
-        sign_bits(F.col(vec_col)).alias("bucket"),
+        F.explode(F.array(*bucket_structs)).alias("bucket"),
     )
     a = tagged.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"),
@@ -281,7 +299,12 @@ def hyperplane_lsh_pairs(embeddings: DataFrame, threshold: float = 0.45,
         F.col("id").alias("id_b"), F.col("v").alias("vb"),
         F.col("nv").alias("nb"), "bucket",
     )
-    cand = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb", "na", "nb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
     return cand.select(
         "id_a", "id_b",
         F.round(

@@ -289,6 +289,20 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_neardup_pairs(emb, threshold=0.45)
 
 
+@register("embedding_lsh_neardup", oracle=None)
+def embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape of ``embedding_cosine_neardup``: banded
+    random-hyperplane LSH buckets (8 bands x 3 seeded projections,
+    OR-amplified like MinHash banding) gate the self-join, so candidate
+    pairs are bucket-local instead of block-cartesian; every candidate is
+    verified with exact cosine, so reported pairs have NO false positives
+    (recall ~0.92 at the 0.45 threshold, ~1.0 for true near-dups; recall
+    vs the exact tier is tested in test_dedup_similarity.py).  Rows-only
+    surface: the bucketing is not ANSI-SQL-expressible."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.hyperplane_lsh_pairs(emb, threshold=0.45)
+
+
 @register(
     "multimodal_binary",
     oracle="""

@@ -237,3 +237,26 @@ def test_pca_ivf_rerank_beats_plain_ivf_and_keeps_exact_scores(spark):
     td = {(r.query_id, r.neighbor_id): r.cosine for r in truth.collect()}
     ad = {(r.query_id, r.neighbor_id): r.cosine for r in approx.collect()}
     assert all(abs(td[p] - ad[p]) < 1e-9 for p in (t & a))
+
+
+def test_hyperplane_lsh_recall_and_no_false_positives(spark):
+    """Banded hyperplane LSH on the testdata embeddings: every reported
+    pair must be a true pair (exact verify), and recall vs the exact
+    all-pairs tier must be high at the same threshold."""
+    from real___time_fraud_detection_using_apache_kafka_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.cosine_neardup_pairs(emb, threshold=0.45).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.hyperplane_lsh_pairs(emb, threshold=0.45).collect()
+    }
+    assert lsh <= exact  # exact verification -> no false positives
+    assert exact, "fixture must contain at least one true pair"
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.75, f"recall {recall:.2f} too low"
