@@ -111,6 +111,44 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tumbling_event_windows",
+    oracle="""
+    SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start,
+           time_bucket(INTERVAL 6 HOUR, ts) + INTERVAL 6 HOUR AS window_end,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def tumbling_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7's tumbling event-time window as a BATCH query: ``F.window``
+    buckets each event into its 6-hour tumble, then a plain grouped
+    aggregate — the exact expression the streaming path runs with
+    ``withWatermark`` (pkg/streaming/pipeline.py windowed_counts), so
+    batch backfill and live streaming share window semantics.  One
+    shuffle on (window, event_type); window assignment itself is narrow
+    arithmetic inside the scan stage."""
+    e = load_table(spark, sf_dir, "events")
+    w = F.window(F.col("ts"), "6 hours")
+    return (
+        e.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
     "clicks_before_purchase",
     oracle="""
     SELECT p.event_id  AS purchase_id,
