@@ -282,6 +282,77 @@ def agg_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stats_moments_lineitem",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4)                 AS sd_qty,
+           round(var_samp(l_quantity), 4)                    AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+           round(covar_pop(l_quantity, l_extendedprice), 2)  AS covar_pop_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def stats_moments_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-moment aggregates (extension family beyond A2-A5):
+    sample stddev/variance and correlation/covariance per return flag.
+    All five are single-pass mergeable aggregates (Welford-style partial
+    states combined at the reduce), so they partial-aggregate map-side
+    exactly like sum/avg — O(groups) reduce state at any SF.  Both
+    engines use the same n-1 / n definitions; rounding absorbs partial-
+    merge accumulation-order ulps."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2)
+        .alias("covar_qty_price"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 2)
+        .alias("covar_pop_qty_price"),
+    )
+
+
+@register(
+    "customer_order_digest",
+    oracle="""
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           string_agg(cast(o_orderkey AS VARCHAR), ','
+                      ORDER BY o_orderkey) AS orderkeys_csv,
+           string_agg(DISTINCT o_orderpriority, '|'
+                      ORDER BY o_orderpriority) AS priorities
+    FROM orders
+    WHERE o_custkey <= 200
+    GROUP BY o_custkey
+    """,
+)
+def customer_order_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List-aggregation family (collect_list / collect_set — extension):
+    per-customer ordered order-key digest and distinct priority set,
+    rendered as delimited strings so the result is engine-portable.
+    ``sort_array`` pins element order (collect_list order is otherwise
+    partition-arrival-dependent — never hashable as-is); the per-group
+    array is bounded by orders-per-customer, not SF, so collect state
+    stays small at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_custkey") <= 200)
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list("o_orderkey"))
+            ).alias("orderkeys_csv"),
+            F.concat_ws(
+                "|", F.sort_array(F.collect_set("o_orderpriority"))
+            ).alias("priorities"),
+        )
+    )
+
+
+@register(
     "mode_source_per_lang",
     oracle="""
     WITH counts AS (
