@@ -662,6 +662,41 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kv_map_roundtrip",
+    oracle="""
+    SELECT event_id,
+           event_type AS type_rt,
+           cast(printf('%.2f', value) AS DOUBLE) AS value_rt,
+           true AS has_user,
+           2 AS n_other
+    FROM events WHERE event_id <= 2000
+    """,
+)
+def kv_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7's named Spark primitives (SURVEY §2.1: the `key: value` log parse
+    as `str_to_map` + `transform_keys`): render a log-style kv line from
+    each event, parse it back into a MapType, normalize keys, and probe it
+    with element_at / map_contains_key / map_filter.  The oracle computes
+    the same values straight from the raw columns, so the test is
+    render→parse = identity (the same contract as currency_roundtrip).
+    Entirely narrow map/array expressions — zero shuffles."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 2000)
+    s = F.format_string(
+        "type: %s, value: %.2f, user: %d",
+        F.col("event_type"), F.col("value"), F.col("user_id"),
+    )
+    m = F.str_to_map(s, F.lit(", "), F.lit(": "))
+    mk = F.transform_keys(m, lambda k, _: F.upper(k))
+    return e.select(
+        "event_id",
+        F.element_at(mk, "TYPE").alias("type_rt"),
+        F.element_at(mk, "VALUE").cast("double").alias("value_rt"),
+        F.map_contains_key(mk, "USER").alias("has_user"),
+        F.size(F.map_filter(mk, lambda k, _: k != F.lit("USER"))).alias("n_other"),
+    )
+
+
+@register(
     "currency_roundtrip",
     oracle="""
     SELECT o_orderkey,
