@@ -697,6 +697,44 @@ def kv_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "wire_formats_roundtrip",
+    oracle="""
+    SELECT event_id,
+           event_type AS csv_et,
+           value      AS csv_value,
+           event_type AS xml_et,
+           user_id    AS xml_user
+    FROM events WHERE event_id <= 2000
+    """,
+)
+def wire_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wire-format function families beyond JSON (F19's siblings): each
+    event renders to a CSV line (``to_csv``) and an XML snippet, then both
+    parse back with ``from_csv`` / ``from_xml`` (Spark 4 native XML) under
+    explicit schemas.  The oracle reads the same values off the raw
+    columns, so the check is render→parse = identity — including the
+    double round trip (Java's shortest-distinguishing float rendering
+    re-parses to the identical IEEE value).  All narrow expressions."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 2000)
+    csv_line = F.to_csv(F.struct("event_id", "event_type", "value"))
+    csv = F.from_csv(
+        csv_line, F.lit("event_id BIGINT, event_type STRING, value DOUBLE")
+    )
+    xml_snip = F.concat(
+        F.lit("<e><et>"), F.col("event_type"),
+        F.lit("</et><user>"), F.col("user_id"), F.lit("</user></e>"),
+    )
+    xml = F.from_xml(xml_snip, F.lit("et STRING, user BIGINT"))
+    return e.select(
+        "event_id",
+        csv.getField("event_type").alias("csv_et"),
+        csv.getField("value").alias("csv_value"),
+        xml.getField("et").alias("xml_et"),
+        xml.getField("user").alias("xml_user"),
+    )
+
+
+@register(
     "currency_roundtrip",
     oracle="""
     SELECT o_orderkey,
