@@ -63,9 +63,13 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark("bench")
     qs = plans.queries()
-    # warm the JVM + parquet footers once so per-query numbers measure the
-    # query, not session startup
+    # warm the JVM + parquet footers + OS page cache for every table the
+    # headline set reads, so per-query numbers measure the query, not
+    # first-touch costs (cold parquet read + codegen JIT otherwise lands
+    # entirely on whichever query happens to touch a table first)
     qs["q1_pricing_summary"](spark, sf_dir).count()
+    for t in ("documents", "embeddings", "events", "orders", "customer"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
     # SPARK_GRAFT_BENCH_REPEAT=N (default 1) reports the per-query median
     # of N cold runs — run-to-run jitter on local[32] is a few percent,
     # and the median removes it without changing the default cadence

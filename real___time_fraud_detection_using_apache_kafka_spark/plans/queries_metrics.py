@@ -183,6 +183,62 @@ def classification_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "per_class_report",
+    oracle=SCORED_CTE
+    + """
+    , cells AS (
+        SELECT sum(CASE WHEN actual = 1 AND predicted = 1 THEN 1 ELSE 0 END) AS tp,
+               sum(CASE WHEN actual = 0 AND predicted = 1 THEN 1 ELSE 0 END) AS fp,
+               sum(CASE WHEN actual = 1 AND predicted = 0 THEN 1 ELSE 0 END) AS fn,
+               sum(CASE WHEN actual = 0 AND predicted = 0 THEN 1 ELSE 0 END) AS tn
+        FROM scored
+    )
+    SELECT 0 AS label,
+           tn + fp AS support,
+           round(tn / cast(tn + fn AS DOUBLE), 6) AS prec,
+           round(tn / cast(tn + fp AS DOUBLE), 6) AS rec,
+           round(2.0 * tn / cast(2 * tn + fn + fp AS DOUBLE), 6) AS f1
+    FROM cells
+    UNION ALL
+    SELECT 1 AS label,
+           tp + fn AS support,
+           round(tp / cast(tp + fp AS DOUBLE), 6) AS prec,
+           round(tp / cast(tp + fn AS DOUBLE), 6) AS rec,
+           round(2.0 * tp / cast(2 * tp + fp + fn AS DOUBLE), 6) AS f1
+    FROM cells
+    """,
+)
+def per_class_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PER-CLASS rows of the reference's classification_report
+    (FD/model.py:136-139; committed at FD/Model Reports/
+    classification_report_*.txt — support, precision, recall, f1 per
+    label), complementing ``classification_metrics``'s scalar battery.
+    One global aggregate to the four confusion cells, then ``stack``
+    pivots the cells into one row per class — no second pass over the
+    data.  The 2tp/(2tp+fp+fn) F1 identity avoids the 0/0 the ratio
+    form hits on degenerate classes."""
+    s = scored_events(spark, sf_dir)
+    cells = confusion_cells(s, F.col("actual"), F.col("predicted"))
+    return cells.select(
+        F.expr("stack(2, 0, tn, fn, fp, 1, tp, fp, fn)")
+        .alias("label", "tp_c", "fp_c", "fn_c"),
+        "tn", "tp", "fp", "fn",
+    ).select(
+        "label",
+        (F.col("tp_c") + F.col("fn_c")).alias("support"),
+        F.round(F.col("tp_c") / (F.col("tp_c") + F.col("fp_c")).cast("double"), 6)
+        .alias("prec"),
+        F.round(F.col("tp_c") / (F.col("tp_c") + F.col("fn_c")).cast("double"), 6)
+        .alias("rec"),
+        F.round(
+            2.0 * F.col("tp_c")
+            / (2 * F.col("tp_c") + F.col("fp_c") + F.col("fn_c")).cast("double"),
+            6,
+        ).alias("f1"),
+    )
+
+
+@register(
     "log_loss",
     oracle=SCORED_CTE
     + """
