@@ -41,8 +41,11 @@ def currency_format(amount: Column) -> Column:
 
 def currency_parse(s: Column) -> Column:
     """F8 (FD/evaluation.py:83-87): strip leading ``$`` and cast, nulling
-    on failure like ``pd.to_numeric(errors='coerce')`` (F13)."""
-    return F.regexp_replace(s, r"^\$", "").cast("double")
+    on failure like ``pd.to_numeric(errors='coerce')`` (F13).  Must be
+    ``try_cast``: Spark 4 runs ANSI mode, where a plain cast of a
+    malformed string THROWS mid-job instead of nulling — the lenient
+    contract only holds with the try_ form."""
+    return F.regexp_replace(s, r"^\$", "").try_cast("double")
 
 
 def normalize_key(s: Column) -> Column:

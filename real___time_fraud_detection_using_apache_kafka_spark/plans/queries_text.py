@@ -394,8 +394,10 @@ def log_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rendered.select(
         "event_id",
         F.regexp_extract("line", r"Transaction ID: (TXN[0-9]+)", 1).alias("txn_id"),
+        # try_cast: regexp_extract yields "" on drifted records, which a
+        # plain ANSI cast turns into a job-killing NumberFormatException
         F.regexp_extract("line", r"Amount: \$([0-9.]+)", 1)
-        .cast("double")
+        .try_cast("double")
         .alias("amount"),
         fraud_flag(F.regexp_extract("line", r"Status: (.*)$", 1)).alias("fraud_flag"),
     )

@@ -104,3 +104,13 @@ def test_sessionize_invariants(spark, deltas):
         assert cur in (prev, prev + 1)
     n_gaps = sum(1 for d in deltas[1:] if d > 1800)
     assert ids[-1] == n_gaps
+
+
+def test_currency_parse_lenient_on_malformed(spark):
+    """F13 contract under ANSI mode (Spark 4 default): malformed money
+    strings null out instead of throwing mid-job."""
+    df = spark.createDataFrame(
+        [("$12.50",), ("$N/A",), ("",), ("garbage",)], ["s"]
+    )
+    got = [r["v"] for r in df.select(currency_parse(F.col("s")).alias("v")).collect()]
+    assert got == [12.5, None, None, None]
