@@ -244,19 +244,30 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, bands: int = 4,
     ).filter(F.col("jaccard") >= threshold)
 
 
-def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+def simhash(docs: DataFrame, bits: int = 32,
+            hash_fn: str = "xxhash64") -> DataFrame:
     """SimHash fingerprint: per-bit majority vote over token hashes.
 
     One explode + one groupBy(doc) with ``bits`` sum aggregates — a single
     shuffle keyed by doc_id; partial aggregation keeps shuffle volume at
-    O(docs x bits/8) bytes regardless of document length.  Rows-only
-    surface, so tokens hash with JVM-native ``xxhash64`` (full 64-bit
-    spread; every vote bit is uniform).
+    O(docs x bits/8) bytes regardless of document length.
+
+    ``hash_fn``: ``"xxhash64"`` (default hot path — full 64-bit spread,
+    every vote bit uniform) or ``"portable"`` — the engine's polynomial
+    hash mod 1e9+7, reproducible bit-for-bit in ANSI SQL, which makes the
+    whole fingerprint DuckDB-oracle-checkable; its range is < 2^30, so
+    use ``bits <= 24`` with it (higher bits skew toward 0).
     """
+    from ..functions.hashing import poly_hash_expr
+
     tok = docs.select(
         "doc_id",
         F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
-    ).withColumn("th", F.xxhash64("tok"))
+    )
+    if hash_fn == "portable":
+        tok = tok.withColumn("th", poly_hash_expr("tok"))
+    else:
+        tok = tok.withColumn("th", F.xxhash64("tok"))
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("th"), b).bitwiseAND(1) == 1, 1).otherwise(-1)

@@ -191,12 +191,43 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(docs, n=3, bands=4, rows_per_band=4, threshold=0.5)
 
 
-@register("simhash_fingerprints")  # rows-only: 32 bit-vote aggregates
+_SIMHASH_BITS = 24
+
+
+def _simhash_oracle() -> str:
+    from ..functions.hashing import poly_hash_duckdb
+
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(_SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN cast({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(_SIMHASH_BITS)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents
+    ), th AS (
+        SELECT doc_id, {poly_hash_duckdb('t')} AS h FROM tok
+    ), votes AS (
+        SELECT doc_id, {votes} FROM th GROUP BY doc_id
+    )
+    SELECT doc_id, cast({fp} AS BIGINT) AS simhash FROM votes
+    """
+
+
+@register("simhash_fingerprints", oracle=_simhash_oracle())
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash (extension): 32-bit majority-vote fingerprint per document
-    over portable token hashes; near-dups land at small Hamming distance."""
+    """SimHash (extension): 24-bit majority-vote fingerprint per document;
+    near-dups land at small Hamming distance.  Uses the engine-portable
+    polynomial token hash so the ENTIRE fingerprint — hash, per-bit votes,
+    bit reassembly — is reproduced by the DuckDB oracle bit-for-bit
+    (upgraded from a rows-only check); the xxhash64 variant stays the
+    Spark-only hot path (operators.dedup.simhash default)."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.simhash(docs, bits=32)
+    return D.simhash(docs, bits=_SIMHASH_BITS, hash_fn="portable")
 
 
 DOT_SQL = (
