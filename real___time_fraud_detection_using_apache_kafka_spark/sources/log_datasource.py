@@ -31,8 +31,10 @@ try:  # pyspark >= 4.0
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
+        DataSourceWriter,
         InputPartition,
         SimpleDataSourceStreamReader,
+        WriterCommitMessage,
     )
 
     HAVE_DATASOURCE_API = True
@@ -46,11 +48,17 @@ except ImportError:  # pragma: no cover - older pyspark
     class DataSourceReader:  # type: ignore[no-redef]
         pass
 
+    class DataSourceWriter:  # type: ignore[no-redef]
+        pass
+
     class InputPartition:  # type: ignore[no-redef]
         def __init__(self, value):
             self.value = value
 
     class SimpleDataSourceStreamReader:  # type: ignore[no-redef]
+        pass
+
+    class WriterCommitMessage:  # type: ignore[no-redef]
         pass
 
 
@@ -184,10 +192,93 @@ class FraudLogStreamReader(SimpleDataSourceStreamReader):
         return iter(rows)
 
 
+# Render order + formatting mirror the reference's writer
+# (FD/consumer.py:134-154): Title Case keys, $-prefixed 2-dp amounts,
+# 4-dp probabilities.  The reader's key normalization inverts the casing,
+# so write -> read round-trips the typed columns exactly.
+_RENDER_FIELDS = (
+    ("transaction_id", "Transaction ID", "{}"),
+    ("amount", "Amount", "${:.2f}"),
+    ("status", "Status", "{}"),
+    ("actual_fraud_status", "Actual Fraud Status", "{}"),
+    ("fraud_probability", "Fraud Probability", "{:.4f}"),
+)
+
+
+def render_log_record(d: dict) -> str:
+    lines = ["=" * 68, "New Transaction Recorded:"]
+    for col, title, fmt in _RENDER_FIELDS:
+        v = d.get(col)
+        if v is not None:
+            lines.append(f"{title}: {fmt.format(v)}")
+    return "\n".join(lines) + "\n"
+
+
+class _LogCommit(WriterCommitMessage):
+    def __init__(self, tmp_path: str | None, final_path: str | None):
+        self.tmp_path = tmp_path
+        self.final_path = final_path
+
+
+class FraudLogWriter(DataSourceWriter):
+    """``df.write.format("fraudlog").save(dir)`` — the reference's append
+    text-log sink (S5, FD/producer.py:96-115) as a proper DataSource
+    writer with a two-phase commit: each task streams its partition into a
+    hidden ``.inprogress`` file, and only the driver-side ``commit()``
+    renames completed files into place — a failed/speculative task leaves
+    nothing visible, ``abort()`` removes the temporaries.  One file per
+    non-empty partition (uuid-suffixed, so ``append`` mode never
+    collides); ``overwrite`` clears prior part files inside ``commit()``,
+    after every task has succeeded."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("fraudlog writer requires a path")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _LogCommit:
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        name = f"part-{pid:05d}-{uuid.uuid4().hex}.log"
+        tmp = os.path.join(self.path, f".{name}.inprogress")
+        fh = None
+        try:
+            for row in iterator:
+                if fh is None:  # lazily: empty partitions emit no file
+                    fh = open(tmp, "w", encoding="utf-8")  # noqa: SIM115
+                fh.write(render_log_record(row.asDict()))
+        finally:
+            if fh is not None:
+                fh.close()
+        if fh is None:
+            return _LogCommit(None, None)
+        return _LogCommit(tmp, os.path.join(self.path, name))
+
+    def commit(self, messages) -> None:
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.endswith(".log"):
+                    os.remove(os.path.join(self.path, f))
+        for m in messages:
+            if m is not None and m.tmp_path:
+                os.rename(m.tmp_path, m.final_path)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and m.tmp_path and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
 class FraudLogDataSource(DataSource):
-    """``spark.read.format("fraudlog").load(path)`` (batch) and
+    """``spark.read.format("fraudlog").load(path)`` (batch),
     ``spark.readStream.format("fraudlog").load(path)`` (tail-follow
-    micro-batches) for reference-format logs."""
+    micro-batches), and ``df.write.format("fraudlog").save(dir)``
+    (two-phase-commit record sink) for reference-format logs."""
 
     @classmethod
     def name(cls) -> str:
@@ -201,3 +292,6 @@ class FraudLogDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> FraudLogStreamReader:
         return FraudLogStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> FraudLogWriter:
+        return FraudLogWriter(self.options, overwrite)

@@ -96,3 +96,32 @@ def test_fraudlog_stream_tails_appends_and_skips_torn_record(spark, log_dir, tmp
         assert got == {"TXN123456", "TXN777", "TXN999"}
     finally:
         q.stop()
+
+
+def test_fraudlog_writer_roundtrip_and_modes(spark, tmp_path):
+    """S5 as a DataSource writer: write -> read round-trips the typed
+    columns; overwrite replaces prior files; append accretes."""
+    spark.dataSource.register(FraudLogDataSource)
+    out = str(tmp_path / "sink")
+    rows = [
+        ("TXN1", 12.5, "Fraud", "Fraud", 0.9876),
+        ("TXN2", 3.0, "Not Fraud", None, 0.0123),
+    ]
+    cols = ["transaction_id", "amount", "status", "actual_fraud_status",
+            "fraud_probability"]
+    df = spark.createDataFrame(rows, cols)
+    df.write.format("fraudlog").mode("overwrite").save(out)
+
+    back = spark.read.format("fraudlog").load(out).select(*cols)
+    got = sorted(tuple(r) for r in back.collect())
+    assert got == sorted(rows)
+
+    # append accretes; a second overwrite replaces everything
+    df.write.format("fraudlog").mode("append").save(out)
+    assert spark.read.format("fraudlog").load(out).count() == 4
+    df.limit(1).write.format("fraudlog").mode("overwrite").save(out)
+    assert spark.read.format("fraudlog").load(out).count() == 1
+
+    # no half-written temporaries survive a successful commit
+    import os
+    assert not [f for f in os.listdir(out) if f.endswith(".inprogress")]
