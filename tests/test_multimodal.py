@@ -42,3 +42,20 @@ def test_decode_distributed_over_partitions(spark):
     one = decode_blobs(pack_blobs(docs).coalesce(1)).collect()
     many = decode_blobs(pack_blobs(docs).repartition(8)).collect()
     assert sorted(map(tuple, one)) == sorted(map(tuple, many))
+
+
+def test_arrow_tier_matches_pandas_tier(spark):
+    """mapInArrow decode must produce byte-identical results to the
+    mapInPandas tier — same stub kernel, different batch plumbing."""
+    from real___time_fraud_detection_using_apache_kafka_spark.operators.multimodal import (
+        decode_blobs_arrow,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document {i} body " * (i % 7)) for i in range(50)],
+        ["doc_id", "text"],
+    )
+    packed = pack_blobs(docs)
+    pandas_rows = sorted(map(tuple, decode_blobs(packed).collect()))
+    arrow_rows = sorted(map(tuple, decode_blobs_arrow(packed).collect()))
+    assert arrow_rows == pandas_rows
