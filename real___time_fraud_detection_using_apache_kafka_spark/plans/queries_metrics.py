@@ -364,3 +364,95 @@ def pr_threshold_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         s, n_bins=1000, proba_col="score", label_col="actual"
     )
     return threshold_from_bins(bins, n_bins=1000)
+
+
+@register(
+    "calibration_curve",
+    oracle=SCORED_CTE
+    + """
+    SELECT least(cast(floor(score * 10) AS BIGINT), 9) AS bin,
+           count(*) AS n,
+           round(avg(score), 6) AS mean_score,
+           round(avg(actual), 6) AS frac_actual
+    FROM scored
+    GROUP BY 1
+    """,
+)
+def calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram (model-monitoring extension beyond A8-A14):
+    decile-binned mean predicted score vs observed positive rate — the
+    standard check for whether P(fraud) estimates are trustworthy as
+    probabilities (the reference thresholds raw scores without ever
+    validating calibration).  One grouped aggregate over 10 fixed bins:
+    map-side partials reduce to 10 rows at any stream length, and the
+    same expression runs incrementally under a watermark."""
+    s = scored_events(spark, sf_dir)
+    b = F.least(F.floor(F.col("score") * 10).cast("long"), F.lit(9).cast("long"))
+    return s.groupBy(b.alias("bin")).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("score"), 6).alias("mean_score"),
+        F.round(F.avg(F.col("actual").cast("double")), 6).alias("frac_actual"),
+    )
+
+
+@register(
+    "psi_score_drift",
+    oracle=SCORED_CTE
+    + """
+    , mid AS (
+        SELECT (min(event_id) + max(event_id)) // 2 AS m FROM scored
+    ), binned AS (
+        SELECT least(cast(floor(score * 10) AS BIGINT), 9) AS bin,
+               sum(CASE WHEN event_id <  (SELECT m FROM mid) THEN 1 ELSE 0 END) AS n_ref,
+               sum(CASE WHEN event_id >= (SELECT m FROM mid) THEN 1 ELSE 0 END) AS n_cur
+        FROM scored GROUP BY 1
+    ), tot AS (
+        SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM binned
+    )
+    SELECT round(sum(
+               (greatest(n_cur / cast(t_cur AS DOUBLE), 1e-6)
+                - greatest(n_ref / cast(t_ref AS DOUBLE), 1e-6))
+               * ln(greatest(n_cur / cast(t_cur AS DOUBLE), 1e-6)
+                    / greatest(n_ref / cast(t_ref AS DOUBLE), 1e-6))), 6) AS psi
+    FROM binned, tot
+    """,
+)
+def psi_score_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second time half
+    of the score stream (drift monitoring — the production guard the
+    reference lacks entirely: its model scores drifted inputs silently,
+    SURVEY §2.11-1).  PSI = Σ (p_cur - p_ref)·ln(p_cur/p_ref) over 10
+    score deciles, probabilities floored at 1e-6 so empty bins stay
+    finite.  The ref/cur boundary is the integer event-id midpoint
+    (insertion order) — exact in both engines, where a timestamp
+    midpoint diverges at sub-microsecond precision.  Two grouped
+    aggregates over bounded bins — in production the boundary comes
+    from the stream clock, not a data scan."""
+    s = scored_events(spark, sf_dir)
+    mid = s.agg(
+        F.try_divide(F.min("event_id") + F.max("event_id"), F.lit(2))
+        .cast("long")
+        .alias("m")
+    )
+    b = F.least(F.floor(F.col("score") * 10).cast("long"), F.lit(9).cast("long"))
+    binned = (
+        s.crossJoin(F.broadcast(mid))
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.sum(F.when(F.col("event_id") < F.col("m"), 1).otherwise(0))
+            .alias("n_ref"),
+            F.sum(F.when(F.col("event_id") >= F.col("m"), 1).otherwise(0))
+            .alias("n_cur"),
+        )
+    )
+    tot = binned.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    eps = F.lit(1e-6)
+    p_ref = F.greatest(F.col("n_ref") / F.col("t_ref").cast("double"), eps)
+    p_cur = F.greatest(F.col("n_cur") / F.col("t_cur").cast("double"), eps)
+    return (
+        binned.crossJoin(F.broadcast(tot))
+        .select(((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("term"))
+        .agg(F.round(F.sum("term"), 6).alias("psi"))
+    )
