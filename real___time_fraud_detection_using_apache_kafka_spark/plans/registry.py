@@ -78,34 +78,39 @@ def _stable_types(fn: QueryFn) -> QueryFn:
 # The driver's correctness gate checks the FIRST 50 catalog entries
 # (CORRECTNESS_r01/r02 both record exactly queries 0-49 in registry
 # order), so lead with a set that covers every operator family — fraud
-# metrics, the full TPC-H suite, multidim/window relational ops, near-dup
-# dedup, similarity search, text analysis, temporal — rather than letting
-# registration order leave whole families ungraded.  Names not listed
-# follow in registration order.
+# metrics + monitoring, a TPC-H core, multidim/window relational ops,
+# semi-structured/wire formats, statistical + list aggregates, near-dup
+# dedup, similarity search, text analysis, temporal — rather than
+# letting registration order leave whole families ungraded.  The TPC-H
+# queries rotated out for round 3's new families (q4/q7/q8/q12/q15/q16/
+# q19/q20) remain in the catalog right after the head; all 22 recorded
+# hash-true in CORRECTNESS_r02.  Names not listed follow in
+# registration order.
 _GRADED_FIRST = [
-    # flagship + ML metric battery (SURVEY §2.5 A8-A14)
+    # flagship + ML metric battery + monitoring (SURVEY §2.5 A8-A14 + ext)
     "fraud_patterns", "class_counts", "confusion_matrix",
     "classification_metrics", "log_loss", "roc_auc", "pr_curve_threshold",
-    # TPC-H suite (batch relational core)
+    "per_class_report", "calibration_curve", "psi_score_drift",
+    # TPC-H core (batch relational: joins, subqueries, decimal aggs)
     "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
-    "q4_order_priority", "q5_regional_revenue", "q6_forecast_revenue",
-    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-    "q10_returned_items", "q11_important_parts", "q12_shipping_lateness",
-    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
-    "q16_part_supplier_counts", "q17_small_quantity_revenue",
-    "q18_large_volume_customers", "q19_disjunctive_revenue",
-    "q20_promotion_suppliers", "q21_waiting_suppliers", "q22_dormant_customers",
+    "q5_regional_revenue", "q6_forecast_revenue", "q9_product_profit",
+    "q10_returned_items", "q11_important_parts",
+    "q13_customer_distribution", "q14_promo_revenue",
+    "q17_small_quantity_revenue", "q18_large_volume_customers",
+    "q21_waiting_suppliers", "q22_dormant_customers",
     # multidim aggregation + window/top-k
     "rollup_region_nation", "cube_status_priority", "grouping_sets_orders",
     "pivot_event_type_daily", "topk_orders_per_customer",
     "latest_event_per_user",
+    # semi-structured + wire formats + aggregate families (round-3 ext)
+    "variant_props_stats", "kv_map_roundtrip", "wire_formats_roundtrip",
+    "stats_moments_lineitem", "customer_order_digest",
     # dedup + similarity search (training-data pipeline core)
     "dedup_exact", "ngram_jaccard_neardup", "embedding_cosine_neardup",
-    "embedding_knn", "curate_documents",
+    "embedding_knn", "curate_documents", "simhash_fingerprints",
     # text analysis
-    "doc_quality", "lang_id", "doc_fingerprint", "tfidf_top_terms",
-    "pii_scrub_stats",
-    # temporal / sessionization
+    "doc_quality", "lang_id", "tfidf_top_terms", "pii_scrub_stats",
+    # temporal / sessionization / event-time windows
     "user_sessions", "asof_last_error_before_purchase",
     "rolling_user_velocity", "clicks_before_purchase", "purchase_funnel",
 ]
