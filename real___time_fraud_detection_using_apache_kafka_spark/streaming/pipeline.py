@@ -159,6 +159,24 @@ def binned_score_counts(scored: DataFrame, n_bins: int = 1000,
     )
 
 
+def calibration_from_bins(bins: DataFrame, n_bins: int = 1000,
+                          deciles: int = 10) -> DataFrame:
+    """Reliability diagram from the SAME binned state that feeds the
+    PR-threshold: coarsen the 1/n_bins histogram to ``deciles`` buckets
+    and read observed positive rate per bucket — so a live dashboard gets
+    calibration for free from state already maintained, never a second
+    pass over the stream.  ``floor(floor(s*n)/(n/d)) == floor(s*d)``
+    (nested-floor identity, n divisible by d), so the decile edges are
+    bit-identical to the batch ``calibration_curve`` query's."""
+    g = (F.col("bin") * deciles / n_bins).cast("long")
+    return bins.groupBy(g.alias("bin")).agg(
+        F.sum("cnt").alias("n"),
+        F.round(
+            F.sum("pos") / F.sum("cnt").cast("double"), 6
+        ).alias("frac_actual"),
+    )
+
+
 def threshold_from_bins(bins: DataFrame, n_bins: int = 1000) -> DataFrame:
     """F1-optimal threshold from the binned PR state: cumulative TP and
     predicted-positive counts from the top bin down, precision/recall/F1

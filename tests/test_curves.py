@@ -82,3 +82,32 @@ def test_pr_curve_best_threshold_matches_numpy(spark):
     assert got["f1"] == pytest.approx(best[1], abs=1e-6)
     assert got["precision"] == pytest.approx(best[2], abs=1e-6)
     assert got["recall"] == pytest.approx(best[3], abs=1e-6)
+
+
+def test_calibration_from_bins_matches_batch_curve(spark):
+    """The streaming-state reader must agree with the batch
+    calibration_curve query on both bucket populations and observed
+    positive rates (decile edges are bit-identical by the nested-floor
+    identity)."""
+    from real___time_fraud_detection_using_apache_kafka_spark.plans.queries_metrics import (
+        calibration_curve,
+        scored_events,
+    )
+    from real___time_fraud_detection_using_apache_kafka_spark.streaming.pipeline import (
+        binned_score_counts,
+        calibration_from_bins,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        r["bin"]: (r["n"], r["frac_actual"])
+        for r in calibration_curve(spark, sf).collect()
+    }
+    s = scored_events(spark, sf)
+    bins = binned_score_counts(s, n_bins=1000, proba_col="score",
+                               label_col="actual")
+    stream_state = {
+        r["bin"]: (r["n"], r["frac_actual"])
+        for r in calibration_from_bins(bins, n_bins=1000).collect()
+    }
+    assert stream_state == batch
