@@ -114,3 +114,42 @@ def test_currency_parse_lenient_on_malformed(spark):
     )
     got = [r["v"] for r in df.select(currency_parse(F.col("s")).alias("v")).collect()]
     assert got == [12.5, None, None, None]
+
+
+@given(
+    n_tokens=st.lists(st.integers(min_value=1, max_value=60),
+                      min_size=1, max_size=12)
+)
+@SET
+def test_chunking_covers_every_token_with_fixed_overlap(spark, n_tokens):
+    """doc_chunks_overlap laws: every token index appears in >= 1 chunk
+    (no data loss), chunk starts advance by exactly the stride, and no
+    chunk is fully contained in its predecessor."""
+    import real___time_fraud_detection_using_apache_kafka_spark.plans.queries_text as QT
+
+    docs = [
+        (i, " ".join(f"t{i}_{j}" for j in range(n)), "en", "s", 0)
+        for i, n in enumerate(n_tokens)
+    ]
+    df = spark.createDataFrame(
+        docs, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    orig = QT.load_table
+    QT.load_table = lambda sp, sf, name: df  # noqa: ARG005
+    try:
+        rows = QT.doc_chunks_overlap(spark, "unused").collect()
+    finally:
+        QT.load_table = orig
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for (i, text, *_rest) in docs:
+        toks = text.split()
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_id"])
+        seen = set()
+        for c in chunks:
+            seen.update(c["chunk_text"].split())
+        assert seen == set(toks)  # total coverage
+        # stride law: chunk k starts at 12k; its text matches the slice
+        for k, c in enumerate(chunks):
+            assert c["chunk_text"].split() == toks[12 * k: 12 * k + 16]
