@@ -177,6 +177,35 @@ def calibration_from_bins(bins: DataFrame, n_bins: int = 1000,
     )
 
 
+def psi_from_bins(ref_bins: DataFrame, cur_bins: DataFrame,
+                  n_bins: int = 1000, deciles: int = 10,
+                  eps: float = 1e-6) -> DataFrame:
+    """Population Stability Index between two binned-score states (e.g.
+    a frozen training-time reference histogram vs the live stream's) —
+    drift monitoring from the SAME O(n_bins) state as the threshold and
+    calibration readers, no pass over raw data on either side.  Full
+    outer join on the decile so a bucket present in only one population
+    still contributes (its missing side floors at ``eps``)."""
+    def _deciled(bins: DataFrame, side: str) -> DataFrame:
+        g = (F.col("bin") * deciles / n_bins).cast("long")
+        return bins.groupBy(g.alias("bin")).agg(F.sum("cnt").alias(side))
+
+    joined = _deciled(ref_bins, "n_ref").join(
+        _deciled(cur_bins, "n_cur"), "bin", "full_outer"
+    ).na.fill(0, ["n_ref", "n_cur"])
+    totals = joined.agg(
+        F.sum("n_ref").cast("double").alias("t_ref"),
+        F.sum("n_cur").cast("double").alias("t_cur"),
+    )
+    p_ref = F.greatest(F.col("n_ref") / F.col("t_ref"), F.lit(eps))
+    p_cur = F.greatest(F.col("n_cur") / F.col("t_cur"), F.lit(eps))
+    return (
+        joined.crossJoin(F.broadcast(totals))
+        .select(((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("term"))
+        .agg(F.round(F.sum("term"), 6).alias("psi"))
+    )
+
+
 def threshold_from_bins(bins: DataFrame, n_bins: int = 1000) -> DataFrame:
     """F1-optimal threshold from the binned PR state: cumulative TP and
     predicted-positive counts from the top bin down, precision/recall/F1

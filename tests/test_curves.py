@@ -111,3 +111,57 @@ def test_calibration_from_bins_matches_batch_curve(spark):
         for r in calibration_from_bins(bins, n_bins=1000).collect()
     }
     assert stream_state == batch
+
+
+def test_psi_from_bins_matches_batch_psi(spark):
+    """Splitting the scored corpus at the same event-id midpoint the batch
+    query uses and feeding the two halves' binned states to psi_from_bins
+    must reproduce psi_score_drift's value."""
+    from pyspark.sql import functions as F
+
+    from real___time_fraud_detection_using_apache_kafka_spark.plans.queries_metrics import (
+        psi_score_drift,
+        scored_events,
+    )
+    from real___time_fraud_detection_using_apache_kafka_spark.streaming.pipeline import (
+        binned_score_counts,
+        psi_from_bins,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    want = psi_score_drift(spark, sf).first()["psi"]
+
+    s = scored_events(spark, sf)
+    mid = s.agg(
+        F.try_divide(F.min("event_id") + F.max("event_id"), F.lit(2))
+        .cast("long")
+        .alias("m")
+    ).first()["m"]
+    # 10 deciles directly: n_bins=10 exercises the coarsen-to-identity path
+    ref = binned_score_counts(
+        s.filter(F.col("event_id") < mid), n_bins=10,
+        proba_col="score", label_col="actual",
+    )
+    cur = binned_score_counts(
+        s.filter(F.col("event_id") >= mid), n_bins=10,
+        proba_col="score", label_col="actual",
+    )
+    got = psi_from_bins(ref, cur, n_bins=10, deciles=10).first()["psi"]
+    assert got == want
+
+
+def test_psi_identical_populations_is_zero(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from real___time_fraud_detection_using_apache_kafka_spark.plans.queries_metrics import (
+        scored_events,
+    )
+    from real___time_fraud_detection_using_apache_kafka_spark.streaming.pipeline import (
+        binned_score_counts,
+        psi_from_bins,
+    )
+
+    s = scored_events(spark, "/root/testdata/sf0.001")
+    bins = binned_score_counts(s, n_bins=1000, proba_col="score",
+                               label_col="actual")
+    assert psi_from_bins(bins, bins).first()["psi"] == 0.0
