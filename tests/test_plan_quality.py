@@ -237,3 +237,34 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_doc_chunks_overlap_is_shuffle_free(spark):
+    """Chunking is tokenize -> sequence -> slice inside the scan stage:
+    the plan must contain NO Exchange of any kind."""
+    plan = plan_of(spark, "doc_chunks_overlap")
+    assert "Exchange" not in plan
+
+
+def test_variant_props_is_single_aggregation(spark):
+    """parse_json + variant_get stay narrow: one scan, one hash-agg
+    exchange on the group key, nothing else."""
+    import re
+
+    plan = plan_of(spark, "variant_props_stats")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_tfidf_reuses_doc_partitioning(spark):
+    """The tf count and the per-doc top-k window must both ride the ONE
+    up-front doc_id exchange; only the df aggregate re-shuffles.  The
+    final Sort (window) must not have its own Exchange directly above the
+    window input."""
+    import re
+
+    plan = plan_of(spark, "tfidf_top_terms")
+    # exchanges: the explicit repartition(doc_id) (reused), the df
+    # aggregate's hash-by-term, and nothing keyed by (doc_id, term)
+    assert "hashpartitioning(doc_id" in plan
+    assert not re.search(r"hashpartitioning\(doc_id[^)]*term", plan), plan
