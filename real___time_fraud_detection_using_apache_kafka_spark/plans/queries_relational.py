@@ -661,6 +661,32 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("generator_profile", oracle=None)
+def generator_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15-F18 (FD/producer.py:52-124) as a driver-visible surface: a
+    seeded 5,000-row synthetic batch profiled per transaction type —
+    counts, amount moments, fraud-label rate, distinct locations.  Pure
+    JVM ``rand(seed)`` column expressions (no Python loop, no driver
+    generation); rows-only check because Spark's and DuckDB's PRNG
+    streams differ by design (SURVEY §7 hard-part 6 — tests assert
+    distributional properties instead)."""
+    from ..sources.generator import batch_transactions
+
+    txns = batch_transactions(spark, n=5000, seed=42)
+    return (
+        txns.groupBy("transaction_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("amount"), 2).alias("avg_amount"),
+            F.round(F.stddev_samp("amount"), 2).alias("sd_amount"),
+            F.round(F.avg(F.col("is_fraud").cast("double")), 4)
+            .alias("fraud_rate"),
+            F.countDistinct("location").alias("n_locations"),
+        )
+        .orderBy("transaction_type")
+    )
+
+
 @register(
     "kv_map_roundtrip",
     oracle="""
