@@ -25,13 +25,20 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators import text as TX
 from ..schemas import DOCUMENTS_SCHEMA
 
-__all__ = ["stream_documents", "ingest_documents_available_now"]
+__all__ = [
+    "stream_documents",
+    "ingest_documents_available_now",
+    "ingest_documents_neardup_suppressed",
+]
 
 
 def stream_documents(
@@ -78,5 +85,115 @@ def ingest_documents_available_now(
         .option("path", curated_dir)
         .option("checkpointLocation", checkpoint_dir)
         .partitionBy("lang")
+        .start()
+    )
+
+
+def _band_buckets(docs: DataFrame, n: int, bands: int,
+                  rows_per_band: int) -> DataFrame:
+    """(doc_id, band, pattern) LSH bucket keys for each document — the
+    compact membership token the suppression state stores (signatures
+    only, never shingle sets: state size is O(docs x bands), independent
+    of document length)."""
+    from ..operators.dedup import minhash_signatures
+
+    sigs = minhash_signatures(docs, n=n, num_hashes=bands * rows_per_band)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ":",
+                *[
+                    F.col(f"mh{b * rows_per_band + r}")
+                    for r in range(rows_per_band)
+                ],
+            ).alias("pattern"),
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"),
+             F.col("bk.pattern").alias("pattern"))
+
+
+def ingest_documents_neardup_suppressed(
+    spark: SparkSession,
+    landing_dir: str,
+    curated_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    min_quality: float = 0.5,
+    n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> StreamingQuery:
+    """The 100 TB ingestion shape: quality gate + NEAR-dup suppression
+    against everything already accepted, incrementally.
+
+    Per micro-batch (``foreachBatch``):
+
+    1. quality-gate the new files (same codegen'd expressions as batch);
+    2. MinHash-LSH band buckets for survivors (one narrow pass);
+    3. drop any doc sharing a bucket with the accumulated STATE (a crawl
+       re-serving yesterday's page never re-enters the corpus), or with a
+       lower-id doc in the same batch — the batch curation pipeline's
+       greedy lowest-id rule, so backfill and live ingest agree;
+    4. append survivors to the curated sink and their buckets to the
+       state.
+
+    Bucket collision without exact verification is the deliberate
+    trade: for dissimilar docs P[all ``rows_per_band`` minhashes match]
+    ~ j^r ≈ 0, so false suppression is negligible while the state stays
+    signature-sized — the exact-verify tier (curate_documents) remains
+    the batch backfill path.  State reads/writes are parquet appends
+    keyed by (band, pattern): the join is an equi-join a 1000-executor
+    cluster shuffles on the bucket key, never a cartesian.  Sink +
+    state appends are at-least-once on batch replay; suppression is
+    idempotent (duplicate state rows only re-suppress the same dups).
+    """
+    gated_stream = (
+        TX.quality_score(stream_documents(spark, landing_dir))
+        .filter(f"quality_score >= {min_quality}")
+        .select("doc_id", "text", "lang", "source", "quality_score")
+    )
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.persist()
+        try:
+            if batch.isEmpty():
+                return
+            buckets = _band_buckets(batch, n, bands, rows_per_band).persist()
+            drops = buckets.alias("b").join(
+                buckets.alias("lo"),
+                ["band", "pattern"],
+            ).filter(
+                F.col("lo.doc_id") < F.col("b.doc_id")
+            ).select(F.col("b.doc_id").alias("doc_id"))
+            if os.path.isdir(state_dir) and any(
+                f.endswith(".parquet") for f in os.listdir(state_dir)
+            ):
+                seen = spark.read.parquet(state_dir).select("band", "pattern")
+                drops = drops.union(
+                    buckets.join(seen, ["band", "pattern"], "left_semi")
+                    .select("doc_id")
+                )
+            survivors = batch.join(
+                drops.distinct(), "doc_id", "left_anti"
+            ).persist()
+            survivors.write.mode("append").partitionBy("lang").parquet(
+                curated_dir
+            )
+            buckets.join(
+                survivors.select("doc_id"), "doc_id", "left_semi"
+            ).write.mode("append").parquet(state_dir)
+        finally:
+            batch.unpersist()
+
+    return (
+        gated_stream.writeStream.trigger(availableNow=True)
+        .outputMode("append")
+        .foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
         .start()
     )

@@ -102,3 +102,44 @@ def test_curated_sink_partitioned_by_lang(spark, dirs):
     en = spark.read.parquet(dirs["curated"]).filter(F.col("lang") == "en")
     assert en.count() > 0
     assert en.filter(F.col("lang") != "en").count() == 0
+
+
+def test_neardup_suppressed_ingest(spark, dirs):
+    """Near-dup suppression across catch-up passes: a doc near-duplicating
+    an already-accepted doc never enters the corpus; within-batch dups
+    resolve to the lowest id; fresh docs pass."""
+    from real___time_fraud_detection_using_apache_kafka_spark.streaming.ingest import (
+        ingest_documents_neardup_suppressed,
+    )
+
+    state = os.path.join(os.path.dirname(dirs["curated"]), "state")
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "today with plenty of extra distinct words to pass quality")
+    other = ("completely different text about spark distributed query "
+             "engines and large scale data processing pipelines running")
+    third = ("numerical linear algebra with vectors matrices tensors and "
+             "assorted decompositions applied to streaming state stores")
+
+    def land(rows):
+        spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.mode("append").parquet(dirs["landing"])
+
+    # pass 1: base, a within-batch near-dup of base, and one distinct doc
+    land([(1, base), (2, base.replace("today", "tomorrow")), (3, other)])
+    q = ingest_documents_neardup_suppressed(
+        spark, dirs["landing"], dirs["curated"], dirs["ckpt"], state
+    )
+    q.awaitTermination(180)
+    kept1 = {r["doc_id"] for r in spark.read.parquet(dirs["curated"]).collect()}
+    assert kept1 == {1, 3}  # 2 suppressed within batch (lowest id wins)
+
+    # pass 2: a near-dup of ALREADY-ACCEPTED doc 1, plus a fresh doc
+    land([(10, base.replace("dog", "cat")), (11, third)])
+    q2 = ingest_documents_neardup_suppressed(
+        spark, dirs["landing"], dirs["curated"], dirs["ckpt"], state
+    )
+    q2.awaitTermination(180)
+    kept2 = {r["doc_id"] for r in spark.read.parquet(dirs["curated"]).collect()}
+    assert kept2 == {1, 3, 11}  # 10 suppressed against state, 11 accepted
