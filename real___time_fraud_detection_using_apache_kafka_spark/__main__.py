@@ -200,15 +200,25 @@ def cmd_query(args: argparse.Namespace) -> int:
 
 def cmd_ingest(args: argparse.Namespace) -> int:
     """One incremental catch-up pass over a landing directory (O(delta):
-    only files the checkpoint has not seen are read)."""
-    from .streaming.ingest import ingest_documents_available_now
+    only files the checkpoint has not seen are read).  With --dedup-state,
+    also suppresses near-dups of everything previously accepted."""
+    from .streaming.ingest import (
+        ingest_documents_available_now,
+        ingest_documents_neardup_suppressed,
+    )
 
     spark = _spark("ingest")
     ckpt = args.checkpoint or tempfile.mkdtemp(prefix="ingest_ckpt_")
-    q = ingest_documents_available_now(
-        spark, args.landing_dir, args.curated_dir, ckpt,
-        min_quality=args.min_quality,
-    )
+    if args.dedup_state:
+        q = ingest_documents_neardup_suppressed(
+            spark, args.landing_dir, args.curated_dir, ckpt,
+            args.dedup_state, min_quality=args.min_quality,
+        )
+    else:
+        q = ingest_documents_available_now(
+            spark, args.landing_dir, args.curated_dir, ckpt,
+            min_quality=args.min_quality,
+        )
     q.awaitTermination()
     rows = sum(p["numInputRows"] for p in q.recentProgress)
     print(f"processed {rows} new rows from {args.landing_dir} "
@@ -286,6 +296,9 @@ def main(argv: list[str] | None = None) -> int:
     ip.add_argument("--checkpoint", default=None,
                     help="reuse across passes for O(delta) behavior")
     ip.add_argument("--min-quality", type=float, default=0.5)
+    ip.add_argument("--dedup-state", default=None,
+                    help="LSH signature state dir; enables near-dup "
+                         "suppression against prior passes")
     ip.set_defaults(fn=cmd_ingest)
 
     cp = sub.add_parser("compact", help="compact a parquet dir's small files")
