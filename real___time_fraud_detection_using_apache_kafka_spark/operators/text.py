@@ -172,3 +172,77 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     for name, pat in PII_PATTERNS.items():
         scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
     return out.withColumn("scrubbed_text", scrubbed)
+
+
+def learn_bpe_merges(docs: DataFrame, n_merges: int = 5,
+                     text_col: str = "text",
+                     joiner: str = "+") -> tuple[DataFrame, list[tuple]]:
+    """BPE-style merge learning over the corpus (tokenizer-training
+    extension): ``n_merges`` rounds of "count adjacent token pairs, merge
+    the most frequent pair corpus-wide, rewrite".
+
+    Returns ``(rewritten_tokens_df, merge_table)`` where the merge table
+    rows are ``(rank, left, right, pair_count)`` and the DataFrame holds
+    each doc's token array after all merges.
+
+    Distribution shape (the same loop discipline as
+    ``connected_components``): each round is ONE narrow pair-explode +
+    ONE bounded groupBy shuffle; only the single winning pair (one row)
+    ever reaches the driver, and the rewrite is a per-row array fold —
+    no shuffle, no driver data path.  Rounds are inherently sequential
+    (merge r+1's counts depend on merge r's rewrite) — that's BPE's
+    data dependency, not a Spark limitation; at 100 TB each round is a
+    full-parallel count over the corpus, which is exactly how
+    large-vocab BPE trainers batch it.  Ties break (count desc, pair
+    asc) so the learned table is deterministic.  Real BPE merges
+    character pairs within words; this operates at whatever granularity
+    ``tokens`` yields — the loop/rewrite machinery is identical.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    t = docs.select(
+        "doc_id", tokens(F.col(text_col)).alias("t")
+    ).filter(F.size("t") > 1)
+    merges: list[tuple] = []
+    for rank in range(n_merges):
+        t = t.persist(StorageLevel.MEMORY_AND_DISK)
+        pairs = t.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("t", 1, F.size("t") - 1),
+                    F.slice("t", 2, F.size("t") - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p")
+        )
+        top = (
+            pairs.groupBy("p")
+            .count()
+            .orderBy(F.desc("count"), F.asc("p.l"), F.asc("p.r"))
+            .first()
+        )
+        if top is None:
+            break
+        left, right, cnt = top["p"]["l"], top["p"]["r"], top["count"]
+        merges.append((rank, left, right, int(cnt)))
+        merged = left + joiner + right
+        # greedy left-to-right non-overlapping rewrite as an array fold:
+        # append x, unless the last accepted token is `left` and x is
+        # `right` — then replace it with the merged symbol (an already-
+        # merged symbol never re-matches `left`, BPE's non-overlap rule)
+        rewritten = F.aggregate(
+            "t",
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (x == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        nxt = t.select("doc_id", rewritten.alias("t"))
+        t.unpersist()
+        t = nxt
+    return t, merges

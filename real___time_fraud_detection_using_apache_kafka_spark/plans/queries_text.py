@@ -320,6 +320,23 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_neardup_pairs(emb, threshold=0.45)
 
 
+@register("bpe_merge_table", oracle=None)
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training extension: 5 rounds of BPE-style merge learning
+    over the corpus (operators.text.learn_bpe_merges).  Each round is one
+    narrow pair-explode + one bounded groupBy; only the single winning
+    pair reaches the driver per round (the same loop discipline as
+    connected_components).  Rows-only: the k-round rewrite loop is a
+    genuinely iterative algorithm (driver contract allows omitting the
+    oracle for these); the greedy/non-overlap/determinism laws are pinned
+    by unit tests instead."""
+    docs = load_table(spark, sf_dir, "documents")
+    _, merges = TX.learn_bpe_merges(docs, n_merges=5)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count long"
+    )
+
+
 @register("embedding_lsh_neardup", oracle=None)
 def embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB shape of ``embedding_cosine_neardup``: banded

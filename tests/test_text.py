@@ -212,3 +212,41 @@ def test_doc_chunks_overlap_short_and_striding(spark):
     # 30 tokens, starts 1,13,25 -> chunks of 16,16,6 tokens
     assert [(c, n) for c, n, _ in by_doc[2]] == [(0, 16), (1, 16), (2, 6)]
     assert by_doc[2][1][2].startswith("w12 ")  # stride 12, 4-token overlap
+
+
+def test_learn_bpe_merges_greedy_and_deterministic(spark):
+    """BPE loop laws: the top pair merges corpus-wide each round, the
+    rewrite is greedy left-to-right non-overlapping, and token mass is
+    conserved (every original token appears, in order, inside the merged
+    symbols)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b c"),
+            (2, "a b c d"),
+            (3, "x y x y"),
+        ],
+        ["doc_id", "text"],
+    )
+    rewritten, merges = TX.learn_bpe_merges(docs, n_merges=2)
+    # round 0: "a b" dominates (4 non-overlapping occurrences); round 1:
+    # the NEW symbol pair (a+b, a+b) ties (x, y) at 2 and wins the
+    # lexicographic tie-break — merges compose on merged symbols,
+    # exactly BPE's behavior
+    assert merges[0][1:3] == ("a", "b")
+    assert merges[1][1:3] == ("a+b", "a+b")
+    got = {r["doc_id"]: r["t"] for r in rewritten.collect()}
+    assert got[1] == ["a+b+a+b", "a+b", "c"]
+    assert got[2] == ["a+b", "c", "d"]
+    assert got[3] == ["x", "y", "x", "y"]
+    # determinism: same corpus -> same merge table
+    _, merges2 = TX.learn_bpe_merges(docs, n_merges=2)
+    assert merges == merges2
+
+
+def test_learn_bpe_nonoverlap_rule(spark):
+    """'a a a' with top pair (a,a) must merge the FIRST pair only —
+    the merged symbol never re-matches the left side."""
+    docs = spark.createDataFrame([(1, "a a a")], ["doc_id", "text"])
+    rewritten, merges = TX.learn_bpe_merges(docs, n_merges=1)
+    assert merges[0][1:3] == ("a", "a")
+    assert rewritten.collect()[0]["t"] == ["a+a", "a"]
