@@ -36,6 +36,20 @@ def token_count(text: Column) -> Column:
     )
 
 
+# BPE-ish pre-tokenizer classes (GPT-2-family splitting, minus lookaheads
+# so the Java and RE2/DuckDB regex dialects agree): letter runs, digit
+# runs, single non-alphanumeric marks.
+BPE_SPLIT_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def bpe_regex_tokens(text: Column) -> Column:
+    """BPE-ish regex pre-tokenization (the second tier of the token-count
+    contract: whitespace + a BPE-ish regex).  Counts what a
+    GPT-2-family pre-tokenizer would emit before merges — letter runs,
+    digit runs, and punctuation marks each count separately."""
+    return F.regexp_extract_all(text, F.lit(BPE_SPLIT_PATTERN), 0)
+
+
 def word_ngrams(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles (the unit for Jaccard / MinHash).
 

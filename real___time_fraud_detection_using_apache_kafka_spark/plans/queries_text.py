@@ -53,6 +53,54 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_token_stats",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+                   AS n_bpe,
+               CASE WHEN trim(text) = ''
+                    THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END
+                   AS n_ws
+        FROM documents
+    )
+    SELECT lang,
+           sum(n_bpe) AS total_bpe_tokens,
+           sum(n_ws)  AS total_ws_tokens,
+           round(avg(CASE WHEN n_ws = 0 THEN 0
+                          ELSE n_bpe / cast(n_ws AS DOUBLE) END), 6)
+               AS bpe_per_word
+    FROM t GROUP BY lang
+    """,
+)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second tier of the token-count contract (whitespace + a
+    BPE-ish regex): per language, totals under both tokenizers and the
+    fertility ratio (regex pre-tokens per whitespace word — the number a
+    data-mixture plan multiplies word counts by to budget model tokens).
+    The pattern avoids lookaheads so the Java and RE2 dialects produce
+    identical matches — cross-engine-verified by the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_bpe = F.size(TX.bpe_regex_tokens(F.col("text")))
+    n_ws = TX.token_count(F.col("text"))
+    per_doc = docs.select(
+        "lang", n_bpe.alias("n_bpe"), n_ws.alias("n_ws")
+    )
+    return per_doc.groupBy("lang").agg(
+        F.sum("n_bpe").alias("total_bpe_tokens"),
+        F.sum("n_ws").alias("total_ws_tokens"),
+        F.round(
+            F.avg(
+                F.when(F.col("n_ws") == 0, 0.0).otherwise(
+                    F.col("n_bpe") / F.col("n_ws").cast("double")
+                )
+            ),
+            6,
+        ).alias("bpe_per_word"),
+    )
+
+
+@register(
     "doc_quality",
     oracle=f"""
     WITH feats AS (
