@@ -70,6 +70,17 @@ def main() -> None:
     qs["q1_pricing_summary"](spark, sf_dir).count()
     for t in ("documents", "embeddings", "events", "orders", "customer"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    # Steady-state methodology (SPARK_GRAFT_BENCH_WARMUP=0 disables): one
+    # unmeasured pass over the headline set first, so the measured pass
+    # times the query plan, not one-time whole-stage-codegen JIT — the
+    # expression-heavy stages (shingling, metric folds) compile 2-4 s of
+    # generated code on first execution, which is a per-process cost, not
+    # a per-query one.  Data caches are still cleared per measured run.
+    if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0":
+        for name in HEADLINE:
+            if name in qs:
+                spark.catalog.clearCache()
+                qs[name](spark, sf_dir).count()
     # SPARK_GRAFT_BENCH_REPEAT=N (default 1) reports the per-query median
     # of N cold runs — run-to-run jitter on local[32] is a few percent,
     # and the median removes it without changing the default cadence
