@@ -143,3 +143,40 @@ def test_neardup_suppressed_ingest(spark, dirs):
     q2.awaitTermination(180)
     kept2 = {r["doc_id"] for r in spark.read.parquet(dirs["curated"]).collect()}
     assert kept2 == {1, 3, 11}  # 10 suppressed against state, 11 accepted
+
+
+def test_neardup_ingest_is_replay_tolerant(spark, dirs):
+    """Checkpoint loss forces a full at-least-once replay of the landing
+    dir — but replayed docs collide with their OWN band buckets in the
+    signature state and are suppressed, so the curated corpus does not
+    grow: the LSH state doubles as a replay idempotence ledger."""
+    from real___time_fraud_detection_using_apache_kafka_spark.streaming.ingest import (
+        ingest_documents_neardup_suppressed,
+    )
+
+    state = os.path.join(os.path.dirname(dirs["curated"]), "state")
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog again and again "
+            "today with plenty of extra distinct words to pass quality"),
+        (2, "completely different text about spark distributed query "
+            "engines and large scale data processing pipelines running"),
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in texts],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("append").parquet(dirs["landing"])
+
+    q = ingest_documents_neardup_suppressed(
+        spark, dirs["landing"], dirs["curated"], dirs["ckpt"], state
+    )
+    q.awaitTermination(180)
+    n1 = spark.read.parquet(dirs["curated"]).count()
+    assert n1 == 2
+
+    # lose the checkpoint -> next pass replays EVERYTHING
+    shutil.rmtree(dirs["ckpt"])
+    q2 = ingest_documents_neardup_suppressed(
+        spark, dirs["landing"], dirs["curated"], dirs["ckpt"], state
+    )
+    q2.awaitTermination(180)
+    assert spark.read.parquet(dirs["curated"]).count() == n1  # no growth
