@@ -149,8 +149,10 @@ def ingest_documents_neardup_suppressed(
     the batch backfill path.  State reads/writes are parquet appends
     keyed by (band, pattern): the join is an equi-join a 1000-executor
     cluster shuffles on the bucket key, never a cartesian.  Sink +
-    state appends are at-least-once on batch replay; suppression is
-    idempotent (duplicate state rows only re-suppress the same dups).
+    state appends are at-least-once on batch replay, but the state
+    doubles as an idempotence ledger: a replayed doc collides with its
+    OWN buckets and is suppressed, so the curated corpus never grows on
+    replay — even after total checkpoint loss (tested).
     """
     gated_stream = (
         TX.quality_score(stream_documents(spark, landing_dir))
