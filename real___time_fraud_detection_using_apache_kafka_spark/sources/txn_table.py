@@ -83,7 +83,8 @@ class TxnTable:
             if f.endswith(".parquet")
         )
 
-    def _try_commit(self, version: int, files: list[str], action: str) -> bool:
+    def _try_commit(self, version: int, files: list[str], action: str,
+                    meta: dict | None = None) -> bool:
         os.makedirs(self.log_dir, exist_ok=True)
         entry = {
             "version": version,
@@ -91,6 +92,8 @@ class TxnTable:
             "files": files,
             "ts": time.time(),
         }
+        if meta:
+            entry["meta"] = meta
         path = os.path.join(self.log_dir, f"{version:020d}.json")
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -100,23 +103,35 @@ class TxnTable:
             json.dump(entry, fh)
         return True
 
-    def _write(self, df: DataFrame, action: str, max_retries: int = 10) -> int:
+    def _write(self, df: DataFrame, action: str, meta: dict | None = None,
+               max_retries: int = 10) -> int:
         staged = self._stage(df)
         for _ in range(max_retries):
             latest, files = self._snapshot_files(None)
             new_files = staged if action == "overwrite" else files + staged
-            if self._try_commit(latest + 1, new_files, action):
+            if self._try_commit(latest + 1, new_files, action, meta):
                 return latest + 1
         raise CommitConflict(f"lost {max_retries} commit races at {self.path}")
 
-    def append(self, df: DataFrame) -> int:
-        """Atomically add df's rows; returns the committed version."""
-        return self._write(df, "append")
+    def append(self, df: DataFrame, meta: dict | None = None) -> int:
+        """Atomically add df's rows; returns the committed version.
+        ``meta`` rides in the log entry (e.g. a streaming batch ledger)."""
+        return self._write(df, "append", meta)
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame, meta: dict | None = None) -> int:
         """Atomically replace the table's contents (readers of older
         versions are untouched — their snapshots still resolve)."""
-        return self._write(df, "overwrite")
+        return self._write(df, "overwrite", meta)
+
+    def last_batch(self, app_id: str) -> int:
+        """Highest streaming batch_id committed under ``app_id`` (-1 if
+        none) — the read side of the exactly-once sink ledger."""
+        best = -1
+        for v in self.versions():
+            m = self._entry(v).get("meta") or {}
+            if m.get("app_id") == app_id:
+                best = max(best, int(m.get("batch_id", -1)))
+        return best
 
     # ------------------------------------------------------------ read --
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
@@ -159,3 +174,26 @@ class TxnTable:
             if v not in keep:
                 os.remove(os.path.join(self.log_dir, f"{v:020d}.json"))
         return deleted
+
+
+def txn_batch_sink(table: TxnTable, app_id: str):
+    """EXACTLY-once ``foreachBatch`` sink: the commit's meta carries
+    (app_id, batch_id), and a replayed batch (failure between sink write
+    and checkpoint commit — the at-least-once window every foreachBatch
+    sink has) is detected from the log and skipped BEFORE staging, so
+    the table observes each micro-batch exactly once::
+
+        q = (df.writeStream.foreachBatch(txn_batch_sink(tbl, "scores"))
+               .option("checkpointLocation", ckpt).start())
+
+    This closes the gap the counter-ledger pattern
+    (streaming/pipeline.py foreach_batch_dual_sink) approximates: there
+    the ledger and data land in separate writes; here the ledger IS the
+    atomic commit."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= table.last_batch(app_id):
+            return  # replay of an already-committed batch
+        table.append(batch_df, meta={"app_id": app_id, "batch_id": batch_id})
+
+    return write

@@ -81,3 +81,33 @@ def test_vacuum_drops_old_versions_but_keeps_current(spark, table):
 def test_empty_table_read_raises(spark, table):
     with pytest.raises(ValueError):
         table.read(spark)
+
+
+def test_txn_batch_sink_is_exactly_once(spark, table):
+    """Replaying a batch (same batch_id — the foreachBatch at-least-once
+    window) must not re-append: the commit meta is the ledger."""
+    from real___time_fraud_detection_using_apache_kafka_spark.sources.txn_table import (
+        txn_batch_sink,
+    )
+
+    sink = txn_batch_sink(table, "scores")
+    sink(spark.range(0, 3), 0)
+    sink(spark.range(0, 3), 0)   # replay -> skipped
+    sink(spark.range(10, 12), 1)
+    sink(spark.range(10, 12), 1)  # replay -> skipped
+    assert _ids(table.read(spark)) == [0, 1, 2, 10, 11]
+    assert table.last_batch("scores") == 1
+    assert table.last_batch("other-app") == -1
+    # a real end-to-end stream through the sink
+    import tempfile
+
+    src = spark.readStream.format("rate").option("rowsPerSecond", 1000).load()
+    q = (
+        src.selectExpr("value as id")
+        .writeStream.foreachBatch(txn_batch_sink(table, "stream"))
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="txn_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert table.last_batch("stream") >= 0
