@@ -236,6 +236,34 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_table(args: argparse.Namespace) -> int:
+    """Operate a transactional table: commit history, snapshot reads
+    (including time travel), vacuum."""
+    from .sources.txn_table import TxnTable
+
+    t = TxnTable(args.path)
+    if args.action == "history":
+        for v in t.versions():
+            e = t._entry(v)  # noqa: SLF001 - CLI is a privileged operator
+            meta = e.get("meta") or {}
+            print(json.dumps({
+                "version": v, "action": e["action"],
+                "n_files": len(e["files"]), "ts": e["ts"], **meta,
+            }))
+        return 0
+    if args.action == "vacuum":
+        deleted = t.vacuum(keep_versions=args.keep_versions)
+        print(f"vacuumed {len(deleted)} data files; "
+              f"versions now {t.versions()}")
+        return 0
+    # read
+    spark = _spark("table")
+    df = t.read(spark, version=args.version)
+    for r in (df.limit(args.limit) if args.limit else df).collect():
+        print(json.dumps(r.asDict(), default=str))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(
         prog="real___time_fraud_detection_using_apache_kafka_spark",
@@ -300,6 +328,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="LSH signature state dir; enables near-dup "
                          "suppression against prior passes")
     ip.set_defaults(fn=cmd_ingest)
+
+    tb = sub.add_parser("table", help="transactional-table ops "
+                                      "(history / read / vacuum)")
+    tb.add_argument("action", choices=["history", "read", "vacuum"])
+    tb.add_argument("--path", required=True)
+    tb.add_argument("--version", type=int, default=None,
+                    help="time-travel read of this snapshot")
+    tb.add_argument("--limit", type=int, default=20)
+    tb.add_argument("--keep-versions", type=int, default=1)
+    tb.set_defaults(fn=cmd_table)
 
     cp = sub.add_parser("compact", help="compact a parquet dir's small files")
     cp.add_argument("path")

@@ -111,3 +111,25 @@ def test_txn_batch_sink_is_exactly_once(spark, table):
     )
     q.awaitTermination(120)
     assert table.last_batch("stream") >= 0
+
+
+def test_table_cli_history_read_vacuum(spark, table, capsys):
+    import json as _json
+
+    from real___time_fraud_detection_using_apache_kafka_spark.__main__ import main
+
+    table.append(spark.range(0, 2))
+    table.overwrite(spark.range(5, 8))
+    assert main(["table", "history", "--path", table.path]) == 0
+    hist = [_json.loads(line) for line in
+            capsys.readouterr().out.strip().splitlines()]
+    assert [h["version"] for h in hist] == [0, 1]
+    assert hist[1]["action"] == "overwrite"
+
+    assert main(["table", "read", "--path", table.path, "--version", "0"]) == 0
+    rows = [_json.loads(line) for line in
+            capsys.readouterr().out.strip().splitlines()]
+    assert sorted(r["id"] for r in rows) == [0, 1]
+
+    assert main(["table", "vacuum", "--path", table.path]) == 0
+    assert "versions now [1]" in capsys.readouterr().out
