@@ -598,6 +598,48 @@ def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionByName(c_only).unionByName(s_only)
 
 
+@register(
+    "bag_set_ops_nations",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS nationkey FROM customer
+                WHERE c_custkey <= 500),
+         sn AS (SELECT s_nationkey AS nationkey FROM supplier)
+    SELECT 'intersect_all' AS op, nationkey, count(*) AS n FROM (
+        SELECT nationkey FROM cn INTERSECT ALL SELECT nationkey FROM sn
+    ) GROUP BY nationkey
+    UNION ALL
+    SELECT 'except_all' AS op, nationkey, count(*) AS n FROM (
+        SELECT nationkey FROM cn EXCEPT ALL SELECT nationkey FROM sn
+    ) GROUP BY nationkey
+    """,
+)
+def bag_set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 complement, BAG semantics: ``intersectAll`` keeps min(m, n)
+    copies of each duplicated row and ``exceptAll`` subtracts
+    per-occurrence — distinct SQL semantics from the set forms (both are
+    one aggregate-count-per-side plan under the hood, not a join blowup).
+    Rolled up per key so the result is order-insensitively hashable."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") <= 500
+    ).select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    ia = (
+        c.intersectAll(s)
+        .groupBy("nationkey")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "nationkey", "n")
+    )
+    ea = (
+        c.exceptAll(s)
+        .groupBy("nationkey")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("except_all").alias("op"), "nationkey", "n")
+    )
+    return ia.unionByName(ea)
+
+
 # ---------------------------------------------------------------------------
 # Scalar-function queries (F1-F14, F19-F21)
 # ---------------------------------------------------------------------------
