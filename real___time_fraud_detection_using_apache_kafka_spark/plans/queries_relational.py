@@ -730,6 +730,33 @@ def generator_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           cast(o_orderdate + INTERVAL 30 DAY AS DATE) AS due,
+           last_day(cast(o_orderdate AS DATE)) AS eom,
+           cast(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           dayofweek(o_orderdate) + 1 AS dow
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+)
+def scalar_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-arithmetic complement of F1-F5 (the parts decomposition
+    family): offset (+30 days), month-end, month-truncation, and
+    day-of-week.  Cross-engine nuance the oracle encodes: Spark's
+    ``dayofweek`` is 1-based Sunday-first, DuckDB's 0-based — the oracle
+    shifts by one so the VALUES, not just the semantics, match."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    return o.select(
+        "o_orderkey",
+        F.date_add(F.col("o_orderdate"), 30).alias("due"),
+        F.last_day("o_orderdate").alias("eom"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.dayofweek("o_orderdate").alias("dow"),
+    )
+
+
+@register(
     "kv_map_roundtrip",
     oracle="""
     SELECT event_id,
