@@ -150,3 +150,91 @@ def decode_blobs_arrow(packed: DataFrame) -> DataFrame:
             )
 
     return packed.mapInArrow(decode, DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized_blob", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(packed: DataFrame, target_w: int = 32,
+                  target_h: int = 24) -> DataFrame:
+    """Resize stage (stub kernel, real plumbing): blob -> fixed-target
+    thumbnail blob.  A real kernel is ``PIL.Image.resize``; the stub
+    deterministically re-buckets the payload bytes to ``w*h`` output
+    bytes (stride sampling), preserving the exact control flow, types,
+    and one-in-one-out batch shape.  Narrow ``mapInPandas`` — no
+    shuffle, O(batch) memory, scales with executors."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_out = target_w * target_h
+        for pdf in batches:
+            out = []
+            for blob in pdf["blob"]:
+                body = bytes(blob)[4:]
+                if not body:
+                    out.append(b"")
+                    continue
+                stride = max(1, len(body) // n_out)
+                out.append(body[::stride][:n_out])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.Series([target_w] * len(pdf), dtype="int32"),
+                    "height": pd.Series([target_h] * len(pdf), dtype="int32"),
+                    "resized_blob": out,
+                }
+            )
+
+    return packed.mapInPandas(resize, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_offset_ms", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+FRAME_BYTES = 256
+FRAME_MS = 40  # 25 fps
+
+
+def sample_frames(packed: DataFrame, every_n: int = 4) -> DataFrame:
+    """Frame-sampling stage (stub kernel, real plumbing): one input blob
+    -> MANY frame rows, keeping every ``every_n``-th frame.  A real
+    kernel decodes a video container; the stub treats the payload as
+    fixed-256-byte frames at 25 fps.  The 1->N row expansion is the part
+    that matters for Spark: ``mapInPandas`` lets one input batch yield a
+    differently-sized output batch, so frame explosion happens
+    executor-side with no driver involvement and no shuffle; downstream
+    per-frame ops see plain rows."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs, blobs = [], [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                body = bytes(blob)[4:]
+                n_frames = (len(body) + FRAME_BYTES - 1) // FRAME_BYTES
+                for k in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    offs.append(k * FRAME_MS)
+                    blobs.append(body[k * FRAME_BYTES:(k + 1) * FRAME_BYTES])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "ts_offset_ms": pd.Series(offs, dtype="int32"),
+                    "frame": blobs,
+                }
+            )
+
+    return packed.mapInPandas(frames, FRAME_SCHEMA)
