@@ -134,16 +134,27 @@ class TxnTable:
         return best
 
     # ------------------------------------------------------------ read --
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+    def read(self, spark: SparkSession, version: int | None = None,
+             merge_schema: bool = False) -> DataFrame:
         """Snapshot read: latest version, or time travel to ``version``.
-        An empty (never-committed) table raises ValueError."""
+        An empty (never-committed) table raises ValueError.
+
+        ``merge_schema=True`` unions the column sets of every file in the
+        snapshot (columns absent from older files read as null) — the
+        append-a-column evolution every long-lived table hits.  Off by
+        default: schema merging reads every file's footer up front, a
+        metadata cost worth paying only when snapshots actually span a
+        schema change."""
         v, files = self._snapshot_files(version)
         if v < 0:
             raise ValueError(f"no committed version at {self.path}")
         if not files:
             # a committed-but-empty snapshot (overwrite of an empty df)
             return spark.createDataFrame([], schema="__empty string").limit(0)
-        return spark.read.parquet(*files)
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*files)
 
     # ------------------------------------------------------- maintain --
     def vacuum(self, keep_versions: int = 1) -> list[str]:

@@ -133,3 +133,18 @@ def test_table_cli_history_read_vacuum(spark, table, capsys):
 
     assert main(["table", "vacuum", "--path", table.path]) == 0
     assert "versions now [1]" in capsys.readouterr().out
+
+
+def test_schema_evolution_merge_read(spark, table):
+    """Appending a commit with an extra column evolves the table:
+    merge_schema reads old rows with nulls in the new column, and time
+    travel to the pre-evolution version still sees the old schema."""
+    from pyspark.sql import functions as F
+
+    table.append(spark.range(0, 2))
+    table.append(spark.range(10, 12).withColumn("score", F.lit(0.5)))
+    df = table.read(spark, merge_schema=True)
+    assert set(df.columns) == {"id", "score"}
+    rows = {r["id"]: r["score"] for r in df.collect()}
+    assert rows == {0: None, 1: None, 10: 0.5, 11: 0.5}
+    assert table.read(spark, version=0).columns == ["id"]
