@@ -125,3 +125,44 @@ def test_fraudlog_writer_roundtrip_and_modes(spark, tmp_path):
     # no half-written temporaries survive a successful commit
     import os
     assert not [f for f in os.listdir(out) if f.endswith(".inprogress")]
+
+
+def test_generate_write_read_count_lifecycle(spark, tmp_path):
+    """The reference's full persistence loop on engine components:
+    synthesize transactions (F15-F18) -> render to the reference's log
+    format via the DataSource writer (S5) -> re-scan with the DataSource
+    reader (S6/S7) -> aggregate class counts (A1).  Counts must match the
+    pre-serialization DataFrame exactly."""
+    from pyspark.sql import functions as F
+
+    from real___time_fraud_detection_using_apache_kafka_spark.sources.generator import (
+        batch_transactions,
+    )
+
+    spark.dataSource.register(FraudLogDataSource)
+    out = str(tmp_path / "lifecycle_log")
+    txns = batch_transactions(spark, n=200, seed=7).select(
+        F.col("transaction_id"),
+        F.col("amount"),
+        F.when(F.col("is_fraud") == 1, "Fraud").otherwise("Not Fraud")
+        .alias("status"),
+    )
+    want = {
+        r["status"]: r["n"]
+        for r in txns.groupBy("status").agg(F.count("*").alias("n")).collect()
+    }
+    txns.write.format("fraudlog").mode("overwrite").save(out)
+    back = spark.read.format("fraudlog").load(out)
+    got = {
+        r["status"]: r["n"]
+        for r in back.groupBy("status").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
+    assert back.count() == 200
+    # amounts survive the $%.2f render -> parse round trip to the cent
+    joined = txns.alias("a").join(
+        back.alias("b"), F.col("a.transaction_id") == F.col("b.transaction_id")
+    ).select(
+        (F.round("a.amount", 2) - F.col("b.amount")).alias("delta")
+    )
+    assert joined.agg(F.max(F.abs("delta"))).first()[0] == 0.0
