@@ -127,6 +127,7 @@ def ingest_documents_neardup_suppressed(
     n: int = 3,
     bands: int = 4,
     rows_per_band: int = 4,
+    txn: bool = False,
 ) -> StreamingQuery:
     """The 100 TB ingestion shape: quality gate + NEAR-dup suppression
     against everything already accepted, incrementally.
@@ -153,7 +154,19 @@ def ingest_documents_neardup_suppressed(
     doubles as an idempotence ledger: a replayed doc collides with its
     OWN buckets and is suppressed, so the curated corpus never grows on
     replay — even after total checkpoint loss (tested).
+
+    ``txn=True`` lands survivors in a :class:`~..sources.txn_table.TxnTable`
+    at ``curated_dir`` instead of a plain parquet append: each batch
+    becomes ONE atomic multi-file commit carrying the (app, batch) ledger,
+    so readers never observe a half-written batch and same-checkpoint
+    replays are skipped before staging (read it back with
+    ``TxnTable(curated_dir).read(spark)``; the lang-partitioned directory
+    layout is traded for commit atomicity).
     """
+    from ..sources.txn_table import TxnTable
+
+    table = TxnTable(curated_dir) if txn else None
+    app_id = "neardup_ingest"
     gated_stream = (
         TX.quality_score(stream_documents(spark, landing_dir))
         .filter(f"quality_score >= {min_quality}")
@@ -161,6 +174,8 @@ def ingest_documents_neardup_suppressed(
     )
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
+        if table is not None and batch_id <= table.last_batch(app_id):
+            return  # replayed batch already committed atomically
         batch = batch.persist()
         try:
             if batch.isEmpty():
@@ -183,9 +198,14 @@ def ingest_documents_neardup_suppressed(
             survivors = batch.join(
                 drops.distinct(), "doc_id", "left_anti"
             ).persist()
-            survivors.write.mode("append").partitionBy("lang").parquet(
-                curated_dir
-            )
+            if table is not None:
+                table.append(
+                    survivors, meta={"app_id": app_id, "batch_id": batch_id}
+                )
+            else:
+                survivors.write.mode("append").partitionBy("lang").parquet(
+                    curated_dir
+                )
             buckets.join(
                 survivors.select("doc_id"), "doc_id", "left_semi"
             ).write.mode("append").parquet(state_dir)

@@ -180,3 +180,36 @@ def test_neardup_ingest_is_replay_tolerant(spark, dirs):
     )
     q2.awaitTermination(180)
     assert spark.read.parquet(dirs["curated"]).count() == n1  # no growth
+
+
+def test_neardup_ingest_txn_sink(spark, dirs):
+    """txn=True lands each batch as ONE atomic TxnTable commit carrying
+    the batch ledger; suppression semantics are unchanged."""
+    from real___time_fraud_detection_using_apache_kafka_spark.sources.txn_table import (
+        TxnTable,
+    )
+    from real___time_fraud_detection_using_apache_kafka_spark.streaming.ingest import (
+        ingest_documents_neardup_suppressed,
+    )
+
+    state = os.path.join(os.path.dirname(dirs["curated"]), "state")
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "today with plenty of extra distinct words to pass quality")
+    other = ("completely different text about spark distributed query "
+             "engines and large scale data processing pipelines running")
+    spark.createDataFrame(
+        [(1, base, "en", "s", len(base)),
+         (2, base.replace("today", "tomorrow"), "en", "s", len(base)),
+         (3, other, "en", "s", len(other))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("append").parquet(dirs["landing"])
+
+    q = ingest_documents_neardup_suppressed(
+        spark, dirs["landing"], dirs["curated"], dirs["ckpt"], state, txn=True
+    )
+    q.awaitTermination(180)
+    t = TxnTable(dirs["curated"])
+    assert {r["doc_id"] for r in t.read(spark).collect()} == {1, 3}
+    # every commit carries the ledger meta
+    metas = [t._entry(v).get("meta") for v in t.versions()]
+    assert all(m and m["app_id"] == "neardup_ingest" for m in metas)
