@@ -1,1 +1,1 @@
-from . import hashing, scalar  # noqa: F401
+from . import hashing, scalar, udtfs  # noqa: F401

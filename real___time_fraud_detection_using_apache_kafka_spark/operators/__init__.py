@@ -1,1 +1,10 @@
-from . import aggregates, dedup, relational, similarity, text, windows  # noqa: F401
+from . import (  # noqa: F401
+    aggregates,
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    temporal,
+    text,
+    windows,
+)
