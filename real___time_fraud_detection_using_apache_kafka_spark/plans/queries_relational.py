@@ -730,6 +730,36 @@ def generator_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bool_agg_events",
+    oracle="""
+    SELECT event_type,
+           cast(count_if(value > 50) AS BIGINT) AS n_high,
+           bool_or(value > 99)  AS any_extreme,
+           bool_and(value >= 0) AS all_nonneg,
+           round(count_if(value > 50) / cast(count(*) AS DOUBLE), 6)
+               AS high_share
+    FROM events GROUP BY event_type
+    """,
+)
+def bool_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregate family (extension): ``count_if``
+    folds the predicate into the aggregate (no pre-filter subquery),
+    ``bool_or``/``bool_and`` are the any/every quantifiers — all
+    single-pass mergeable partials like sum, and ``bool_and`` notably
+    short-circuits per partition.  The guard pattern the reference codes
+    imperatively (P5's zero-class check, FD/model.py:98-100) collapses
+    to one such aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 50).alias("n_high"),
+        F.bool_or(F.col("value") > 99).alias("any_extreme"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.round(F.count_if(F.col("value") > 50) / F.count("*"), 6)
+        .alias("high_share"),
+    )
+
+
+@register(
     "scalar_date_arithmetic",
     oracle="""
     SELECT o_orderkey,
