@@ -730,6 +730,63 @@ def generator_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fuzzy_category_recovery",
+    oracle="""
+    WITH canon AS (
+        SELECT DISTINCT event_type AS canonical FROM events
+    ), drifted AS (
+        SELECT DISTINCT upper(substr(event_type, 1, 1)) || substr(event_type, 2)
+                   AS drifted
+        FROM events
+        UNION
+        SELECT DISTINCT upper(event_type) FROM events
+    ), scored AS (
+        SELECT d.drifted, c.canonical,
+               levenshtein(d.drifted, c.canonical) AS dist
+        FROM drifted d CROSS JOIN canon c
+    )
+    SELECT drifted, canonical, dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY drifted
+                                     ORDER BY dist, canonical) AS rn
+        FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def fuzzy_category_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical-domain drift repair (the defect class of SURVEY
+    §1.3/§2.11-1: the reference's training CSV and live producer used
+    DIFFERENT categorical domains and the skew silently broke serving):
+    map each drifted label to its nearest canonical label by edit
+    distance (``levenshtein``), with a deterministic (distance, label)
+    tie-break via ``min_by``.
+
+    Scale shape: both sides first collapse to DISTINCT labels —
+    categorical domains are tiny regardless of corpus size, so the cross
+    join is |domains|² on aggregated rows, never a row-level product."""
+    e = load_table(spark, sf_dir, "events")
+    cap = F.concat(
+        F.upper(F.substring("event_type", 1, 1)),
+        F.expr("substr(event_type, 2)"),
+    )
+    drifted = (
+        e.select(cap.alias("drifted"))
+        .union(e.select(F.upper("event_type").alias("drifted")))
+        .distinct()
+    )
+    canon = e.select(F.col("event_type").alias("canonical")).distinct()
+    return (
+        drifted.crossJoin(canon)
+        .withColumn("dist", F.levenshtein("drifted", "canonical"))
+        .groupBy("drifted")
+        .agg(
+            F.min_by("canonical", F.struct("dist", "canonical"))
+            .alias("canonical"),
+            F.min("dist").alias("dist"),
+        )
+    )
+
+
+@register(
     "bool_agg_events",
     oracle="""
     SELECT event_type,
