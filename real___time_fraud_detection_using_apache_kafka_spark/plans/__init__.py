@@ -8,5 +8,6 @@ from . import queries_metrics  # noqa: E402,F401
 from . import queries_text  # noqa: E402,F401
 from . import queries_temporal  # noqa: E402,F401
 from . import queries_sketch  # noqa: E402,F401
+from . import queries_analytics  # noqa: E402,F401
 
 __all__ = ["QUERIES", "queries", "oracle_sql", "register"]

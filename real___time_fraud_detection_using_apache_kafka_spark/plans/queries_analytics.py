@@ -1,0 +1,437 @@
+"""Time-series / cohort / model-monitoring analytics catalog.
+
+Extension operators beyond the reference (SURVEY.md §2.5/§2.6 families,
+driver-mandated analytics surface): recursive-CTE series generation,
+gap-fill + forward-fill resampling, SCD2 run-length intervals, cohort
+retention, KS drift, and lift/gain deciles — the dashboard analytics the
+reference recomputed driver-side from full log re-parses
+(FD/evaluation.py:97-179) re-expressed as distributed plans.
+
+Scale notes (SCALE.md "Analytics"): every window partitions on a real
+key except the two curve queries (KS, deciles), which first collapse to
+one row per *distinct quantized score* — bounded state like roc_auc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+
+@register(
+    "month_spine_recursive",
+    oracle="""
+    WITH RECURSIVE bounds AS (
+        SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS lo,
+               CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS hi
+        FROM orders
+    ), spine(month_start) AS (
+        SELECT lo FROM bounds
+        UNION ALL
+        SELECT CAST(month_start + INTERVAL 1 MONTH AS DATE)
+        FROM spine, bounds WHERE month_start < hi
+    ), monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT s.month_start,
+           coalesce(m.n_orders, 0) AS n_orders,
+           coalesce(m.revenue, 0.0) AS revenue
+    FROM spine s LEFT JOIN monthly m ON s.month_start = m.month_start
+    """,
+)
+def month_spine_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 ``WITH RECURSIVE``): complete month spine
+    over the orders date range, zero-filled where a month has no orders.
+
+    Engine-completeness surface: the recursion generates the spine
+    (bounded by the date range — tens of iterations, each a metadata-only
+    row), while the heavy side stays one hash aggregate over orders.  The
+    same series is also expressible with ``sequence()`` (see
+    ``daily_gapfill_forward``); this query pins the SQL-surface parity.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_an")
+    return spark.sql("""
+        WITH RECURSIVE bounds AS (
+            SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS lo,
+                   CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS hi
+            FROM orders_an
+        ), spine(month_start) AS (
+            SELECT lo FROM bounds
+            UNION ALL
+            SELECT CAST(month_start + INTERVAL '1' MONTH AS DATE)
+            FROM spine, bounds WHERE month_start < hi
+        ), monthly AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders_an GROUP BY 1
+        )
+        SELECT s.month_start,
+               coalesce(m.n_orders, CAST(0 AS BIGINT)) AS n_orders,
+               coalesce(m.revenue, 0.0d) AS revenue
+        FROM spine s LEFT JOIN monthly m ON s.month_start = m.month_start
+    """)
+
+
+@register(
+    "daily_gapfill_forward",
+    oracle="""
+    WITH daily AS (
+        -- DECIMAL sum / exact count, not avg(): accumulation-order ulps in a
+        -- double avg can flip the 2-dp rounding between engines
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               count(*) AS n_events,
+               round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(*), 2) AS day_avg
+        FROM events WHERE value >= 90
+        GROUP BY 1, 2
+    ), bounds AS (
+        SELECT event_type, min(day) AS lo, max(day) AS hi
+        FROM daily GROUP BY 1
+    ), exploded AS (
+        SELECT event_type,
+               unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                      CAST(hi AS TIMESTAMP),
+                                      INTERVAL 1 DAY)) AS d
+        FROM bounds
+    ), spine AS (
+        SELECT event_type, CAST(d AS DATE) AS day FROM exploded
+    )
+    SELECT s.event_type, s.day,
+           coalesce(d.n_events, 0) AS n_events,
+           last_value(d.day_avg IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS carried_avg
+    FROM spine s LEFT JOIN daily d
+      ON s.event_type = d.event_type AND s.day = d.day
+    """,
+)
+def daily_gapfill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample: regularize sparse per-type daily stats onto a
+    complete day grid (``sequence`` + ``explode``), zero-fill counts, and
+    forward-fill the last observed daily average (``last(ignorenulls)``).
+
+    The high-value slice (value >= 90) is sparse enough to leave real
+    gaps, so the fill paths are exercised.  Spine generation is narrow
+    per-group arithmetic (one row per (type, day) — bounded by the date
+    range); the only shuffles are the daily hash-agg and the per-type
+    window sort.  At 100 TB the grid size is calendar-bounded, not
+    data-bounded.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("value") >= 90)
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                2,
+            ).alias("day_avg"),
+        )
+    )
+    spine = (
+        daily.groupBy("event_type")
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi")).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("day_avg", ignorenulls=True).over(w).alias("carried_avg"),
+        )
+    )
+
+
+@register(
+    "scd2_user_state",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events WHERE user_id < 40
+    ), flagged AS (
+        SELECT *, CASE WHEN prev_type IS NULL
+                         OR prev_type <> event_type THEN 1 ELSE 0 END AS chg
+        FROM ordered
+    ), runs AS (
+        SELECT *, sum(chg) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS run_id
+        FROM flagged
+    ), intervals AS (
+        SELECT user_id, run_id, event_type AS state,
+               min(ts) AS valid_from, count(*) AS n_events
+        FROM runs GROUP BY 1, 2, 3
+    )
+    SELECT user_id, state, valid_from,
+           lead(valid_from) OVER (
+               PARTITION BY user_id ORDER BY run_id
+           ) AS valid_to,
+           n_events,
+           CASE WHEN lead(valid_from) OVER (
+               PARTITION BY user_id ORDER BY run_id
+           ) IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM intervals
+    """,
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 interval build (gaps-and-islands run-length encoding): each
+    user's event-type stream compresses into contiguous state intervals
+    with ``valid_from`` / ``valid_to`` / ``is_current`` — the
+    slowly-changing-dimension shape a warehouse maintains from a change
+    stream.
+
+    Three windows share ONE (user_id, (ts, event_id)) partitioning/sort;
+    the interval agg groups on the same key, so the whole plan rides a
+    single user_id exchange.  State per user is its run count — bounded
+    by activity, not corpus size.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("event_type").over(seq).isNull()
+            | (F.lag("event_type").over(seq) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    runs = flagged.withColumn("run_id", F.sum("chg").over(run))
+    intervals = runs.groupBy("user_id", "run_id", F.col("event_type").alias("state")).agg(
+        F.min("ts").alias("valid_from"), F.count("*").alias("n_events")
+    )
+    nxt = Window.partitionBy("user_id").orderBy("run_id")
+    valid_to = F.lead("valid_from").over(nxt)
+    return intervals.select(
+        "user_id",
+        "state",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        "n_events",
+        F.when(valid_to.isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY 1
+    ), activity AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+        FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.week) / 7 AS BIGINT)
+               AS week_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM firsts f JOIN activity a ON f.user_id = a.user_id
+    WHERE date_diff('day', f.cohort_week, a.week) / 7 <= 8
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    distinct-user counts per week offset 0..8 — the classic
+    training-data / product-analytics triangle.
+
+    Both sides collapse to per-user rows BEFORE the join (first-week agg,
+    distinct (user, week)), so the join carries O(users x weeks) not
+    O(events); the final agg's key domain is (weeks x 9).  All three
+    shuffles key on user_id and can share one exchange under bucketing.
+    """
+    e = load_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts")).cast("date")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = e.select("user_id", week.alias("week")).distinct()
+    offset = (F.datediff("week", "cohort_week") / 7).cast("bigint")
+    return (
+        firsts.join(activity, "user_id")
+        .select("cohort_week", offset.alias("week_offset"), "user_id")
+        .filter(F.col("week_offset") <= 8)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+_SCORED = """
+    SELECT CASE WHEN cast(json_extract(props, '$.k') AS INT) >= 50
+                THEN 1 ELSE 0 END AS actual,
+           round(value / 500.0, 6) AS score,
+           event_id
+    FROM events
+"""
+
+
+@register(
+    "ks_drift_stat",
+    oracle=f"""
+    WITH scored AS ({_SCORED}),
+    per_score AS (
+        SELECT score,
+               sum(actual) AS pos,
+               sum(1 - actual) AS neg
+        FROM scored GROUP BY score
+    ), cums AS (
+        SELECT score,
+               sum(pos) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cpos,
+               sum(neg) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cneg
+        FROM per_score
+    )
+    SELECT round(max(abs(
+               CAST(cpos AS DOUBLE) / (SELECT sum(actual) FROM scored)
+             - CAST(cneg AS DOUBLE) / (SELECT sum(1 - actual) FROM scored)
+           )), 6) AS ks_stat,
+           (SELECT sum(actual) FROM scored) AS n_pos,
+           (SELECT sum(1 - actual) FROM scored) AS n_neg
+    FROM cums
+    """,
+)
+def ks_drift_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the score
+    distributions of the positive and negative classes — the standard
+    separability / drift monitor next to PSI (``psi_score_drift``).
+
+    Like roc_auc, the global window runs over one row per DISTINCT
+    quantized score (bounded by score granularity), never raw events:
+    the per-score groupBy is the only data-sized shuffle.
+    """
+    from .queries_metrics import scored_events
+
+    s = scored_events(spark, sf_dir).select(
+        "actual", F.round(F.col("score"), 6).alias("score")
+    )
+    per_score = s.groupBy("score").agg(
+        F.sum("actual").alias("pos"),
+        F.sum(1 - F.col("actual")).alias("neg"),
+    )
+    cum = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cums = per_score.select(
+        F.sum("pos").over(cum).alias("cpos"),
+        F.sum("neg").over(cum).alias("cneg"),
+    )
+    totals = s.agg(
+        F.sum("actual").alias("n_pos"),
+        F.sum(1 - F.col("actual")).alias("n_neg"),
+    )
+    return (
+        cums.crossJoin(F.broadcast(totals))
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("cpos") / F.col("n_pos")
+                        - F.col("cneg") / F.col("n_neg")
+                    )
+                ),
+                6,
+            ).alias("ks_stat"),
+            F.first("n_pos").alias("n_pos"),
+            F.first("n_neg").alias("n_neg"),
+        )
+    )
+
+
+@register(
+    "lift_gain_deciles",
+    oracle=f"""
+    WITH scored AS ({_SCORED}),
+    ranked AS (
+        SELECT actual,
+               ntile(10) OVER (ORDER BY score DESC, event_id) AS decile
+        FROM scored
+    ), per_decile AS (
+        SELECT decile, count(*) AS n, sum(actual) AS positives
+        FROM ranked GROUP BY decile
+    ), tot AS (
+        SELECT sum(n) AS total_n, sum(positives) AS total_pos FROM per_decile
+    )
+    SELECT d.decile, d.n, d.positives,
+           round(CAST(sum(d.positives) OVER (ORDER BY d.decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) / t.total_pos, 6) AS cum_gain,
+           round((CAST(d.positives AS DOUBLE) / d.n)
+                 / (CAST(t.total_pos AS DOUBLE) / t.total_n), 6) AS lift
+    FROM per_decile d, tot t
+    """,
+)
+def lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model lift / cumulative-gain table by score decile — the campaign
+    targeting view of the score the reference only thresholded.
+
+    The ntile is a global sort, so this is oracle-exact at test SF; the
+    100 TB path swaps ntile for decile EDGES from approx_percentile
+    (one pass, mergeable sketch) and a broadcast bucket lookup — noted
+    in SCALE.md, same downstream plan.
+    """
+    from .queries_metrics import scored_events
+
+    s = scored_events(spark, sf_dir).select(
+        "actual", F.round(F.col("score"), 6).alias("score"), "event_id"
+    )
+    ranked = s.select(
+        "actual",
+        F.ntile(10).over(Window.orderBy(F.desc("score"), "event_id")).alias("decile"),
+    )
+    per_decile = ranked.groupBy("decile").agg(
+        F.count("*").alias("n"), F.sum("actual").alias("positives")
+    )
+    tot = per_decile.agg(
+        F.sum("n").alias("total_n"), F.sum("positives").alias("total_pos")
+    )
+    cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_decile.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n",
+            "positives",
+            F.round(
+                F.sum("positives").over(cum) / F.col("total_pos"), 6
+            ).alias("cum_gain"),
+            F.round(
+                (F.col("positives") / F.col("n"))
+                / (F.col("total_pos") / F.col("total_n")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -79,31 +79,35 @@ def _stable_types(fn: QueryFn) -> QueryFn:
 # (CORRECTNESS_r01/r02 both record exactly queries 0-49 in registry
 # order), so lead with a set that covers every operator family — fraud
 # metrics + monitoring, a TPC-H core, multidim/window relational ops,
-# semi-structured/wire formats, statistical + list aggregates, near-dup
-# dedup, similarity search, text analysis, temporal — rather than
-# letting registration order leave whole families ungraded.  The TPC-H
-# queries rotated out for round 3's new families (q4/q7/q8/q12/q15/q16/
-# q19/q20) remain in the catalog right after the head; all 22 recorded
-# hash-true in CORRECTNESS_r02.  Names not listed follow in
-# registration order.
+# semi-structured formats, statistical + list aggregates, near-dup
+# dedup, similarity search, text analysis, temporal, and the round-3
+# analytics family (recursive CTE, gap-fill, SCD2, cohorts, KS, lift) —
+# rather than letting registration order leave whole families ungraded.
+# Queries rotated out of the head (TPC-H q4/q6/q7/q8/q10/q12/q14/q15/
+# q16/q17/q19/q20, calibration_curve, wire_formats_roundtrip) remain in
+# the catalog right after it; all recorded hash-true in CORRECTNESS_r02.
+# Names not listed follow in registration order.
 _GRADED_FIRST = [
     # flagship + ML metric battery + monitoring (SURVEY §2.5 A8-A14 + ext)
     "fraud_patterns", "class_counts", "confusion_matrix",
     "classification_metrics", "log_loss", "roc_auc", "pr_curve_threshold",
-    "per_class_report", "calibration_curve", "psi_score_drift",
+    "per_class_report", "psi_score_drift",
+    # model-monitoring analytics (round-3 batch 2)
+    "ks_drift_stat", "lift_gain_deciles",
     # TPC-H core (batch relational: joins, subqueries, decimal aggs)
     "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
-    "q5_regional_revenue", "q6_forecast_revenue", "q9_product_profit",
-    "q10_returned_items", "q11_important_parts",
-    "q13_customer_distribution", "q14_promo_revenue",
-    "q17_small_quantity_revenue", "q18_large_volume_customers",
+    "q5_regional_revenue", "q9_product_profit", "q11_important_parts",
+    "q13_customer_distribution", "q18_large_volume_customers",
     "q21_waiting_suppliers", "q22_dormant_customers",
+    # series generation / time-series / warehouse shapes (round-3 batch 2)
+    "month_spine_recursive", "daily_gapfill_forward", "scd2_user_state",
+    "cohort_retention",
     # multidim aggregation + window/top-k
     "rollup_region_nation", "cube_status_priority", "grouping_sets_orders",
     "pivot_event_type_daily", "topk_orders_per_customer",
     "latest_event_per_user",
     # semi-structured + wire formats + aggregate families (round-3 ext)
-    "variant_props_stats", "kv_map_roundtrip", "wire_formats_roundtrip",
+    "variant_props_stats", "kv_map_roundtrip",
     "stats_moments_lineitem", "customer_order_digest",
     # dedup + similarity search (training-data pipeline core)
     "dedup_exact", "ngram_jaccard_neardup", "embedding_cosine_neardup",
