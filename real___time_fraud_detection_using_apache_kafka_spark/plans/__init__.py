@@ -9,5 +9,6 @@ from . import queries_text  # noqa: E402,F401
 from . import queries_temporal  # noqa: E402,F401
 from . import queries_sketch  # noqa: E402,F401
 from . import queries_analytics  # noqa: E402,F401
+from . import queries_quality  # noqa: E402,F401
 
 __all__ = ["QUERIES", "queries", "oracle_sql", "register"]
