@@ -1,6 +1,7 @@
 from . import (  # noqa: F401
     aggregates,
     dedup,
+    matview,
     multimodal,
     relational,
     similarity,
