@@ -55,6 +55,14 @@ HEADLINE = [
     "pii_scrub_stats",
     "pack_training_sequences",
     "unigram_logprob",
+    # round-3 batch 2: analytics + data-quality families
+    "month_spine_recursive",
+    "daily_gapfill_forward",
+    "scd2_user_state",
+    "cohort_retention",
+    "ks_drift_stat",
+    "lift_gain_deciles",
+    "dq_constraint_report",
 ]
 
 
