@@ -268,3 +268,57 @@ def test_tfidf_reuses_doc_partitioning(spark):
     # aggregate's hash-by-term, and nothing keyed by (doc_id, term)
     assert "hashpartitioning(doc_id" in plan
     assert not re.search(r"hashpartitioning\(doc_id[^)]*term", plan), plan
+
+
+def test_dq_report_broadcasts_fk_and_scans_orders_twice_max(spark):
+    """The constraint suite is one agg scan of orders plus a broadcast
+    left-anti FK probe — the customer side must broadcast, and orders
+    must never hit a sort-merge join."""
+    plan = plan_of(spark, "dq_constraint_report")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_profile_orders_is_single_scan_single_agg(spark):
+    """16 column statistics fold into ONE scan; distinct counts expand
+    aggregation but no join appears anywhere."""
+    import re
+
+    plan = plan_of(spark, "profile_orders_columns")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_scd2_rides_one_user_exchange(spark):
+    """Three windows + interval agg share the (user_id) partitioning:
+    exactly one hash-partitioning exchange keyed on user_id, none other."""
+    import re
+
+    plan = plan_of(spark, "scd2_user_state")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_cohort_retention_aggregates_before_join(spark):
+    """Both join inputs collapse to per-user granularity pre-join: the
+    join sits above two aggregates, and event-grain rows never cross it."""
+    import re
+
+    plan = plan_of(spark, "cohort_retention")
+    agg_ids = [int(m) for m in re.findall(r"\((\d+)\) HashAggregate", plan)]
+    join_ids = [
+        int(m)
+        for m in re.findall(r"\((\d+)\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan)
+    ]
+    assert join_ids, plan
+    # formatted-plan node ids increase bottom-up within a tree printout;
+    # at least two aggregates must execute below the join
+    assert sum(1 for a in agg_ids if a < max(join_ids)) >= 2
+
+
+def test_gapfill_windows_partition_by_group(spark):
+    """The forward-fill window partitions on event_type — no global
+    (empty-key) window anywhere in the plan."""
+    plan = plan_of(spark, "daily_gapfill_forward")
+    assert "windowspecdefinition(event_type" in plan
+    assert "Exchange SinglePartition" not in plan
