@@ -1557,3 +1557,74 @@ def embedding_salient_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+@register(
+    "sample_per_group",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, lang, n_chars,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY {poly_hash_duckdb("cast(doc_id AS VARCHAR)")},
+                            doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT doc_id, lang, n_chars, rn FROM ranked WHERE rn <= 5
+    """,
+)
+def sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum reservoir: exactly k=5 documents per
+    language, chosen by ranking on the portable id hash — a fixed-size
+    dual of ``sample_documents_stratified``'s fixed-RATE gate.  Because
+    the order key is a hash of the id (not ``rand()``), the sample is
+    stable across runs/engines/partitionings, and adding documents only
+    perturbs the reservoir the way true reservoir sampling would.
+
+    Spark 4 plans rank<=k as WindowGroupLimit: each partition keeps its
+    local top-5 per group BEFORE the shuffle, so the exchange carries
+    O(groups x k x partitions), not the corpus."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import poly_hash_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        poly_hash_expr("cast(doc_id as string)"), F.asc("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "lang", "n_chars", "rn")
+    )
+
+
+@register(
+    "blob_dedup_md5",
+    oracle="""
+    SELECT md5(substr(text, 1, 40)) AS header_md5,
+           count(*) AS n_copies,
+           min(doc_id) AS keeper_id
+    FROM documents
+    GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+def blob_dedup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-digest dedup for opaque payloads: md5 the payload bytes
+    (here the 40-byte header, which the synthetic corpus actually
+    collides on — shared boilerplate openings), group by digest, keep
+    the lowest id.  The multimodal dual of ``dedup_exact``: for
+    image/audio blobs a byte digest is the ONLY equality available
+    without decoding, and header digests are the standard cheap tier
+    before whole-file hashing.  Map-side partial aggregation collapses
+    same-digest copies before the shuffle, and the shuffle key is the
+    fixed-width digest, never payload bytes — at 100 TB the exchange
+    carries 16-byte keys + counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    digest = F.md5(F.encode(F.substring(F.col("text"), 1, 40), "utf-8"))
+    return (
+        docs.groupBy(digest.alias("header_md5"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper_id"))
+        .filter(F.col("n_copies") > 1)
+    )
