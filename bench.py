@@ -75,9 +75,12 @@ def main() -> None:
     # headline set reads, so per-query numbers measure the query, not
     # first-touch costs (cold parquet read + codegen JIT otherwise lands
     # entirely on whichever query happens to touch a table first)
-    qs["q1_pricing_summary"](spark, sf_dir).count()
-    for t in ("documents", "embeddings", "events", "orders", "customer"):
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    try:
+        qs["q1_pricing_summary"](spark, sf_dir).count()
+        for t in ("documents", "embeddings", "events", "orders", "customer"):
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    except Exception as e:  # noqa: BLE001 — cache priming is best-effort
+        print(f"# table warm-up failed: {e}", file=sys.stderr)
     # Steady-state methodology (SPARK_GRAFT_BENCH_WARMUP=0 disables): one
     # unmeasured pass over the headline set first, so the measured pass
     # times the query plan, not one-time whole-stage-codegen JIT — the
@@ -88,25 +91,34 @@ def main() -> None:
         for name in HEADLINE:
             if name in qs:
                 spark.catalog.clearCache()
-                qs[name](spark, sf_dir).count()
+                try:
+                    qs[name](spark, sf_dir).count()
+                except Exception as e:  # noqa: BLE001 — warm-up must not kill the bench
+                    print(f"# warmup {name} FAILED: {e}", file=sys.stderr)
     # SPARK_GRAFT_BENCH_REPEAT=N (default 1) reports the per-query median
     # of N cold runs — run-to-run jitter on local[32] is a few percent,
     # and the median removes it without changing the default cadence
     repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1")))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
         samples = []
-        for _ in range(repeat):
-            # each query is measured cold: operators that persist()
-            # reusable intermediates (near-dup shingles) must not donate
-            # cache — or steal unified memory — from the next timing
-            spark.catalog.clearCache()
-            t0 = time.time()
-            df = qs[name](spark, sf_dir)
-            n = df.count()
-            samples.append(time.time() - t0)
+        try:
+            for _ in range(repeat):
+                # each query is measured cold: operators that persist()
+                # reusable intermediates (near-dup shingles) must not donate
+                # cache — or steal unified memory — from the next timing
+                spark.catalog.clearCache()
+                t0 = time.time()
+                df = qs[name](spark, sf_dir)
+                n = df.count()
+                samples.append(time.time() - t0)
+        except Exception as e:  # noqa: BLE001 — one bad query must not zero the round
+            errors[name] = str(e).split("\n", 1)[0][:200]
+            print(f"# {name} FAILED: {errors[name]}", file=sys.stderr)
+            continue
         samples.sort()
         timings[name] = round(samples[len(samples) // 2], 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
@@ -129,6 +141,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf else None,
                 "calibration_sec": calibration,
+                **({"errors": errors} if errors else {}),
             }
         )
     )
