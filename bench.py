@@ -63,6 +63,12 @@ HEADLINE = [
     "ks_drift_stat",
     "lift_gain_deciles",
     "dq_constraint_report",
+    # round-3 batch 3: fraud-forensics family
+    "rapid_repeat_purchases",
+    "value_outliers_robust",
+    "benford_first_digit",
+    "user_rfm_segments",
+    "session_conversion_paths",
 ]
 
 

