@@ -439,3 +439,119 @@ def lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "revenue_trend_regression",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderpriority,
+               epoch(o_orderdate) // 86400 AS day_x,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY 1, 2
+    )
+    SELECT o_orderpriority,
+           regr_count(revenue, day_x)               AS n_days,
+           round(regr_slope(revenue, day_x), 5)     AS slope,
+           round(regr_intercept(revenue, day_x), 2) AS intercept,
+           round(regr_r2(revenue, day_x), 5)        AS r2
+    FROM daily
+    GROUP BY o_orderpriority
+    """,
+)
+def revenue_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority linear trend of daily revenue via the SQL-standard
+    ``regr_*`` aggregate family — the declarative replacement for the
+    reference exporting pandas frames to fit trendlines driver-side
+    (FD/dashboard.py chart paths).
+
+    Two-level aggregate: the fact collapses to (priority, day) points
+    first (one shuffle), then the regression aggregates reduce ~2.4k
+    points per group — ``regr_slope/intercept/r2`` are single-pass
+    mergeable moments (sum, sum², cross-sum), so partial aggregation
+    applies and nothing is collected.  The x axis is an integral epoch
+    day and y a 2-decimal rounded double, pinning both engines to
+    identical inputs before the (rounded) float division.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderpriority",
+        (F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+         / F.lit(86400)).cast("long").alias("day_x"),
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    return daily.groupBy("o_orderpriority").agg(
+        F.regr_count("revenue", "day_x").alias("n_days"),
+        F.round(F.regr_slope("revenue", "day_x"), 5).alias("slope"),
+        F.round(F.regr_intercept("revenue", "day_x"), 2).alias("intercept"),
+        F.round(F.regr_r2("revenue", "day_x"), 5).alias("r2"),
+    )
+
+
+@register(
+    "order_gini_concentration",
+    oracle="""
+    WITH ranked AS (
+        SELECT c_mktsegment,
+               o_totalprice AS x,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY o_totalprice, o_orderkey) AS i,
+               count(*)     OVER (PARTITION BY c_mktsegment) AS n,
+               sum(o_totalprice) OVER (PARTITION BY c_mktsegment) AS tot
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    SELECT c_mktsegment,
+           any_value(n)  AS n_orders,
+           round(sum((2.0 * i - n - 1) * x)
+                 / (any_value(n) * any_value(tot)), 6) AS gini
+    FROM ranked
+    GROUP BY c_mktsegment
+    """,
+)
+def order_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order-value concentration per market segment —
+    the inequality screen (is revenue dominated by a few whale orders?)
+    computed by a **vectorized Arrow grouped-agg pandas UDAF**: this is
+    the engine's PANDAS_UDF(GROUPED_AGG) surface (SURVEY.md §2.9's
+    "pandas_udf for anything genuinely opaque"), deliberately exercised
+    on an op with a closed-form SQL oracle so the UDAF path itself is
+    hash-verified against DuckDB.
+
+    Scale shape: one shuffle on the 5-value segment key after a
+    broadcast customer join; each group's values arrive as ONE Arrow
+    batch per partition-group (numpy sort inside, no Python-per-row
+    boxing).  Skew note: 5 groups is the worst case for parallelism —
+    at 100 TB the same UDAF applies per (segment, hash-bucket) with a
+    mergeable Gini decomposition, or switches to the pure-SQL window
+    form the oracle uses.
+    """
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType passed explicitly: this module uses postponed annotation
+    # evaluation, so the usual `(pd.Series) -> float` signature inference
+    # sees strings and rejects the UDF
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def gini(x):
+        v = np.sort(x.to_numpy(dtype="float64"))
+        n = v.size
+        i = np.arange(1, n + 1, dtype="float64")
+        return float(((2.0 * i - n - 1) * v).sum() / (n * v.sum()))
+
+    # JVM aggregates can't share an Aggregate with a grouped-agg pandas
+    # UDF (INVALID_PANDAS_UDF_PLACEMENT), so the row count rides the same
+    # Arrow batch as a second UDAF instead of a second shuffle+join
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_rows(x):
+        return len(x)
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joined = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o.o_custkey == F.col("c_custkey"),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        n_rows("o_totalprice").alias("n_orders"),
+        F.round(gini("o_totalprice"), 6).alias("gini"),
+    )

