@@ -213,3 +213,69 @@ try:  # Spark >= 4.0 typed-state API
 except ImportError:  # pragma: no cover - older Spark
     AccountStatsProcessor = None  # type: ignore[assignment]
     account_running_stats_tws = None  # type: ignore[assignment]
+
+
+VELOCITY_STATE_SCHEMA = T.StructType([T.StructField("last_us", T.LongType())])
+
+VELOCITY_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("gap_sec", T.LongType()),
+    ]
+)
+
+
+def rapid_repeat_alerts(purchases: DataFrame, gap_sec: int = 3600) -> DataFrame:
+    """Streaming dual of the batch ``rapid_repeat_purchases`` velocity
+    rule (plans/queries_fraud.py): emit an alert row the moment a user's
+    purchase lands within ``gap_sec`` of their previous one.
+
+    Per-user state is ONE scalar (last purchase epoch-micros) in the
+    checkpointed state store — O(distinct users) total, independent of
+    stream length; each micro-batch sorts its own rows per key and folds
+    against the carried timestamp, so alerts match the batch lag-window
+    exactly when arrival order respects event order per key (the
+    parity-tested property).  Out-of-order tails are the stream-stream
+    interval join's territory; this operator is the low-latency hot path.
+    """
+
+    def update(key, pdfs, state):  # noqa: ANN001 — applyInPandasWithState contract
+        if state.hasTimedOut:  # pragma: no cover — NoTimeout below
+            state.remove()
+            return
+        rows = pd.concat(list(pdfs))
+        if rows.empty:
+            return
+        rows = rows.sort_values(["ts", "event_id"])
+        us = rows["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        last = state.get[0] if state.exists else None
+        alerts_ts, alerts_gap = [], []
+        for i, cur in enumerate(us):
+            if last is not None:
+                gap = (cur - last) // 1_000_000
+                if gap <= gap_sec:
+                    alerts_ts.append(rows["ts"].iloc[i])
+                    alerts_gap.append(gap)
+            last = int(cur)
+        state.update((last,))
+        if alerts_ts:
+            yield pd.DataFrame(
+                {
+                    "user_id": key[0],
+                    "ts": alerts_ts,
+                    "gap_sec": alerts_gap,
+                }
+            )
+
+    return (
+        purchases.select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=VELOCITY_OUTPUT_SCHEMA,
+            stateStructType=VELOCITY_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

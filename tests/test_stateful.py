@@ -209,3 +209,71 @@ def test_transform_with_state_matches_apply_in_pandas(spark, tmpdir):
             )
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_rapid_repeat_alerts_match_batch_rule(spark, tmpdir):
+    """The streaming velocity rule emits exactly the gaps the batch
+    lag-window query counts, across micro-batch boundaries."""
+    from real___time_fraud_detection_using_apache_kafka_spark.plans import QUERIES
+    from real___time_fraud_detection_using_apache_kafka_spark.sources.tables import (
+        load_table,
+    )
+    from real___time_fraud_detection_using_apache_kafka_spark.streaming.stateful import (
+        rapid_repeat_alerts,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    purchases = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id")
+    )
+    # three chronological chunks -> state must carry across micro-batches
+    rows = purchases.orderBy("ts", "event_id").collect()
+    chunks = [rows[: len(rows) // 3], rows[len(rows) // 3 : 2 * len(rows) // 3],
+              rows[2 * len(rows) // 3 :]]
+    src_dir, ckpt = f"{tmpdir}/src", f"{tmpdir}/ckpt"
+
+    def write_chunk(chunk):
+        df = spark.createDataFrame(chunk, "user_id long, ts timestamp, event_id long")
+        df.select(F.to_json(F.struct(*df.columns)).alias("v")).write.mode(
+            "append"
+        ).text(src_dir)
+
+    write_chunk(chunks[0])
+    stream = (
+        spark.readStream.schema("v string").text(src_dir)
+        .select(
+            F.from_json(
+                "v", "user_id long, ts timestamp, event_id long"
+            ).alias("r")
+        )
+        .select("r.*")
+    )
+    q = (
+        rapid_repeat_alerts(stream, gap_sec=3600)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("velocity_t")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for c in chunks[1:]:
+            write_chunk(c)
+            q.processAllAvailable()
+        alerts = spark.sql(
+            "SELECT user_id, count(*) AS n, min(gap_sec) AS min_gap "
+            "FROM velocity_t GROUP BY user_id"
+        ).collect()
+    finally:
+        q.stop()
+
+    batch = {
+        r["user_id"]: (r["n_rapid"], r["min_gap_sec"])
+        for r in QUERIES["rapid_repeat_purchases"].fn(spark, sf_dir).collect()
+    }
+    got = {r["user_id"]: (r["n"], r["min_gap"]) for r in alerts}
+    assert got == batch
+    assert all(g[1] <= 3600 for g in got.values())
