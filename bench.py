@@ -69,6 +69,7 @@ HEADLINE = [
     "benford_first_digit",
     "user_rfm_segments",
     "session_conversion_paths",
+    "corpus_segment_dedup",
 ]
 
 

@@ -1628,3 +1628,88 @@ def blob_dedup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper_id"))
         .filter(F.col("n_copies") > 1)
     )
+
+
+@register(
+    "corpus_segment_dedup",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), segs AS (
+        SELECT doc_id, i AS seg_idx,
+               array_to_string(t[(i*10+1):(i*10+10)], ' ') AS seg
+        FROM toks, UNNEST(range(CAST(ceil(len(t)/10.0) AS BIGINT))) AS u(i)
+    ), freq AS (
+        SELECT seg, count(*) AS c FROM segs GROUP BY seg
+    )
+    SELECT s.doc_id,
+           count(*)                         AS n_segs,
+           count(*) FILTER (f.c >= 2)       AS n_dropped,
+           coalesce(length(string_agg(s.seg, ' ' ORDER BY s.seg_idx)
+                    FILTER (f.c < 2)), 0)   AS clean_n_chars
+    FROM segs s JOIN freq f USING (seg)
+    GROUP BY s.doc_id
+    """,
+)
+def corpus_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document span dedup (Raffel et al. 2020 dropped any
+    three-sentence span occurring more than once in C4): the corpus's
+    token stream is cut into fixed 10-token segments, any segment whose
+    corpus-wide frequency reaches 2 is dropped from EVERY document, and
+    the doc is rebuilt from the surviving segments in order.  This is
+    the standard boilerplate-removal pass of a pretraining pipeline —
+    finer-grained than doc-level near-dup (curate_documents), coarser
+    than token dedup.
+
+    Scale shape: segmentation is narrow (sequence + slice inside the
+    scan stage); the frequency pass is one groupBy on the segment string
+    with map-side partial agg (boilerplate collapses before the
+    shuffle); the join back is an equi-join on the same key, so at
+    100 TB it rides one partitioning.  Rebuild sorts only within each
+    doc's own segments.  The segment key could be xxhash64-reduced to 8
+    bytes at scale (same trick as the shingle pipeline); the oracle tier
+    keeps the string key so DuckDB reproduces it bit-for-bit.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    segs = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.ceil(F.size("t") / F.lit(10.0)).cast("long") - 1
+                ),
+                lambda i: F.struct(
+                    i.alias("seg_idx"),
+                    F.array_join(
+                        F.slice(F.col("t"), i * 10 + 1, 10), " "
+                    ).alias("seg"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.seg_idx", "s.seg")
+    freq = segs.groupBy("seg").agg(F.count("*").alias("c"))
+    joined = segs.join(freq, "seg")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_segs"),
+        F.count_if(F.col("c") >= 2).alias("n_dropped"),
+        F.coalesce(
+            F.length(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("c") < 2,
+                                    F.struct("seg_idx", "seg"),
+                                )
+                            )
+                        ),
+                        lambda s: s["seg"],
+                    ),
+                    " ",
+                )
+            ),
+            F.lit(0),
+        ).alias("clean_n_chars"),
+    )

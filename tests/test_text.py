@@ -250,3 +250,30 @@ def test_learn_bpe_nonoverlap_rule(spark):
     rewritten, merges = TX.learn_bpe_merges(docs, n_merges=1)
     assert merges[0][1:3] == ("a", "a")
     assert rewritten.collect()[0]["t"] == ["a+a", "a"]
+
+
+def test_segment_dedup_rebuild_identity_and_accounting(spark, sf_dir):
+    """Docs with zero dropped segments must rebuild to their exact
+    original character length; dropped counts stay within bounds."""
+    from real___time_fraud_detection_using_apache_kafka_spark.plans import QUERIES
+    from real___time_fraud_detection_using_apache_kafka_spark.sources.tables import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    out = QUERIES["corpus_segment_dedup"].fn(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("orig_chars")
+    )
+    rows = out.join(docs, "doc_id").collect()
+    assert rows
+    saw_clean = saw_dropped = False
+    for r in rows:
+        assert 0 <= r["n_dropped"] <= r["n_segs"]
+        if r["n_dropped"] == 0:
+            saw_clean = True
+            assert r["clean_n_chars"] == r["orig_chars"], r["doc_id"]
+        else:
+            saw_dropped = True
+            assert r["clean_n_chars"] < r["orig_chars"]
+    assert saw_clean and saw_dropped  # planted dups make both cases real
