@@ -1713,3 +1713,73 @@ def corpus_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).alias("clean_n_chars"),
     )
+
+
+def _simhash_pairs_oracle() -> str:
+    # the fingerprint query (its own WITH chain) nests as one CTE body
+    return f"""
+    WITH fp AS ({_simhash_oracle()}),
+    chunks AS (
+        SELECT doc_id, simhash, c.chunk_id,
+               (simhash >> (6 * c.chunk_id)) & 63 AS chunk_val
+        FROM fp, (SELECT unnest(range(4)) AS chunk_id) c
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS ha, b.simhash AS hb
+        FROM chunks a JOIN chunks b
+          ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, bit_count(xor(ha, hb)) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= 1
+    """
+
+
+@register("simhash_neardup_pairs", oracle=_simhash_pairs_oracle())
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS: completes the fingerprint surface
+    (``simhash_fingerprints``) with the retrieval step — candidates
+    block on 6-bit fingerprint chunks (pigeonhole: Hamming ≤ 3 over 4
+    chunks leaves at least one chunk identical, so recall at d ≤ 3 is
+    exactly 1.0), then exact ``bit_count(xor)`` verification.
+
+    The self-join is an equi-join on (chunk_id, chunk_val) — never a
+    cartesian — and the verify needs no arrays or text, just two longs
+    per candidate.  At 100 TB use the 64-bit xxhash64 fingerprint with
+    4 × 16-bit chunks (the same pigeonhole at d ≤ 3, buckets 2^16 wide)
+    — this oracle tier keeps the portable 24-bit fingerprint so DuckDB
+    reproduces every bit.
+    """
+    fp = D.simhash(
+        load_table(spark, sf_dir, "documents"), bits=_SIMHASH_BITS,
+        hash_fn="portable",
+    )
+    chunks = fp.select(
+        "doc_id", "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("chunk_id"),
+    ).withColumn(
+        # SQL shiftright accepts a column shift amount; the Python
+        # F.shiftright wrapper pins numBits to a literal int
+        "chunk_val",
+        F.expr("shiftright(simhash, cast(chunk_id * 6 AS INT)) & 63"),
+    )
+    a = chunks.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"),
+        "chunk_id", "chunk_val",
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"),
+        "chunk_id", "chunk_val",
+    )
+    cand = (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .dropDuplicates()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= 1)
