@@ -1783,3 +1783,53 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select(
         "doc_a", "doc_b", hamming.alias("hamming")
     ).filter(F.col("hamming") <= 1)
+
+
+@register(
+    "shuffle_training_order",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id,
+               md5(CAST(doc_id AS VARCHAR) || ':42') AS k
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT) - 1
+               AS global_pos,
+           (CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT) - 1) % 8
+               AS shard_id
+    FROM keyed
+    """,
+)
+def shuffle_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded global shuffle of the corpus — the
+    every-epoch reshuffle a pretraining loader needs, as a pure plan:
+    sort key = md5(doc_id || seed), so the permutation is reproducible
+    across engines, runs, and retries (md5 is the one keyed hash both
+    this engine and the oracle share bit-for-bit), and changing the
+    seed string re-deals the permutation.
+
+    Position assignment is a global row_number — the one legitimately
+    global sort in the training-data family, and exactly what a shard
+    writer needs once per epoch.  At 100 TB skip the total order: the
+    md5 key's uniformity means ``shard_id = pmod(hash, n_shards)`` +
+    a per-shard LOCAL sort gives the same statistical shuffle with zero
+    global exchanges (range-partition on the key only if strict global
+    order is demanded).  Round-robin striping (pos % shards) balances
+    shard sizes to ±1 row.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42"))).alias("k"),
+    )
+    pos = (
+        F.row_number().over(Window.orderBy("k", "doc_id")).cast("long") - 1
+    )
+    return keyed.select(
+        "doc_id",
+        pos.alias("global_pos"),
+        (pos % 8).alias("shard_id"),
+    )
