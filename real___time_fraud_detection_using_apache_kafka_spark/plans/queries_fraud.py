@@ -410,3 +410,39 @@ def frequent_event_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("freq"), F.asc("itemset"))
     )
+
+
+@register("value_outliers_approx")  # rows-only: sketch medians are engine-specific
+def value_outliers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB tier of ``value_outliers_robust``: same two-level
+    median/MAD plan with ``approx_percentile`` (KLL-style mergeable
+    sketch, rank error ≤ 0.1 %) replacing the exact grouped sort —
+    the swap SCALE.md documents, as runnable code.
+
+    Plan shape is IDENTICAL to the exact tier (two grouped aggregates,
+    two broadcast-back joins); only the aggregate's state changes from
+    "all values" to a fixed-size sketch, which is what removes the
+    per-group sort measured at 20.9 s / 100M rows.  Parity with the
+    exact tier is tolerance-tested (tests/test_fraud_queries.py).
+    """
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5, 1000)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("approx_percentile(adev, 0.5, 1000)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.any_value("med"), 6).alias("med"),
+            F.round(F.any_value("mad"), 6).alias("mad"),
+            F.count("*").alias("n_events"),
+            F.count_if(F.col("adev") > 3 * 1.4826 * F.col("mad")).alias("n_outliers"),
+        )
+    )

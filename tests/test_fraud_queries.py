@@ -149,3 +149,19 @@ def test_fpgrowth_planted_baskets(spark):
         for r in model.freqItemsets.collect()
     }
     assert got == {"a": 8, "b": 8, "a,b": 8}
+
+
+def test_outlier_approx_tier_tracks_exact_tier(spark, sf_dir):
+    """The sketch-based scale tier must agree with the exact tier within
+    the sketch's rank-error envelope — same plan, cheaper state."""
+    exact = {r["event_type"]: r for r in run("value_outliers_robust", spark, sf_dir).collect()}
+    approx = {r["event_type"]: r for r in run("value_outliers_approx", spark, sf_dir).collect()}
+    assert exact.keys() == approx.keys()
+    for t in exact:
+        e, a = exact[t], approx[t]
+        assert a["n_events"] == e["n_events"]
+        # medians within 2% relative (accuracy=1000 => <=0.1% rank error)
+        assert abs(a["med"] - e["med"]) <= 0.02 * e["med"] + 1e-9, t
+        assert abs(a["mad"] - e["mad"]) <= 0.05 * e["mad"] + 1e-9, t
+        # outlier census moves by at most the mass near the threshold
+        assert abs(a["n_outliers"] - e["n_outliers"]) <= max(3, 0.2 * e["n_outliers"]), t
