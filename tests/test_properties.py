@@ -153,3 +153,57 @@ def test_chunking_covers_every_token_with_fixed_overlap(spark, n_tokens):
         # stride law: chunk k starts at 12k; its text matches the slice
         for k, c in enumerate(chunks):
             assert c["chunk_text"].split() == toks[12 * k: 12 * k + 16]
+
+
+@given(
+    xs=st.lists(
+        st.floats(min_value=0.01, max_value=1e6,
+                  allow_nan=False, allow_infinity=False),
+        min_size=2, max_size=40,
+    ),
+    scale=st.floats(min_value=0.1, max_value=100.0,
+                    allow_nan=False, allow_infinity=False),
+)
+@SET
+def test_gini_scale_invariance_and_bounds(spark, xs, scale):
+    """Gini laws: invariant under positive scaling, bounded [0, 1),
+    zero iff all values equal — driven through the same grouped-agg
+    pandas UDAF the catalog query uses."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    import numpy as np
+
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def gini(x):
+        v = np.sort(x.to_numpy(dtype="float64"))
+        n = v.size
+        i = np.arange(1, n + 1, dtype="float64")
+        return float(((2.0 * i - n - 1) * v).sum() / (n * v.sum()))
+
+    rows = [(0, x) for x in xs] + [(1, x * scale) for x in xs]
+    df = spark.createDataFrame(rows, "g int, x double")
+    got = {r["g"]: r["gv"] for r in
+           df.groupBy("g").agg(gini("x").alias("gv")).collect()}
+    assert abs(got[0] - got[1]) < 1e-9          # scale invariance
+    assert -1e-12 <= got[0] < 1.0               # bounds
+    if len(set(xs)) == 1:
+        assert abs(got[0]) < 1e-12              # equality -> 0
+
+
+@given(
+    cents=st.lists(st.integers(min_value=1, max_value=10**12),
+                   min_size=1, max_size=40),
+)
+@SET
+def test_benford_digit_extraction_matches_decimal_repr(spark, cents):
+    """The arithmetic first-digit extraction (cents -> BIGINT -> first
+    char) agrees with the decimal representation of the amount for any
+    positive 2-decimal value — the law that makes the Benford audit
+    engine-portable."""
+    df = spark.createDataFrame([(c / 100.0,) for c in cents], ["p"])
+    got = df.select(
+        "p",
+        F.substring(F.round(F.col("p") * 100).cast("long").cast("string"), 1, 1)
+        .alias("digit"),
+    ).collect()
+    for r in got:
+        assert r["digit"] == next(c for c in f"{r['p']:.2f}" if c not in "0."), r

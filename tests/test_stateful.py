@@ -277,3 +277,83 @@ def test_rapid_repeat_alerts_match_batch_rule(spark, tmpdir):
     got = {r["user_id"]: (r["n"], r["min_gap"]) for r in alerts}
     assert got == batch
     assert all(g[1] <= 3600 for g in got.values())
+
+
+def test_rapid_repeat_alerts_survive_restart_exactly_once(spark, tmpdir):
+    """Stop the velocity-rule query mid-stream and restart from the
+    checkpoint: carried state must resume (no re-alerts, no lost
+    alerts) — the recovery semantics the reference's in-process
+    counters (FD/consumer.py:17-20) cannot offer."""
+    from real___time_fraud_detection_using_apache_kafka_spark.plans import QUERIES
+    from real___time_fraud_detection_using_apache_kafka_spark.sources.tables import (
+        load_table,
+    )
+    from real___time_fraud_detection_using_apache_kafka_spark.streaming.stateful import (
+        rapid_repeat_alerts,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id")
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    half = len(rows) // 2
+    src_dir, ckpt = f"{tmpdir}/src", f"{tmpdir}/ckpt"
+
+    def write_chunk(chunk):
+        df = spark.createDataFrame(chunk, "user_id long, ts timestamp, event_id long")
+        df.select(F.to_json(F.struct(*df.columns)).alias("v")).write.mode(
+            "append"
+        ).text(src_dir)
+
+    out_dir = f"{tmpdir}/out"
+
+    def start():
+        stream = (
+            spark.readStream.schema("v string").text(src_dir)
+            .select(F.from_json("v", "user_id long, ts timestamp, event_id long")
+                    .alias("r"))
+            .select("r.*")
+        )
+        # file sink: checkpoint-recoverable AND exactly-once across the
+        # restart (the memory sink supports neither)
+        return (
+            rapid_repeat_alerts(stream, gap_sec=3600)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    write_chunk(rows[:half])
+    q = start()
+    try:
+        q.processAllAvailable()
+        first = spark.read.parquet(out_dir).count()
+    finally:
+        q.stop()
+
+    # restart against the SAME checkpoint with the second half appended
+    write_chunk(rows[half:])
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    alerts = spark.read.parquet(out_dir)
+    batch = {
+        r["user_id"]: r["n_rapid"]
+        for r in QUERIES["rapid_repeat_purchases"].fn(spark, sf_dir).collect()
+    }
+    got = {
+        r["user_id"]: r["n"]
+        for r in alerts.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == batch          # per-user exact: no dupes, no losses
+    assert first <= sum(batch.values())
+    assert alerts.filter(F.col("gap_sec") > 3600).count() == 0
