@@ -273,12 +273,16 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("monetary"),
         )
     )
-    g = p.agg(F.max("last_ts").alias("now"))
+    # global "now" via an unpartitioned window over the ALREADY-collapsed
+    # entity table: a separate agg + crossJoin would recompute the per-user
+    # collapse and scan events twice (caught by the plan-pin test); the
+    # window rides the same single-partition pass the ntile ranks force
+    w_all = Window.partitionBy()
     return (
-        p.crossJoin(F.broadcast(g))
-        .select(
+        p.select(
             "user_id",
-            ((_micros(F.col("now")) - _micros(F.col("last_ts"))) / F.lit(86_400_000_000))
+            ((_micros(F.max("last_ts").over(w_all)) - _micros(F.col("last_ts")))
+             / F.lit(86_400_000_000))
             .cast("long")
             .alias("recency_days"),
             "frequency",

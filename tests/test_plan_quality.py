@@ -322,3 +322,63 @@ def test_gapfill_windows_partition_by_group(spark):
     plan = plan_of(spark, "daily_gapfill_forward")
     assert "windowspecdefinition(event_type" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_rapid_repeat_one_exchange_pushed_filter(spark):
+    """Velocity rule: purchase filter reaches the scan; window + agg ride
+    ONE hash exchange on user_id (the agg reuses the window's
+    partitioning)."""
+    import re
+
+    plan = plan_of(spark, "rapid_repeat_purchases")
+    assert "EqualTo(event_type,purchase)" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_robust_outliers_broadcasts_medians_back(spark):
+    """Both grouped medians come back as broadcasts; the events fact
+    never joins shuffle-to-shuffle."""
+    plan = plan_of(spark, "value_outliers_robust")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_rfm_windows_rank_entity_table_not_fact(spark):
+    """The three ntile windows must run AFTER the per-user collapse:
+    every Window node's input flows from the user aggregate, and the
+    purchase filter reaches the scan."""
+    import re
+
+    plan = plan_of(spark, "user_rfm_segments")
+    assert "EqualTo(event_type,purchase)" in plan
+    # fact scan appears exactly once; windows consume the aggregated side
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("(1) Scan")
+    assert agg_pos != -1
+    # windows appear in the formatted details after the aggregate nodes
+    assert plan.rfind("Window") > agg_pos
+
+
+def test_session_paths_share_one_user_sort(spark):
+    """lag + cumulative-sum windows share one (user_id, ts, event_id)
+    sort: exactly one exchange on user_id before the session agg."""
+    import re
+
+    plan = plan_of(spark, "session_conversion_paths")
+    user_exchanges = [
+        m for m in re.findall(r"Arguments: hashpartitioning\(([^,]+)[^\n]*", plan)
+        if m.startswith("user_id")
+    ]
+    assert len(user_exchanges) == 1, user_exchanges
+    assert plan.count("(1) Scan parquet") == 1
+
+
+def test_segment_dedup_one_partitioning_for_freq_and_join(spark):
+    """Cross-doc span dedup: the frequency aggregate and the join back
+    both key on the segment — partial aggregation must be present so
+    boilerplate collapses map-side."""
+    plan = plan_of(spark, "corpus_segment_dedup")
+    assert "HashAggregate" in plan
+    assert "partial_count" in plan  # map-side combine before the shuffle
