@@ -129,18 +129,16 @@ def value_outliers_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "priority_target_encoding",
     oracle="""
-    WITH g AS (
-        SELECT avg(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END) AS grate
-        FROM orders
-    )
     SELECT o_orderpriority,
            count(*) AS n,
-           round(avg(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END), 6)
-               AS raw_rate,
-           round((count(*) * avg(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END)
-                  + 100 * any_value(g.grate)) / (count(*) + 100), 6)
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END)
+                 / count(*), 6) AS raw_rate,
+           round((sum(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END)
+                  + 100 * (sum(sum(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END)) OVER ()
+                           / sum(count(*)) OVER ()))
+                 / (count(*) + 100), 6)
                AS smoothed_rate
-    FROM orders CROSS JOIN g
+    FROM orders
     GROUP BY o_orderpriority
     """,
 )
@@ -152,25 +150,24 @@ def priority_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     global prior by pseudo-count m=100 so rare categories don't memorize
     their few labels.
 
-    The global prior is a one-row aggregate broadcast into the grouped
-    plan (cross join of a 1-row side is a literal at execution); one
-    shuffle total on the encoded key.
+    The global prior is NOT a second scan: it derives from the grouped
+    result itself (unpartitioned window sums over the |categories|-row
+    aggregate) — one scan, one shuffle on the encoded key, and the
+    window runs over a handful of rows.
     """
     o = load_table(spark, sf_dir, "orders")
     is_f = F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0)
-    g = o.agg(F.avg(is_f).alias("grate"))
-    return (
-        o.crossJoin(F.broadcast(g))
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.avg(is_f), 6).alias("raw_rate"),
-            F.round(
-                (F.count("*") * F.avg(is_f) + 100 * F.any_value("grate"))
-                / (F.count("*") + 100),
-                6,
-            ).alias("smoothed_rate"),
-        )
+    grp = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), F.sum(is_f).alias("s")
+    )
+    w_all = Window.partitionBy()
+    grate = F.sum("s").over(w_all) / F.sum("n").over(w_all)
+    return grp.select(
+        "o_orderpriority",
+        "n",
+        F.round(F.col("s") / F.col("n"), 6).alias("raw_rate"),
+        F.round((F.col("s") + 100 * grate) / (F.col("n") + 100), 6)
+        .alias("smoothed_rate"),
     )
 
 
@@ -182,16 +179,16 @@ def priority_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS digit
         FROM orders
         WHERE o_totalprice > 0
-    ), tot AS (SELECT count(*) AS n FROM d)
+    )
     SELECT digit,
            count(*) AS observed,
-           round(count(*) * 1.0 / any_value(tot.n), 6)         AS obs_share,
+           round(count(*) * 1.0 / sum(count(*)) OVER (), 6)    AS obs_share,
            round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6)  AS exp_share,
-           round(power(count(*) * 1.0 / any_value(tot.n)
+           round(power(count(*) * 1.0 / sum(count(*)) OVER ()
                        - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 2)
-                 / log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * any_value(tot.n), 4)
-               AS chi2_term
-    FROM d CROSS JOIN tot
+                 / log10(1.0 + 1.0 / CAST(digit AS DOUBLE))
+                 * sum(count(*)) OVER (), 4)                   AS chi2_term
+    FROM d
     GROUP BY digit
     """,
 )
@@ -204,8 +201,9 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     The digit is extracted arithmetically (cents as BIGINT → first
     char), not by formatting the double — ``CAST(double AS VARCHAR)``
     renders differently across engines, integer rendering doesn't.  One
-    aggregate to 9 rows + a broadcast total; chi-square terms are plain
-    column arithmetic on the result.
+    aggregate to 9 rows; the corpus total is an unpartitioned window sum
+    over those 9 rows (not a second scan), and chi-square terms are
+    plain column arithmetic on the result.
     """
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
     d = o.select(
@@ -213,20 +211,18 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
         ).alias("digit")
     )
-    tot = d.agg(F.count("*").alias("n"))
+    grp = d.groupBy("digit").agg(F.count("*").alias("observed"))
+    w_all = Window.partitionBy()
+    total = F.sum("observed").over(w_all)
     exp_share = F.log10(1.0 + 1.0 / F.col("digit").cast("double"))
-    obs_share = F.count("*") * F.lit(1.0) / F.any_value("n")
-    return (
-        d.crossJoin(F.broadcast(tot))
-        .groupBy("digit")
-        .agg(
-            F.count("*").alias("observed"),
-            F.round(obs_share, 6).alias("obs_share"),
-            F.round(exp_share, 6).alias("exp_share"),
-            F.round(
-                F.pow(obs_share - exp_share, 2) / exp_share * F.any_value("n"), 4
-            ).alias("chi2_term"),
-        )
+    obs_share = F.col("observed") * F.lit(1.0) / total
+    return grp.select(
+        "digit",
+        "observed",
+        F.round(obs_share, 6).alias("obs_share"),
+        F.round(exp_share, 6).alias("exp_share"),
+        F.round(F.pow(obs_share - exp_share, 2) / exp_share * total, 4)
+        .alias("chi2_term"),
     )
 
 

@@ -382,3 +382,14 @@ def test_segment_dedup_one_partitioning_for_freq_and_join(spark):
     plan = plan_of(spark, "corpus_segment_dedup")
     assert "HashAggregate" in plan
     assert "partial_count" in plan  # map-side combine before the shuffle
+
+
+@pytest.mark.parametrize("name", ["benford_first_digit", "priority_target_encoding"])
+def test_global_totals_do_not_rescan_orders(spark, name):
+    """The global denominator must come from a window over the grouped
+    result, not a second orders scan + crossJoin."""
+    import re
+
+    plan = plan_of(spark, name)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
