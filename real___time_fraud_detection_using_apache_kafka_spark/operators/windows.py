@@ -110,9 +110,12 @@ def roc_auc(df: DataFrame, label: Column, proba: Column) -> DataFrame:
     sum — no single-partition window at any input size.
     """
     scored = df.select(label.cast("long").alias("y"), proba.alias("p"))
+    # one row per DISTINCT score; persisted because the bucketed prefix
+    # sum consumes it twice (local sums + bucket offsets) — without the
+    # persist the full input scan+aggregate runs twice (plan-pinned)
     by_p = scored.groupBy("p").agg(
         F.count("*").alias("cnt"), F.sum("y").alias("pos")
-    )
+    ).persist()
     ranked = exclusive_prefix_sum(by_p, "p", ["cnt"]).withColumnRenamed(
         "cnt_before", "below"
     )
@@ -138,7 +141,12 @@ def pr_curve_best_threshold(df: DataFrame, label: Column, proba: Column) -> Data
     (deterministic for the oracle comparison).
     """
     scored = df.select(label.cast("long").alias("y"), proba.alias("p"))
-    by_p = scored.groupBy("p").agg(F.count("*").alias("cnt"), F.sum("y").alias("pos"))
+    # persisted for the same two-consumer reason as roc_auc, plus the
+    # positives total derives from it via an unpartitioned window over
+    # the distinct-score rows — never a second scan of the input
+    by_p = scored.groupBy("p").agg(
+        F.count("*").alias("cnt"), F.sum("y").alias("pos")
+    ).persist()
     # inclusive descending cumulative = exclusive prefix (bucketed,
     # distributed — no single-partition window) + the row's own value
     pre = exclusive_prefix_sum(by_p, "p", ["cnt", "pos"], descending=True)
@@ -146,11 +154,11 @@ def pr_curve_best_threshold(df: DataFrame, label: Column, proba: Column) -> Data
         pre.withColumn("tp", F.col("pos_before") + F.col("pos"))
         .withColumn("predicted_pos", F.col("cnt_before") + F.col("cnt"))
     )
-    totals = scored.agg(F.sum("y").cast("double").alias("npos"))
-    curve = cum.crossJoin(F.broadcast(totals)).select(
+    npos = F.sum("pos").over(Window.partitionBy()).cast("double")
+    curve = cum.select(
         F.col("p").alias("threshold"),
         (F.col("tp") / F.col("predicted_pos")).alias("precision"),
-        (F.col("tp") / F.col("npos")).alias("recall"),
+        (F.col("tp") / npos).alias("recall"),
     ).withColumn(
         "f1",
         F.when(
