@@ -173,3 +173,28 @@ def test_observed_quality_metrics_ride_the_action(spark, tmp_path):
     n = docs.count()
     expected_nulls = docs.filter(F.col("doc_id") % 3 != 0).count()
     assert got == {"n_rows": n, "null_maybe": expected_nulls, "null_text": 0}
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """Joining a hive-partitioned fact to a FILTERED dim must inject a
+    runtime subquery filter on the partition column (DPP) — at 100 TB
+    this skips whole partition directories the static planner cannot
+    prune because the qualifying keys are only known at runtime."""
+    events = load_table(spark, SF, "events")
+    fact_path = str(tmp_path / "events_part")
+    write_partitioned_parquet(events, fact_path, ["event_type"])
+    fact = spark.read.parquet(fact_path)
+    dim = spark.createDataFrame(
+        [("purchase", 1), ("error", 2), ("click", 3)], "event_type string, w int"
+    )
+    # defeat the broadcast fast path so DPP (not BHJ pushdown) does the work
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = fact.join(dim.filter(F.col("w") == 1), "event_type")
+        plan = _plan(joined)
+        assert "dynamicpruning" in plan.lower(), plan
+        n = joined.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    want = events.filter(F.col("event_type") == "purchase").count()
+    assert n == want
