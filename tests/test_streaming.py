@@ -466,3 +466,86 @@ def test_binned_pr_threshold_tracks_batch_curve(spark, tmpdir):
         q.stop()
     assert abs(got.threshold - exact.threshold) <= 0.002, (got, exact)
     assert abs(got.f1 - exact.f1) <= 0.02, (got, exact)
+
+
+def test_windowed_counts_drop_late_data_after_watermark(spark, tmpdir):
+    """T7 late-data semantics, driven with actual late rows: once the
+    watermark passes a window, a record whose event time falls back
+    into it is DROPPED — the closed window's emitted counts never
+    change, and the late row appears in no other window."""
+    src_dir = f"{tmpdir}/src"
+    ckpt = f"{tmpdir}/ckpt"
+    base = 1_700_000_000  # epoch anchor
+    first = batch_transactions(spark, 60).withColumn(
+        "time", F.lit(base) + (F.monotonically_increasing_id() % 60)
+    )
+    _write_json_batch(spark, first, src_dir)
+    stream = (
+        spark.readStream.schema("v string").text(src_dir)
+        .select(F.from_json(F.col("v"), TXN_SCHEMA).alias("txn"))
+        .select("txn.*")
+    )
+    q = (
+        windowed_counts(score_stream(stream), window="1 minute",
+                        watermark="2 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_t")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        # advance event time 1h -> watermark sails past the first window;
+        # append-mode emits with the PREVIOUS batch's watermark, so a
+        # second nudge batch triggers the eviction that emits window 1
+        advance = batch_transactions(spark, 10, seed=5).withColumn(
+            "time", F.lit(base + 3600)
+        )
+        _write_json_batch(spark, advance, src_dir)
+        q.processAllAvailable()
+        _write_json_batch(
+            spark,
+            batch_transactions(spark, 3, seed=7).withColumn(
+                "time", F.lit(base + 3660)
+            ),
+            src_dir,
+        )
+        q.processAllAvailable()
+        closed = {
+            (r["window"].start.timestamp(), r["prediction"]): r["n"]
+            for r in spark.sql("SELECT * FROM late_t").collect()
+            if r["window"].start.timestamp() <= base + 60
+        }
+        assert sum(
+            n for (s, _), n in closed.items() if s <= base + 60
+        ) == 60, closed  # the whole first batch was emitted on close
+        # now a LATE row aimed squarely at the closed first window
+        late = batch_transactions(spark, 1, seed=9).withColumn(
+            "time", F.lit(base + 10)
+        )
+        _write_json_batch(spark, late, src_dir)
+        q.processAllAvailable()
+        # nudge again so any (incorrect) late emission would have flushed
+        _write_json_batch(
+            spark,
+            batch_transactions(spark, 5, seed=11).withColumn(
+                "time", F.lit(base + 7200)
+            ),
+            src_dir,
+        )
+        q.processAllAvailable()
+        after = {
+            (r["window"].start.timestamp(), r["prediction"]): r["n"]
+            for r in spark.sql("SELECT * FROM late_t").collect()
+            if r["window"].start.timestamp() <= base + 60
+        }
+        assert after == closed  # late row changed nothing, anywhere early
+        total_emitted = sum(
+            r["n"] for r in spark.sql("SELECT * FROM late_t").collect()
+        )
+        # 60 (first window) + 10 + 3 (advance/nudge windows, closed by the
+        # +7200 batch) emitted; the late row would make 74 — it was
+        # dropped; the final 5-row batch's window is still open
+        assert total_emitted == 73
+    finally:
+        q.stop()
