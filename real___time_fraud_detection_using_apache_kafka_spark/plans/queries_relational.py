@@ -1293,3 +1293,41 @@ def corpus_upsert_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, upd.unionByName(ins), ["doc_id"], "version", delete_col="deleted"
     )
     return merged.select("doc_id", "lang", "source", "version", "n_chars")
+
+
+@register(
+    "null_safe_join_status",
+    oracle="""
+    WITH l AS (
+        SELECT o_orderpriority,
+               nullif(o_orderstatus, 'O') AS k,
+               count(*) AS n_l
+        FROM orders GROUP BY 1, 2
+    ), r AS (
+        SELECT nullif(o_orderstatus, 'O') AS k, count(*) AS n_r
+        FROM orders GROUP BY 1
+    )
+    SELECT l.o_orderpriority, l.k, l.n_l, r.n_r
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    """,
+)
+def null_safe_join_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): the
+    NULL-keyed group — here 'O' rows nulled via ``nullif`` — must MATCH
+    across sides instead of silently vanishing the way a plain equi-join
+    drops NULL keys.  The standard trap in dimension joins where the
+    key is legitimately absent.
+
+    Catalyst plans ``eqNullSafe`` as a hash-join key (internally a
+    coalesce-to-sentinel struct), so this stays a real equi-join — no
+    nested-loop fallback — and both grouped sides reduce before joining.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    k = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    left = o.groupBy("o_orderpriority", k.alias("k")).agg(F.count("*").alias("n_l"))
+    right = o.groupBy(k.alias("k")).agg(F.count("*").alias("n_r"))
+    return (
+        left.alias("l")
+        .join(right.alias("r"), F.col("l.k").eqNullSafe(F.col("r.k")))
+        .select("l.o_orderpriority", "l.k", "l.n_l", "r.n_r")
+    )

@@ -198,3 +198,43 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     want = events.filter(F.col("event_type") == "purchase").count()
     assert n == want
+
+
+def test_corrupt_file_handling_modes(spark, tmp_path):
+    """A 100 TB lake always contains a torn file eventually: the default
+    read must FAIL LOUDLY on a corrupted footer, and the explicit
+    `ignoreCorruptFiles` opt-in must skip it and return every readable
+    row — silent data loss is a choice, never a default."""
+    import glob
+
+    d = str(tmp_path / "lake")
+    load_table(spark, SF, "orders").limit(200).repartition(4).write.parquet(d)
+    victim = sorted(glob.glob(f"{d}/part-*.parquet"))[0]
+    good_rows = (
+        spark.read.parquet(d).count()
+        - spark.read.parquet(victim).count()
+    )
+    schema = spark.read.parquet(d).schema
+    with open(victim, "r+b") as f:  # tear the footer
+        f.seek(-8, 2)
+        f.write(b"XXXXXXXX")
+    import glob as _glob
+    import os
+
+    # drop Hadoop's local-FS .crc sidecar for the victim: object stores
+    # have no such sidecar, and the ChecksumException it raises would
+    # mask the parquet-level corruption this test is about
+    for crc in _glob.glob(f"{d}/.part-*.crc"):
+        if os.path.basename(victim) in crc:
+            os.remove(crc)
+    import pytest as _pytest
+
+    spark.catalog.clearCache()
+    with _pytest.raises(Exception, match="(?i)parquet|corrupt|footer"):
+        spark.read.schema(schema).parquet(d).count()
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        spark.catalog.clearCache()
+        assert spark.read.schema(schema).parquet(d).count() == good_rows
+    finally:
+        spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
