@@ -70,6 +70,7 @@ HEADLINE = [
     "user_rfm_segments",
     "session_conversion_paths",
     "corpus_segment_dedup",
+    "dashboard_snapshot",
 ]
 
 

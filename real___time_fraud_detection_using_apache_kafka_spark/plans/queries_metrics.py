@@ -456,3 +456,98 @@ def psi_score_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("term"))
         .agg(F.round(F.sum("term"), 6).alias("psi"))
     )
+
+
+@register(
+    "dashboard_snapshot",
+    oracle=SCORED_CTE + """
+    , agg AS (
+        SELECT count(*)                                    AS total_txn,
+               sum(predicted)                              AS fraud_count,
+               count(*) - sum(predicted)                   AS non_fraud_count,
+               sum(actual)                                 AS actual_fraud,
+               round(avg(score), 6)                        AS avg_probability,
+               round(avg(CASE WHEN actual = 1 THEN value END), 2)
+                                                           AS fraud_avg_amount,
+               sum(CASE WHEN actual = 1 AND predicted = 1 THEN 1 ELSE 0 END) AS tp,
+               sum(CASE WHEN actual = 0 AND predicted = 1 THEN 1 ELSE 0 END) AS fp,
+               sum(CASE WHEN actual = 1 AND predicted = 0 THEN 1 ELSE 0 END) AS fn,
+               sum(CASE WHEN actual = 0 AND predicted = 0 THEN 1 ELSE 0 END) AS tn
+        FROM scored
+    ), m AS (
+        SELECT *,
+               round((tp + tn) * 1.0 / total_txn, 6)  AS accuracy,
+               round(tp * 1.0 / (tp + fp), 6)         AS precision,
+               round(tp * 1.0 / (tp + fn), 6)         AS recall,
+               round(2.0 * tp / (2.0 * tp + fp + fn), 6) AS f1
+        FROM agg
+    )
+    SELECT metric, value FROM (
+        SELECT 'total_transactions' AS metric, total_txn * 1.0 AS value FROM m
+        UNION ALL SELECT 'fraud_count', fraud_count * 1.0 FROM m
+        UNION ALL SELECT 'non_fraud_count', non_fraud_count * 1.0 FROM m
+        UNION ALL SELECT 'actual_fraud_count', actual_fraud * 1.0 FROM m
+        UNION ALL SELECT 'avg_probability', avg_probability FROM m
+        UNION ALL SELECT 'fraud_avg_amount', fraud_avg_amount FROM m
+        UNION ALL SELECT 'accuracy', accuracy FROM m
+        UNION ALL SELECT 'precision', precision FROM m
+        UNION ALL SELECT 'recall', recall FROM m
+        UNION ALL SELECT 'f1', f1 FROM m
+    )
+    """,
+)
+def dashboard_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ENTIRE evaluation dashboard as one query: counters
+    (FD/dashboard.py:150-163), streaming metric table
+    (FD/evaluation.py:142-162), and fraud-amount panel — every number the
+    Dash UI recomputed from a full log re-parse per 2 s tick
+    (FD/evaluation.py:97-116), produced by ONE aggregate scan and
+    unpivoted to long (metric, value) format.
+
+    The whole panel is a single `HashAggregate` (10 mergeable cells) —
+    at 100 TB the dashboard refresh is one partial-agg pass, or O(1)
+    when served from the `running_confusion` streaming state, which
+    maintains the same cells incrementally.
+    """
+    s = scored_events(spark, sf_dir)
+    one = F.lit(1.0)
+    agg = s.agg(
+        F.count("*").alias("total_txn"),
+        F.sum("predicted").alias("fraud_count"),
+        (F.count("*") - F.sum("predicted")).alias("non_fraud_count"),
+        F.sum("actual").alias("actual_fraud"),
+        F.round(F.avg("score"), 6).alias("avg_probability"),
+        F.round(F.avg(F.when(F.col("actual") == 1, F.col("value"))), 2)
+        .alias("fraud_avg_amount"),
+        F.count_if((F.col("actual") == 1) & (F.col("predicted") == 1)).alias("tp"),
+        F.count_if((F.col("actual") == 0) & (F.col("predicted") == 1)).alias("fp"),
+        F.count_if((F.col("actual") == 1) & (F.col("predicted") == 0)).alias("fn"),
+        F.count_if((F.col("actual") == 0) & (F.col("predicted") == 0)).alias("tn"),
+    )
+    m = agg.select(
+        "*",
+        F.round((F.col("tp") + F.col("tn")) * one / F.col("total_txn"), 6)
+        .alias("accuracy"),
+        F.round(F.col("tp") * one / (F.col("tp") + F.col("fp")), 6)
+        .alias("precision"),
+        F.round(F.col("tp") * one / (F.col("tp") + F.col("fn")), 6)
+        .alias("recall"),
+        F.round(2.0 * F.col("tp") / (2.0 * F.col("tp") + F.col("fp") + F.col("fn")), 6)
+        .alias("f1"),
+    )
+    return m.select(
+        F.explode(
+            F.create_map(
+                F.lit("total_transactions"), F.col("total_txn") * one,
+                F.lit("fraud_count"), F.col("fraud_count") * one,
+                F.lit("non_fraud_count"), F.col("non_fraud_count") * one,
+                F.lit("actual_fraud_count"), F.col("actual_fraud") * one,
+                F.lit("avg_probability"), F.col("avg_probability"),
+                F.lit("fraud_avg_amount"), F.col("fraud_avg_amount"),
+                F.lit("accuracy"), F.col("accuracy"),
+                F.lit("precision"), F.col("precision"),
+                F.lit("recall"), F.col("recall"),
+                F.lit("f1"), F.col("f1"),
+            )
+        ).alias("metric", "value")
+    )

@@ -165,3 +165,21 @@ def test_psi_identical_populations_is_zero(spark):
     bins = binned_score_counts(s, n_bins=1000, proba_col="score",
                                label_col="actual")
     assert psi_from_bins(bins, bins).first()["psi"] == 0.0
+
+
+def test_dashboard_snapshot_reconciles(spark, sf_dir):
+    """One-query dashboard: counters sum to total, rates live in [0,1],
+    and the metric set is exactly the reference panel's."""
+    from real___time_fraud_detection_using_apache_kafka_spark.plans import QUERIES
+
+    rows = {r["metric"]: r["value"]
+            for r in QUERIES["dashboard_snapshot"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {
+        "total_transactions", "fraud_count", "non_fraud_count",
+        "actual_fraud_count", "avg_probability", "fraud_avg_amount",
+        "accuracy", "precision", "recall", "f1",
+    }
+    assert rows["fraud_count"] + rows["non_fraud_count"] == rows["total_transactions"]
+    for m in ("accuracy", "precision", "recall", "f1", "avg_probability"):
+        assert 0.0 <= rows[m] <= 1.0, m
+    assert rows["fraud_avg_amount"] > 0
