@@ -279,3 +279,110 @@ def purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(purchased) / F.greatest(F.sum(clicked), F.lit(1)).cast("double"), 6
         ).alias("click_to_purchase"),
     )
+
+
+@register(
+    "error_retry_purchase_pattern",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_type,
+               lag(event_type, 1) OVER w AS p1,
+               lag(event_type, 2) OVER w AS p2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           count(*)  AS n_matches,
+           min(ts)   AS first_match_ts
+    FROM seq
+    WHERE p2 = 'error' AND p1 = 'error' AND event_type = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def error_retry_purchase_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-SEQUENCE pattern detection (MATCH_RECOGNIZE territory,
+    expressed with lag chains): users whose streams contain
+    error → error → purchase — two failed attempts then success, the
+    classic account-takeover signature no single-record scorer
+    (FD/consumer.py:114-131) can see.
+
+    One user-keyed window supplies both lags from the same sort; the
+    pattern predicate is a narrow filter on that output and the per-user
+    aggregate reuses the window's partitioning — a fixed-length pattern
+    over an arbitrary-length stream costs exactly one exchange.  Longer
+    patterns are more lags on the same window; variable-length patterns
+    graduate to ``applyInPandasWithState`` (the streaming velocity-rule
+    machinery).
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "ts", "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    )
+    return (
+        seq.filter(
+            (F.col("p2") == "error") & (F.col("p1") == "error")
+            & (F.col("event_type") == "purchase")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.min("ts").alias("first_match_ts"),
+        )
+    )
+
+
+@register(
+    "event_transition_pmi",
+    oracle="""
+    WITH seq AS (
+        SELECT lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev,
+               event_type AS cur
+        FROM events
+    ), bi AS (
+        SELECT prev, cur, count(*) AS n
+        FROM seq WHERE prev IS NOT NULL
+        GROUP BY prev, cur
+    )
+    SELECT prev, cur, n,
+           round(ln((n * 1.0 / sum(n) OVER ())
+                    / ((sum(n) OVER (PARTITION BY prev) * 1.0 / sum(n) OVER ())
+                       * (sum(n) OVER (PARTITION BY cur) * 1.0 / sum(n) OVER ()))),
+                 6) AS pmi
+    FROM bi
+    """,
+)
+def event_transition_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral transition mining: pointwise mutual information of
+    consecutive event-type pairs per user — which transitions are
+    over-represented vs independence (PMI > 0) is the statistical
+    version of the reference's hand-picked "suspicious pattern" flag
+    (FD/producer.py:85-87).
+
+    The stream collapses to the |types|² bigram table in one lag window
+    + one aggregate; ALL marginals then derive from window sums over
+    those ~25 rows — the heavy data is touched once, the statistics are
+    metadata-sized.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.lag("event_type").over(w).alias("prev"),
+        F.col("event_type").alias("cur"),
+    ).filter(F.col("prev").isNotNull())
+    bi = seq.groupBy("prev", "cur").agg(F.count("*").alias("n"))
+    tot = F.sum("n").over(Window.partitionBy())
+    p_prev = F.sum("n").over(Window.partitionBy("prev")) * F.lit(1.0) / tot
+    p_cur = F.sum("n").over(Window.partitionBy("cur")) * F.lit(1.0) / tot
+    p_joint = F.col("n") * F.lit(1.0) / tot
+    return bi.select(
+        "prev", "cur", "n",
+        F.round(F.log(p_joint / (p_prev * p_cur)), 6).alias("pmi"),
+    )

@@ -95,3 +95,37 @@ def test_interval_join_matches_naive_range_join(spark):
     g = {(r["pid"], r["cid"]) for r in got.collect()}
     n = {(r["pid"], r["cid"]) for r in naive.collect()}
     assert g == n and len(g) > 0
+
+
+def test_sequence_pattern_and_pmi_invariants(spark, sf_dir):
+    """EEP pattern matches recount independently for one user; PMI rows
+    cover the full bigram grid and weight toward independence ~0."""
+    from real___time_fraud_detection_using_apache_kafka_spark.plans import QUERIES
+    from real___time_fraud_detection_using_apache_kafka_spark.sources.tables import (
+        load_table,
+    )
+
+    out = QUERIES["error_retry_purchase_pattern"].fn(spark, sf_dir).collect()
+    if out:  # sf0.001 may or may not contain a match; recount when it does
+        uid = out[0]["user_id"]
+        evs = [
+            r["event_type"]
+            for r in load_table(spark, sf_dir, "events")
+            .filter(F.col("user_id") == uid)
+            .orderBy("ts", "event_id")
+            .collect()
+        ]
+        n = sum(
+            1
+            for i in range(2, len(evs))
+            if evs[i - 2] == "error" and evs[i - 1] == "error"
+            and evs[i] == "purchase"
+        )
+        assert n == next(r["n_matches"] for r in out if r["user_id"] == uid)
+
+    pmi = QUERIES["event_transition_pmi"].fn(spark, sf_dir).collect()
+    assert len(pmi) == 25  # full 5x5 transition grid occurs in the data
+    total = sum(r["n"] for r in pmi)
+    # random-ish synthetic stream: joint ~ product of marginals -> PMI ~ 0
+    mean_abs = sum(abs(r["pmi"]) * r["n"] for r in pmi) / total
+    assert mean_abs < 0.2
