@@ -279,3 +279,41 @@ def rapid_repeat_alerts(purchases: DataFrame, gap_sec: int = 3600) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def rule_alert_sink(rules_table, alerts_table, app_id: str):
+    """Dynamic-rule scoring with hot reload: a ``foreachBatch`` sink that
+    re-reads the RULES TxnTable's latest snapshot at every micro-batch,
+    broadcast-joins it into the batch, and appends the flagged rows to
+    the ALERTS TxnTable exactly-once.
+
+    This is the ops pattern the reference's hardcoded thresholds
+    (FD/producer.py:85-87) cannot do: a fraud analyst commits a new rule
+    row (one atomic TxnTable append — no redeploy, no query restart) and
+    the NEXT micro-batch scores with it.  Snapshot isolation means a
+    batch never sees a half-written rule set; the (app_id, batch_id)
+    ledger on the alerts table makes replays idempotent end-to-end.
+
+    Rules schema: (event_type, min_value) — a row flags events of that
+    type with ``value >= min_value``.  The rules side is tiny by nature,
+    so the join is a broadcast; the stream side never shuffles.
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= alerts_table.last_batch(app_id):
+            return  # replayed batch: alerts already committed
+        spark = batch_df.sparkSession
+        try:
+            rules = rules_table.read(spark)
+        except ValueError:  # no rules committed yet -> nothing to flag
+            return
+        flagged = (
+            batch_df.join(F.broadcast(rules), "event_type")
+            .filter(F.col("value") >= F.col("min_value"))
+            .select("event_id", "user_id", "event_type", "value", "min_value")
+        )
+        alerts_table.append(
+            flagged, meta={"app_id": app_id, "batch_id": batch_id}
+        )
+
+    return write

@@ -357,3 +357,50 @@ def test_rapid_repeat_alerts_survive_restart_exactly_once(spark, tmpdir):
     assert got == batch          # per-user exact: no dupes, no losses
     assert first <= sum(batch.values())
     assert alerts.filter(F.col("gap_sec") > 3600).count() == 0
+
+
+def test_rule_alert_sink_hot_reloads_rules_between_batches(spark, tmpdir):
+    """Commit a new rule between micro-batches: the next batch scores
+    with it, previous alerts are untouched, replays are idempotent."""
+    from real___time_fraud_detection_using_apache_kafka_spark.sources.txn_table import (
+        TxnTable,
+    )
+    from real___time_fraud_detection_using_apache_kafka_spark.streaming.stateful import (
+        rule_alert_sink,
+    )
+
+    rules = TxnTable(f"{tmpdir}/rules")
+    alerts = TxnTable(f"{tmpdir}/alerts")
+    rules.append(
+        spark.createDataFrame(
+            [("purchase", 400.0)], "event_type string, min_value double"
+        )
+    )
+    sink = rule_alert_sink(rules, alerts, "alerts-test")
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, value double"
+        )
+
+    b0 = batch([(1, 7, "purchase", 450.0), (2, 7, "purchase", 100.0),
+                (3, 8, "click", 480.0)])
+    sink(b0, 0)
+    got0 = {r["event_id"] for r in alerts.read(spark).collect()}
+    assert got0 == {1}  # only the purchase rule exists and only 450 >= 400
+
+    # analyst commits a click rule — no restart, next batch picks it up
+    rules.append(
+        spark.createDataFrame(
+            [("click", 300.0)], "event_type string, min_value double"
+        )
+    )
+    b1 = batch([(4, 9, "click", 350.0), (5, 9, "click", 100.0),
+                (6, 9, "purchase", 401.0)])
+    sink(b1, 1)
+    got1 = {r["event_id"] for r in alerts.read(spark).collect()}
+    assert got1 == {1, 4, 6}
+
+    # replay of batch 1 (foreachBatch at-least-once window) is a no-op
+    sink(b1, 1)
+    assert alerts.read(spark).count() == 3
