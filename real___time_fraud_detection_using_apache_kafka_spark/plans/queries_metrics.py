@@ -551,3 +551,42 @@ def dashboard_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("metric", "value")
     )
+
+
+@register(
+    "fraud_time_heatmap",
+    oracle="""
+    SELECT isodow(ts) - 1        AS dow,
+           hour(ts)              AS hour,
+           count(*)              AS n,
+           sum(CAST(value AS DECIMAL(18,2))) AS total_value
+    FROM events
+    WHERE value >= 75
+    GROUP BY 1, 2
+    """,
+)
+def fraud_time_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suspicious-activity heat map by (weekday, hour) — the temporal
+    pattern panel behind every fraud dashboard (when do the value>=75
+    events cluster?), over the same suspicious subset as
+    ``fraud_patterns``.
+
+    Weekday numbering is the classic cross-engine trap: Spark's
+    ``dayofweek`` is Sunday=1 while DuckDB's ``dayofweek`` is Sunday=0 —
+    both sides therefore pin Monday=0 explicitly (Spark ``weekday()``,
+    DuckDB ``isodow()-1``).  One aggregate to a ≤168-row grid; the
+    value filter pushes to the scan.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("value") >= 75)
+    return e.groupBy(
+        F.weekday(F.col("ts").cast("timestamp")).alias("dow"),
+        F.hour("ts").alias("hour"),
+    ).agg(
+        F.count("*").alias("n"),
+        # the panel emits the EXACT decimal total, not a rounded average:
+        # one heatmap cell lands on a true half-way quotient (142.855)
+        # and Spark's HALF_UP disagrees with DuckDB's rounding there no
+        # matter which domain the division runs in — exact sums have no
+        # such edge, and the consumer divides for display
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+    )

@@ -79,44 +79,51 @@ def _stable_types(fn: QueryFn) -> QueryFn:
 # (CORRECTNESS_r01/r02 both record exactly queries 0-49 in registry
 # order), so lead with a set that covers every operator family — fraud
 # metrics + monitoring, a TPC-H core, multidim/window relational ops,
-# semi-structured formats, statistical + list aggregates, near-dup
-# dedup, similarity search, text analysis, temporal, and the round-3
-# analytics family (recursive CTE, gap-fill, SCD2, cohorts, KS, lift) —
+# semi-structured formats, statistical aggregates, near-dup dedup,
+# similarity search, text analysis, temporal, the analytics family, and
+# this round's fraud-forensics / sequence / training-order additions —
 # rather than letting registration order leave whole families ungraded.
-# Queries rotated out of the head (TPC-H q4/q6/q7/q8/q10/q12/q14/q15/
-# q16/q17/q19/q20, calibration_curve, wire_formats_roundtrip) remain in
-# the catalog right after it; all recorded hash-true in CORRECTNESS_r02.
+# Queries rotated out of the head remain in the catalog right after it;
+# every rotated-out name recorded hash-true in CORRECTNESS_r02 (q3/q11/
+# q13/q18/q22, rollup/pivot, latest_event_per_user, per_class_report,
+# kv_map_roundtrip, customer_order_digest, simhash_fingerprints,
+# doc_quality, clicks_before_purchase, purchase_funnel,
+# daily_gapfill_forward) or in the r02-listed follow-on set.
 # Names not listed follow in registration order.
 _GRADED_FIRST = [
     # flagship + ML metric battery + monitoring (SURVEY §2.5 A8-A14 + ext)
     "fraud_patterns", "class_counts", "confusion_matrix",
     "classification_metrics", "log_loss", "roc_auc", "pr_curve_threshold",
-    "per_class_report", "psi_score_drift",
-    # model-monitoring analytics (round-3 batch 2)
-    "ks_drift_stat", "lift_gain_deciles",
+    "psi_score_drift", "dashboard_snapshot",
+    # model-monitoring analytics
+    "ks_drift_stat", "lift_gain_deciles", "revenue_trend_regression",
+    "order_gini_concentration",
+    # fraud-forensics family (round-3 batch 3)
+    "rapid_repeat_purchases", "value_outliers_robust",
+    "priority_target_encoding", "benford_first_digit", "user_rfm_segments",
+    "session_conversion_paths", "fraud_time_heatmap",
+    # event-sequence mining
+    "error_retry_purchase_pattern", "event_transition_pmi",
     # TPC-H core (batch relational: joins, subqueries, decimal aggs)
-    "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
-    "q5_regional_revenue", "q9_product_profit", "q11_important_parts",
-    "q13_customer_distribution", "q18_large_volume_customers",
-    "q21_waiting_suppliers", "q22_dormant_customers",
-    # series generation / time-series / warehouse shapes (round-3 batch 2)
-    "month_spine_recursive", "daily_gapfill_forward", "scd2_user_state",
-    "cohort_retention",
-    # multidim aggregation + window/top-k
-    "rollup_region_nation", "cube_status_priority", "grouping_sets_orders",
-    "pivot_event_type_daily", "topk_orders_per_customer",
-    "latest_event_per_user",
-    # semi-structured + wire formats + aggregate families (round-3 ext)
-    "variant_props_stats", "kv_map_roundtrip",
-    "stats_moments_lineitem", "customer_order_digest",
+    "q1_pricing_summary", "q2_min_cost_supplier", "q5_regional_revenue",
+    "q9_product_profit", "q21_waiting_suppliers",
+    # series generation / warehouse shapes
+    "month_spine_recursive", "scd2_user_state", "cohort_retention",
+    # multidim aggregation + window/top-k + null-safe join
+    "cube_status_priority", "grouping_sets_orders",
+    "topk_orders_per_customer", "null_safe_join_status",
+    # semi-structured + statistical aggregates
+    "variant_props_stats", "stats_moments_lineitem",
     # dedup + similarity search (training-data pipeline core)
     "dedup_exact", "ngram_jaccard_neardup", "embedding_cosine_neardup",
-    "embedding_knn", "curate_documents", "simhash_fingerprints",
-    # text analysis
-    "doc_quality", "lang_id", "tfidf_top_terms", "pii_scrub_stats",
-    # temporal / sessionization / event-time windows
+    "embedding_knn", "curate_documents", "simhash_neardup_pairs",
+    "corpus_segment_dedup",
+    # text analysis + training order
+    "lang_id", "tfidf_top_terms", "pii_scrub_stats",
+    "shuffle_training_order",
+    # temporal / sessionization
     "user_sessions", "asof_last_error_before_purchase",
-    "rolling_user_velocity", "clicks_before_purchase", "purchase_funnel",
+    "rolling_user_velocity",
 ]
 
 
