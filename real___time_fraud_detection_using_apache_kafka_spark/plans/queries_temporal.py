@@ -349,11 +349,14 @@ def error_retry_purchase_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM seq WHERE prev IS NOT NULL
         GROUP BY prev, cur
     )
+    -- the trailing + 0.0 normalizes IEEE negative zero: a PMI of -1e-17
+    -- rounds to -0.0 on one engine and 0.0 on the other, which the
+    -- stringified hash compare would flag as a diff
     SELECT prev, cur, n,
            round(ln((n * 1.0 / sum(n) OVER ())
                     / ((sum(n) OVER (PARTITION BY prev) * 1.0 / sum(n) OVER ())
                        * (sum(n) OVER (PARTITION BY cur) * 1.0 / sum(n) OVER ()))),
-                 6) AS pmi
+                 6) + 0.0 AS pmi
     FROM bi
     """,
 )
@@ -378,11 +381,16 @@ def event_transition_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("cur"),
     ).filter(F.col("prev").isNotNull())
     bi = seq.groupBy("prev", "cur").agg(F.count("*").alias("n"))
+    # audited bounded window: input is the (prev, cur) event-type matrix,
+    # bounded by the type domain squared — metadata-sized by construction
     tot = F.sum("n").over(Window.partitionBy())
     p_prev = F.sum("n").over(Window.partitionBy("prev")) * F.lit(1.0) / tot
     p_cur = F.sum("n").over(Window.partitionBy("cur")) * F.lit(1.0) / tot
     p_joint = F.col("n") * F.lit(1.0) / tot
     return bi.select(
         "prev", "cur", "n",
-        F.round(F.log(p_joint / (p_prev * p_cur)), 6).alias("pmi"),
+        # + 0.0 folds IEEE -0.0 (from rounding a tiny negative PMI) to
+        # +0.0 so both engines stringify identically — mirrored in the
+        # oracle SQL
+        (F.round(F.log(p_joint / (p_prev * p_cur)), 6) + F.lit(0.0)).alias("pmi"),
     )

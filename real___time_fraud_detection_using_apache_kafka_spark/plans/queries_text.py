@@ -1635,6 +1635,7 @@ def blob_dedup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE text IS NOT NULL
     ), segs AS (
         SELECT doc_id, i AS seg_idx,
                array_to_string(t[(i*10+1):(i*10+10)], ' ') AS seg
@@ -1671,7 +1672,13 @@ def corpus_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the string key so DuckDB reproduces it bit-for-bit.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    # null guard on BOTH sides: Spark's size(NULL) is -1, which would turn
+    # the segment sequence into a descending range emitting phantom null
+    # segments, while DuckDB's UNNEST(range(NULL)) emits no rows — the two
+    # engines diverge the moment a null document enters the corpus
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
     segs = toks.select(
         "doc_id",
         F.explode(
@@ -1809,26 +1816,33 @@ def shuffle_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     this engine and the oracle share bit-for-bit), and changing the
     seed string re-deals the permutation.
 
-    Position assignment is a global row_number — the one legitimately
-    global sort in the training-data family, and exactly what a shard
-    writer needs once per epoch.  At 100 TB skip the total order: the
-    md5 key's uniformity means ``shard_id = pmod(hash, n_shards)`` +
-    a per-shard LOCAL sort gives the same statistical shuffle with zero
-    global exchanges (range-partition on the key only if strict global
-    order is demanded).  Round-robin striping (pos % shards) balances
-    shard sizes to ±1 row.
+    Position assignment is an EXACT distributed rank, not a global
+    ``row_number`` sort: the md5 key's first 3 hex chars give a monotone
+    4096-way bucket (fixed-length lowercase hex sorts identically as
+    string and as number), per-bucket counts prefix-sum into offsets
+    (metadata-sized), and a bucket-partitioned ``row_number`` finishes
+    the order — ``bucketed_global_rank``.  The uniform key makes the
+    buckets near-perfectly balanced, so at 100 TB this is one hash
+    shuffle + local sorts with no single-partition funnel and no
+    driver-side range sampling.  Round-robin striping (pos % shards)
+    balances shard sizes to ±1 row; a statistically-equivalent cheaper
+    tier (``shard_id = pmod(hash, n)`` + per-shard local sort, zero
+    cross-shard coordination) drops the total order when only shard
+    membership matters.
     """
-    from pyspark.sql import Window
+    from ..operators.windows import bucketed_global_rank
 
     docs = load_table(spark, sf_dir, "documents")
     keyed = docs.select(
         "doc_id",
         F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42"))).alias("k"),
     )
-    pos = (
-        F.row_number().over(Window.orderBy("k", "doc_id")).cast("long") - 1
+    bucket = F.conv(F.substring("k", 1, 3), 16, 10).cast("int")
+    ranked = bucketed_global_rank(
+        keyed, bucket, [F.asc("k"), F.asc("doc_id")], rank_col="rnk"
     )
-    return keyed.select(
+    pos = F.col("rnk") - 1
+    return ranked.select(
         "doc_id",
         pos.alias("global_pos"),
         (pos % 8).alias("shard_id"),

@@ -75,55 +75,55 @@ def _stable_types(fn: QueryFn) -> QueryFn:
     return wrapped
 
 
-# The driver's correctness gate checks the FIRST 50 catalog entries
-# (CORRECTNESS_r01/r02 both record exactly queries 0-49 in registry
-# order), so lead with a set that covers every operator family — fraud
-# metrics + monitoring, a TPC-H core, multidim/window relational ops,
-# semi-structured formats, statistical aggregates, near-dup dedup,
-# similarity search, text analysis, temporal, the analytics family, and
-# this round's fraud-forensics / sequence / training-order additions —
-# rather than letting registration order leave whole families ungraded.
-# Queries rotated out of the head remain in the catalog right after it;
-# every rotated-out name recorded hash-true in CORRECTNESS_r02 (q3/q11/
-# q13/q18/q22, rollup/pivot, latest_event_per_user, per_class_report,
-# kv_map_roundtrip, customer_order_digest, simhash_fingerprints,
-# doc_quality, clicks_before_purchase, purchase_funnel,
-# daily_gapfill_forward) or in the r02-listed follow-on set.
-# Names not listed follow in registration order.
+# The driver's correctness gate checks the FIRST 50 catalog entries, so
+# the head is COMPOSED each round, not left to registration order.
+# Round-4 composition rule (VERDICT.md r3 item 1): maximize cumulative
+# driver coverage — 86 of 140 names already recorded hash-true in
+# r01/r02/r03, so this head is (a) the 43 never-driver-graded queries
+# that have oracles, (b) q12_shipping_lateness (its round-2 hash fix was
+# rotated out before the driver ever re-confirmed it), (c) minhash_neardup
+# (rows-only probabilistic check — the one LLM-dedup family member with
+# zero driver signal), and (d) the 5 queries whose plans or oracle SQL
+# were REWRITTEN this round (scale-safe distributed-rank defaults in
+# lift_gain_deciles / shuffle_training_order, bucketed prefix sum in
+# ks_drift_stat, broadcast-total npos in pr_curve_threshold, null-text
+# guard in corpus_segment_dedup) — same lesson as q12: a changed plan is
+# ungraded until the driver says otherwise.  44/50 entries have never
+# been driver-graded.  Everything rotated out stays in the catalog right
+# after the head and is green in r3's driver gate and in every local
+# full-catalog oracle run (tools/check_oracle.py, 140/140).
 _GRADED_FIRST = [
-    # flagship + ML metric battery + monitoring (SURVEY §2.5 A8-A14 + ext)
-    "fraud_patterns", "class_counts", "confusion_matrix",
-    "classification_metrics", "log_loss", "roc_auc", "pr_curve_threshold",
-    "psi_score_drift", "dashboard_snapshot",
-    # model-monitoring analytics
-    "ks_drift_stat", "lift_gain_deciles", "revenue_trend_regression",
-    "order_gini_concentration",
-    # fraud-forensics family (round-3 batch 3)
-    "rapid_repeat_purchases", "value_outliers_robust",
-    "priority_target_encoding", "benford_first_digit", "user_rfm_segments",
-    "session_conversion_paths", "fraud_time_heatmap",
-    # event-sequence mining
-    "error_retry_purchase_pattern", "event_transition_pmi",
-    # TPC-H core (batch relational: joins, subqueries, decimal aggs)
-    "q1_pricing_summary", "q2_min_cost_supplier", "q5_regional_revenue",
-    "q9_product_profit", "q21_waiting_suppliers",
-    # series generation / warehouse shapes
-    "month_spine_recursive", "scd2_user_state", "cohort_retention",
-    # multidim aggregation + window/top-k + null-safe join
-    "cube_status_priority", "grouping_sets_orders",
-    "topk_orders_per_customer", "null_safe_join_status",
-    # semi-structured + statistical aggregates
-    "variant_props_stats", "stats_moments_lineitem",
-    # dedup + similarity search (training-data pipeline core)
-    "dedup_exact", "ngram_jaccard_neardup", "embedding_cosine_neardup",
-    "embedding_knn", "curate_documents", "simhash_neardup_pairs",
-    "corpus_segment_dedup",
-    # text analysis + training order
-    "lang_id", "tfidf_top_terms", "pii_scrub_stats",
-    "shuffle_training_order",
-    # temporal / sessionization
-    "user_sessions", "asof_last_error_before_purchase",
-    "rolling_user_velocity",
+    # round-2 fix needing driver confirmation + this round's rewrites
+    "q12_shipping_lateness",
+    "lift_gain_deciles", "ks_drift_stat", "shuffle_training_order",
+    "pr_curve_threshold", "corpus_segment_dedup",
+    # ML metric battery members never graded (incl. the streaming dual)
+    "per_class_report", "pr_threshold_binned", "calibration_curve",
+    # relational / scalar / semi-structured never graded
+    "customer_order_digest", "bag_set_ops_nations",
+    "fuzzy_category_recovery", "bool_agg_events", "scalar_date_arithmetic",
+    "kv_map_roundtrip", "wire_formats_roundtrip",
+    "log_parse_roundtrip", "log_line_filters",
+    # text-analysis family never graded
+    "doc_token_stats", "bpe_token_stats", "doc_quality", "doc_fingerprint",
+    "simhash_fingerprints", "doc_repetition", "corpus_top_tokens",
+    "unigram_logprob", "corpus_mix_report",
+    # curation / sampling / packing never graded
+    "sample_documents_stratified", "sample_per_group",
+    "embedding_gated_curation", "benchmark_contamination",
+    "pack_training_sequences", "doc_chunks_overlap",
+    "mix_sources_token_budget", "dq_constraint_report",
+    "profile_orders_columns",
+    # embedding / multimodal never graded
+    "embedding_array_stats", "embedding_quantize_stats",
+    "embedding_salient_dims", "multimodal_binary", "multimodal_decode_meta",
+    "blob_dedup_md5",
+    # dedup clustering + the rows-only LSH tier
+    "neardup_clusters", "minhash_neardup",
+    # temporal / funnel / distribution never graded
+    "tumbling_event_windows", "clicks_before_purchase", "purchase_funnel",
+    "order_value_percentiles", "event_value_histogram",
+    "daily_gapfill_forward",
 ]
 
 

@@ -125,13 +125,20 @@ class TxnTable:
 
     def last_batch(self, app_id: str) -> int:
         """Highest streaming batch_id committed under ``app_id`` (-1 if
-        none) — the read side of the exactly-once sink ledger."""
-        best = -1
-        for v in self.versions():
+        none) — the read side of the exactly-once sink ledger.
+
+        Scans the log NEWEST-FIRST and stops at the first entry carrying
+        ``app_id``: a streaming sink commits batch ids monotonically, so
+        the most recent matching entry is the high-water mark.  Per-call
+        cost is O(entries since that app's last commit), not O(total log
+        length) — a stream's own ledger probe reads one entry, however
+        long-lived the table (sinks additionally cache the result in
+        their closure, see ``rule_alert_sink``)."""
+        for v in reversed(self.versions()):
             m = self._entry(v).get("meta") or {}
             if m.get("app_id") == app_id:
-                best = max(best, int(m.get("batch_id", -1)))
-        return best
+                return int(m.get("batch_id", -1))
+        return -1
 
     # ------------------------------------------------------------ read --
     def read(self, spark: SparkSession, version: int | None = None,

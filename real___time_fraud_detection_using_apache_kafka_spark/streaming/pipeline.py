@@ -215,7 +215,9 @@ def threshold_from_bins(bins: DataFrame, n_bins: int = 1000) -> DataFrame:
     ``pr_curve_best_threshold`` (threshold, precision, recall, f1)."""
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.desc("bin")).rowsBetween(
+    from ..operators.windows import bounded_seq_window
+
+    w = bounded_seq_window(F.desc("bin")).rowsBetween(
         Window.unboundedPreceding, 0
     )
     cum = bins.select(

@@ -297,10 +297,18 @@ def rule_alert_sink(rules_table, alerts_table, app_id: str):
     Rules schema: (event_type, min_value) — a row flags events of that
     type with ``value >= min_value``.  The rules side is tiny by nature,
     so the join is a broadcast; the stream side never shuffles.
+
+    The replay ledger is probed ONCE (on the sink's first batch after
+    start/restart); afterwards the high-water mark lives in the closure
+    — only this writer advances it, so per-batch cost is O(1) driver
+    I/O, not a log scan that grows with stream lifetime.
     """
+    hwm = {"batch": None}  # lazily seeded from the ledger on first batch
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= alerts_table.last_batch(app_id):
+        if hwm["batch"] is None:
+            hwm["batch"] = alerts_table.last_batch(app_id)
+        if batch_id <= hwm["batch"]:
             return  # replayed batch: alerts already committed
         spark = batch_df.sparkSession
         try:
@@ -315,5 +323,6 @@ def rule_alert_sink(rules_table, alerts_table, app_id: str):
         alerts_table.append(
             flagged, meta={"app_id": app_id, "batch_id": batch_id}
         )
+        hwm["batch"] = batch_id
 
     return write

@@ -393,3 +393,71 @@ def test_global_totals_do_not_rescan_orders(spark, name):
     plan = plan_of(spark, name)
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lift_deciles_no_global_ntile_sort(spark):
+    """VERDICT r3 item 2: decile assignment must ride the distributed
+    rank (bucket-partitioned row_number + array-expression offsets),
+    never a global ntile window funneling every event through one
+    partition.  The plan holds exactly TWO pruned fact scans (bucket
+    counts + ranking — the documented cache-free trade-off) and its only
+    windows are the bucket-partitioned row_number and the 10-row decile
+    windows."""
+    import re
+
+    plan = plan_of(spark, "lift_gain_deciles")
+    assert "ntile(" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+    # the rank window is partitioned by the score bucket
+    assert "_bkt" in plan
+    assert "row_number()" in plan
+
+
+def test_shuffle_training_order_no_global_sort(spark):
+    """VERDICT r3 item 3: position assignment must not be a global
+    row_number over one partition — the only exchange is the hash
+    shuffle on the md5-prefix bucket, and the only sort is the
+    per-bucket local window sort."""
+    import re
+
+    plan = plan_of(spark, "shuffle_training_order")
+    exchanges = re.findall(r"Arguments: (\w+partitioning)\([^\n]*", plan)
+    # no rangepartitioning: a global sort would show up here.  (A
+    # SinglePartition exchange DOES exist — it reduces the <=4096
+    # per-bucket counts into the one-row offsets array, metadata-sized
+    # by construction.)
+    assert all(e == "hashpartitioning" for e in exchanges), exchanges
+    assert _unpartitioned_windows(plan) == []
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+
+
+def _unpartitioned_windows(plan: str) -> list[str]:
+    """Window nodes whose partition spec is empty (formatted explain
+    prints Arguments: [functions], [partition], [order])."""
+    import re
+
+    return re.findall(r"Arguments: \[[^\]]*windowspecdefinition[^\]]*\], \[\], \[", plan)
+
+
+@pytest.mark.parametrize(
+    "name", ["ks_drift_stat", "roc_auc", "pr_curve_threshold"]
+)
+def test_curve_metrics_have_no_unpartitioned_window(spark, name):
+    """VERDICT r3 item 4: the curve/KS metrics run on the bucketed
+    prefix-sum machinery — every Window in the plan is partitioned by
+    the score bucket, and the cross-bucket offsets are array
+    expressions, not a single-partition WindowExec."""
+    plan = plan_of(spark, name)
+    assert _unpartitioned_windows(plan) == []
+    assert "_bucket" in plan  # the bucketed machinery is actually in use
+    # nothing is persisted: the plan carries no in-memory relation
+    assert "InMemoryTableScan" not in plan
+
+
+def test_curve_metrics_leave_cache_empty(spark):
+    """Repeated metric calls in a long-lived scoring session must not
+    accumulate cached partitions (ADVICE r3)."""
+    spark.catalog.clearCache()
+    for name in ("ks_drift_stat", "roc_auc", "pr_curve_threshold"):
+        assert plans.queries()[name](spark, SF).count() == 1
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()

@@ -165,13 +165,21 @@ def test_transform_with_state_matches_apply_in_pandas(spark, tmpdir):
     )
 
     if account_running_stats_tws is None:
-        pytest.skip("transformWithState API not available")
+        pytest.xfail("transformWithState API not available in this PySpark")
     # the transformWithState Python driver worker speaks protobuf to the
-    # JVM; without a working google.protobuf the query crashes at init
+    # JVM; without a working google.protobuf the query crashes at init.
+    # xfail (not skip) so the gap is LOUD in every test summary: this is
+    # an environment hole (no pip install allowed in the sandbox, and
+    # PySpark does not vendor protobuf), not an optional code path — the
+    # typed-state tier is expected to pass wherever protobuf exists.
     try:
         from google.protobuf import descriptor  # noqa: F401
     except ImportError:
-        pytest.skip("google.protobuf unavailable in this environment")
+        pytest.xfail(
+            "google.protobuf unavailable in this environment "
+            "(transformWithState tier untestable here; "
+            "applyInPandasWithState dual IS tested)"
+        )
     src_dir = f"{tmpdir}/src"
     ckpt = f"{tmpdir}/ckpt"
     _write_json_batch(spark, batch_transactions(spark, 150), src_dir)
