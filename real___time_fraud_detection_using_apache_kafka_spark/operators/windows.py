@@ -111,18 +111,19 @@ def _plan_side_offsets(totals: DataFrame, bucket_col: str,
         fields = [s[bucket_col].alias(bucket_col)]
         for c in value_cols:
             fields.append(prefix_of(c)(s, i).alias(f"_off_{c}"))
-        for c in grand_cols:
-            fields.append(grand_of(c).alias(f"_grand_{c}"))
         return F.struct(*fields)
 
-    return (
-        packed.select(F.explode(F.transform("_a", entry)).alias("_s"))
-        .select("_s.*")
-    )
+    # grand totals are per-ARRAY constants: computed once on the packed
+    # row and carried through the explode, not re-aggregated inside the
+    # per-element lambda (which would be O(n_buckets²) per grand col)
+    return packed.select(
+        F.explode(F.transform("_a", entry)).alias("_s"),
+        *[grand_of(c).alias(f"_grand_{c}") for c in grand_cols],
+    ).select("_s.*", *[f"_grand_{c}" for c in grand_cols])
 
 
 def exclusive_prefix_sum(by_p: DataFrame, order_col: str, sum_cols: Sequence[str],
-                         descending: bool = False, n_buckets: int = 1024,
+                         descending: bool = False, n_buckets: int = 256,
                          bounds: tuple[float, float] = (0.0, 1.0),
                          grand_cols: Sequence[str] = ()) -> DataFrame:
     """Distributed exclusive prefix sums over ``by_p`` ordered by
@@ -154,6 +155,14 @@ def exclusive_prefix_sum(by_p: DataFrame, order_col: str, sum_cols: Sequence[str
     of the same rows measured ~1.0 s extra — two pipelined scans beat a
     materialization barrier (cache-or-rescan stays a caller decision at
     other scales).
+
+    ``n_buckets`` is a constant-cost knob, independent of data size: the
+    offsets array math is O(n_buckets²) interpreted adds inside one task
+    (measured ~0.7 s at 1024 for two sum columns, ~0.1 s at 256), while
+    per-bucket work is O(distinct/n_buckets) per task.  256 keeps full
+    local[32]-to-cluster parallelism with negligible fixed cost; raise
+    it when per-bucket row counts grow past task-sized (e.g. billions of
+    distinct scores).
     """
     lo, hi = bounds
     span = hi - lo

@@ -434,10 +434,11 @@ def lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # monotone coarse prefix of (score DESC, event_id): descending-score
     # quantile bucket — clamping keeps monotonicity, granularity only
-    # affects balance
+    # affects balance (256 buckets: full parallelism, negligible
+    # O(n_buckets²) offsets-array cost — see exclusive_prefix_sum)
     bucket = F.least(
-        F.greatest(F.floor((F.lit(1.0) - F.col("score")) * 1024), F.lit(0)),
-        F.lit(1023),
+        F.greatest(F.floor((F.lit(1.0) - F.col("score")) * 256), F.lit(0)),
+        F.lit(255),
     )
     ranked = bucketed_global_rank(
         s, bucket, [F.desc("score"), F.asc("event_id")],

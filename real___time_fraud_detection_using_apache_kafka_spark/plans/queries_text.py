@@ -1817,8 +1817,8 @@ def shuffle_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed string re-deals the permutation.
 
     Position assignment is an EXACT distributed rank, not a global
-    ``row_number`` sort: the md5 key's first 3 hex chars give a monotone
-    4096-way bucket (fixed-length lowercase hex sorts identically as
+    ``row_number`` sort: the md5 key's first 2 hex chars give a monotone
+    256-way bucket (fixed-length lowercase hex sorts identically as
     string and as number), per-bucket counts prefix-sum into offsets
     (metadata-sized), and a bucket-partitioned ``row_number`` finishes
     the order — ``bucketed_global_rank``.  The uniform key makes the
@@ -1837,7 +1837,7 @@ def shuffle_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42"))).alias("k"),
     )
-    bucket = F.conv(F.substring("k", 1, 3), 16, 10).cast("int")
+    bucket = F.conv(F.substring("k", 1, 2), 16, 10).cast("int")
     ranked = bucketed_global_rank(
         keyed, bucket, [F.asc("k"), F.asc("doc_id")], rank_col="rnk"
     )
