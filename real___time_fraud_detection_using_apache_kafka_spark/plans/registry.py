@@ -44,30 +44,43 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 def _stable_types(fn: QueryFn) -> QueryFn:
-    """Cast DECIMAL outputs to DOUBLE as the final plan step.
+    """Normalize hash-unstable output types as the final plan step.
 
-    The driver hash-compares stringified values, and a ``Decimal`` and a
-    ``float`` of the *same exact value* can format differently
-    (``1251869314.00`` vs ``1251869314.0``).  Queries accumulate in
-    DECIMAL for order-independence, then surface DOUBLE; the oracle SQL
-    gets the mirror cast in :func:`oracle_sql`, so both engines emit the
-    identical IEEE double of the identical exact decimal.
+    The driver hash-compares stringified values, so two cross-engine
+    formatting hazards are neutralized here (with the mirror rewrite
+    applied to the oracle SQL in :func:`oracle_sql`):
+
+    - DECIMAL -> DOUBLE: a ``Decimal`` and a ``float`` of the *same
+      exact value* format differently (``1251869314.00`` vs
+      ``1251869314.0``).  Queries accumulate in DECIMAL for
+      order-independence, then surface DOUBLE.
+    - DOUBLE/FLOAT ``+ 0.0``: IEEE negative zero.  A value like -1e-17
+      rounds to ``-0.0`` on one engine and ``0.0`` on the other
+      depending on accumulation order; ``x + 0.0`` is the identity for
+      every double EXCEPT -0.0 (which folds to +0.0), so adding it on
+      BOTH sides erases the whole divergence class without touching any
+      real value (first seen in event_transition_pmi at sf0.001).
     """
 
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.sql import functions as F
-        from pyspark.sql.types import DecimalType
+        from pyspark.sql.types import DecimalType, DoubleType, FloatType
 
         df = fn(spark, sf_dir)
-        if any(isinstance(f.dataType, DecimalType) for f in df.schema.fields):
-            df = df.select(
-                *[
-                    F.col(f.name).cast("double").alias(f.name)
-                    if isinstance(f.dataType, DecimalType)
-                    else F.col(f.name)
-                    for f in df.schema.fields
-                ]
-            )
+        if any(
+            isinstance(f.dataType, (DecimalType, DoubleType, FloatType))
+            for f in df.schema.fields
+        ):
+            def fix(f):
+                if isinstance(f.dataType, DecimalType):
+                    return (F.col(f.name).cast("double") + F.lit(0.0)).alias(f.name)
+                if isinstance(f.dataType, (DoubleType, FloatType)):
+                    return (
+                        F.col(f.name).cast("double") + F.lit(0.0)
+                    ).alias(f.name)
+                return F.col(f.name)
+
+            df = df.select(*[fix(f) for f in df.schema.fields])
         return df
 
     wrapped.__doc__ = fn.__doc__
@@ -168,7 +181,10 @@ def _stable_oracle(sql: str) -> str:
         for name, typ, *_ in desc:
             q = '"' + name.replace('"', '""') + '"'
             if typ.startswith("DECIMAL"):
-                casts.append(f"CAST({q} AS DOUBLE) AS {q}")
+                # + 0.0 mirrors the Spark-side IEEE -0.0 normalization
+                casts.append(f"(CAST({q} AS DOUBLE) + 0.0) AS {q}")
+            elif typ in ("DOUBLE", "FLOAT", "REAL"):
+                casts.append(f"(CAST({q} AS DOUBLE) + 0.0) AS {q}")
             elif typ in ("HUGEINT", "UHUGEINT", "INTEGER", "SMALLINT", "TINYINT",
                          "UINTEGER", "USMALLINT", "UTINYINT", "UBIGINT"):
                 casts.append(f"CAST({q} AS BIGINT) AS {q}")

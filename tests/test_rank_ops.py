@@ -101,6 +101,62 @@ def test_ntile_from_rank_matches_sql_ntile(spark, n):
     assert got == want
 
 
+def test_rfm_exact_scale_tier_matches_entity_ntile(spark, sf_dir):
+    """SCALE.md's documented 1e8+-entity path for user_rfm_segments —
+    bucketed_global_rank + ntile_from_rank per metric — must reproduce
+    the entity-table ntile quartiles bit-for-bit, so swapping tiers at
+    scale never changes feature values."""
+    from real___time_fraud_detection_using_apache_kafka_spark.plans import QUERIES
+
+    want = {
+        r["user_id"]: (r["r_score"], r["f_score"], r["m_score"])
+        for r in QUERIES["user_rfm_segments"].fn(spark, sf_dir).collect()
+    }
+
+    e = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("frequency"),
+            F.round(F.sum("value"), 2).alias("monetary"),
+        )
+    )
+    micros = F.unix_micros(F.col("last_ts").cast("timestamp"))
+
+    def quartile(df, bucket, order, name):
+        ranked = bucketed_global_rank(
+            df, bucket, order, rank_col="_r", total_col="_n"
+        )
+        return ranked.select(
+            "user_id", ntile_from_rank(F.col("_r"), F.col("_n"), 4).alias(name)
+        )
+
+    r = quartile(
+        e,
+        # last_ts DESC total order -> negated day number is a monotone
+        # ASC bucket (negative bucket values sort fine)
+        -F.floor(micros / F.lit(86_400_000_000)),
+        [F.desc("last_ts"), F.asc("user_id")],
+        "r_score",
+    )
+    f = quartile(
+        e, F.least(F.col("frequency"), F.lit(255)),
+        [F.asc("frequency"), F.asc("user_id")], "f_score",
+    )
+    m = quartile(
+        e,
+        F.least(F.greatest(F.floor(F.col("monetary") / 100), F.lit(0)), F.lit(255)),
+        [F.asc("monetary"), F.asc("user_id")], "m_score",
+    )
+    got = {
+        row["user_id"]: (row["r_score"], row["f_score"], row["m_score"])
+        for row in r.join(f, "user_id").join(m, "user_id").collect()
+    }
+    assert got == want
+
+
 def test_curve_metrics_release_their_cache(spark):
     """roc_auc / pr_curve_best_threshold must not leave anything in the
     cache manager — repeated metric calls in a long-lived scoring
