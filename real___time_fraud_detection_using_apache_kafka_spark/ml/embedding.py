@@ -64,6 +64,10 @@ def pca_ivf_topk(queries: DataFrame, candidates: DataFrame, k: int = 5,
     Output schema matches ``brute_force_topk``/``ivf_topk``
     (query_id, neighbor_id, cosine, rank) so callers can swap tiers.
     """
+    from ..operators.similarity import empty_topk
+
+    if candidates.isEmpty():  # PCA cannot fit zero rows; index is empty
+        return empty_topk(candidates, id_col)
     red_c, model = pca_reduce(candidates, pca_k, id_col, vec_col)
     red_q, _ = pca_reduce(queries, pca_k, id_col, vec_col, model=model)
     shortlist = ivf_topk(

@@ -172,6 +172,20 @@ def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.45,
     )
 
 
+def empty_topk(candidates: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Zero-row result with the (query_id, neighbor_id, cosine, rank)
+    top-k schema, id-typed from ``candidates`` — the graceful output of
+    the model-fitting ANN tiers when the corpus is empty (MLlib
+    KMeans/PCA cannot fit on zero rows, and an empty index has no
+    neighbors to return anyway)."""
+    return candidates.limit(0).select(
+        F.col(id_col).alias("query_id"),
+        F.col(id_col).alias("neighbor_id"),
+        F.lit(0.0).alias("cosine"),
+        F.lit(0).alias("rank"),
+    )
+
+
 def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int = 5,
              n_centroids: int = 16, n_probe: int = 4, seed: int = 42,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
@@ -201,6 +215,9 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int = 5,
         norm(F.col(vec_col)).alias("cn"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     ).persist()
+    if cand_vec.isEmpty():  # KMeans cannot fit zero rows; index is empty
+        cand_vec.unpersist()
+        return empty_topk(candidates, id_col)
     km = KMeans(k=n_centroids, seed=seed, featuresCol="features",
                 predictionCol="cell")
     model = km.fit(cand_vec)
@@ -267,6 +284,14 @@ def hyperplane_lsh_pairs(embeddings: DataFrame, threshold: float = 0.45,
     import numpy as np
 
     dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None or dim_row["d"] is None or dim_row["d"] < 1:
+        # empty corpus (or an all-null vector column): no hyperplanes to
+        # draw and no pairs to emit — return the empty pair schema
+        return embeddings.limit(0).select(
+            F.col(id_col).alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.lit(0.0).alias("cosine"),
+        )
     dim = dim_row["d"]
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((bands * planes_per_band, dim))

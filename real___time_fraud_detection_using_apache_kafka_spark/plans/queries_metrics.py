@@ -476,10 +476,10 @@ def psi_score_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM scored
     ), m AS (
         SELECT *,
-               round((tp + tn) * 1.0 / total_txn, 6)  AS accuracy,
-               round(tp * 1.0 / (tp + fp), 6)         AS precision,
-               round(tp * 1.0 / (tp + fn), 6)         AS recall,
-               round(2.0 * tp / (2.0 * tp + fp + fn), 6) AS f1
+               round((tp + tn) * 1.0 / nullif(total_txn, 0), 6)  AS accuracy,
+               round(tp * 1.0 / nullif(tp + fp, 0), 6)         AS precision,
+               round(tp * 1.0 / nullif(tp + fn, 0), 6)         AS recall,
+               round(2.0 * tp / nullif(2.0 * tp + fp + fn, 0), 6) AS f1
         FROM agg
     )
     SELECT metric, value FROM (
@@ -526,13 +526,13 @@ def dashboard_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = agg.select(
         "*",
-        F.round((F.col("tp") + F.col("tn")) * one / F.col("total_txn"), 6)
+        F.round((F.col("tp") + F.col("tn")) * one / F.nullif(F.col("total_txn"), F.lit(0)), 6)
         .alias("accuracy"),
-        F.round(F.col("tp") * one / (F.col("tp") + F.col("fp")), 6)
+        F.round(F.col("tp") * one / F.nullif(F.col("tp") + F.col("fp"), F.lit(0)), 6)
         .alias("precision"),
-        F.round(F.col("tp") * one / (F.col("tp") + F.col("fn")), 6)
+        F.round(F.col("tp") * one / F.nullif(F.col("tp") + F.col("fn"), F.lit(0)), 6)
         .alias("recall"),
-        F.round(2.0 * F.col("tp") / (2.0 * F.col("tp") + F.col("fp") + F.col("fn")), 6)
+        F.round(2.0 * F.col("tp") / F.nullif(2.0 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(0.0)), 6)
         .alias("f1"),
     )
     return m.select(

@@ -48,16 +48,16 @@ from .registry import register
     FROM a, fk, LATERAL (VALUES
         ('row_count_nonzero', CAST(a.n AS DOUBLE),
          CASE WHEN a.n = 0 THEN 1 ELSE 0 END),
-        ('o_orderkey_unique', CAST(a.dk AS DOUBLE) / a.n, a.n - a.dk),
-        ('o_custkey_complete', 1.0 - CAST(a.null_cust AS DOUBLE) / a.n,
+        ('o_orderkey_unique', CAST(a.dk AS DOUBLE) / nullif(a.n, 0), a.n - a.dk),
+        ('o_custkey_complete', 1.0 - CAST(a.null_cust AS DOUBLE) / nullif(a.n, 0),
          a.null_cust),
-        ('o_totalprice_nonnegative', 1.0 - CAST(a.neg_price AS DOUBLE) / a.n,
+        ('o_totalprice_nonnegative', 1.0 - CAST(a.neg_price AS DOUBLE) / nullif(a.n, 0),
          a.neg_price),
-        ('o_orderstatus_in_domain', 1.0 - CAST(a.bad_status AS DOUBLE) / a.n,
+        ('o_orderstatus_in_domain', 1.0 - CAST(a.bad_status AS DOUBLE) / nullif(a.n, 0),
          a.bad_status),
-        ('o_orderdate_in_range', 1.0 - CAST(a.bad_date AS DOUBLE) / a.n,
+        ('o_orderdate_in_range', 1.0 - CAST(a.bad_date AS DOUBLE) / nullif(a.n, 0),
          a.bad_date),
-        ('fk_orders_customer', 1.0 - CAST(fk.fk_viol AS DOUBLE) / a.n,
+        ('fk_orders_customer', 1.0 - CAST(fk.fk_viol AS DOUBLE) / nullif(a.n, 0),
          fk.fk_viol)
     ) AS c(constraint_name, metric, violations)
     """,
@@ -111,16 +111,16 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             """stack(7,
             'row_count_nonzero', CAST(n AS DOUBLE),
                 CASE WHEN n = 0 THEN 1L ELSE 0L END,
-            'o_orderkey_unique', CAST(dk AS DOUBLE) / n, n - dk,
-            'o_custkey_complete', 1.0d - CAST(null_cust AS DOUBLE) / n,
+            'o_orderkey_unique', CAST(dk AS DOUBLE) / nullif(n, 0), n - dk,
+            'o_custkey_complete', 1.0d - CAST(null_cust AS DOUBLE) / nullif(n, 0),
                 null_cust,
-            'o_totalprice_nonnegative', 1.0d - CAST(neg_price AS DOUBLE) / n,
+            'o_totalprice_nonnegative', 1.0d - CAST(neg_price AS DOUBLE) / nullif(n, 0),
                 neg_price,
-            'o_orderstatus_in_domain', 1.0d - CAST(bad_status AS DOUBLE) / n,
+            'o_orderstatus_in_domain', 1.0d - CAST(bad_status AS DOUBLE) / nullif(n, 0),
                 bad_status,
-            'o_orderdate_in_range', 1.0d - CAST(bad_date AS DOUBLE) / n,
+            'o_orderdate_in_range', 1.0d - CAST(bad_date AS DOUBLE) / nullif(n, 0),
                 bad_date,
-            'fk_orders_customer', 1.0d - CAST(fk_viol AS DOUBLE) / n, fk_viol
+            'fk_orders_customer', 1.0d - CAST(fk_viol AS DOUBLE) / nullif(n, 0), fk_viol
             ) AS (constraint_name, metric, violations)"""
         )
     )
