@@ -54,12 +54,18 @@ def poly_hash_expr(col_sql: str) -> Column:
 
 
 def poly_hash_duckdb(col_sql: str) -> str:
-    """The identical hash as DuckDB SQL (list_reduce over code points)."""
+    """The identical hash as DuckDB SQL (list_reduce over code points).
+
+    Null-guarded: Spark's ``sequence(1, length(NULL))`` is NULL, so the
+    Spark hash of a null string is NULL — but DuckDB's ``range(1, NULL)``
+    is an EMPTY list, which would reduce to hash 0 and count as a real
+    distinct fingerprint.  The CASE pins hash(NULL) = NULL on both."""
     return (
+        f"CASE WHEN {col_sql} IS NULL THEN NULL ELSE "
         f"list_reduce(list_prepend(cast(0 as bigint), "
         f"list_transform(range(1, length({col_sql}) + 1), "
         f"i -> cast(ascii({col_sql}[i]) as bigint))), "
-        f"(h, c) -> (h * {MULT} + c) % {MOD})"
+        f"(h, c) -> (h * {MULT} + c) % {MOD}) END"
     )
 
 

@@ -35,8 +35,16 @@ def epoch_to_parts(epoch_seconds: Column) -> list[Column]:
 
 
 def currency_format(amount: Column) -> Column:
-    """F7 (FD/producer.py:103): ``$%.2f`` rendering."""
-    return F.format_string("$%.2f", amount)
+    """F7 (FD/producer.py:103): ``$%.2f`` rendering.
+
+    Null-preserving: Spark's ``format_string`` renders a null argument as
+    the literal string "null" (Java Formatter behavior), yielding garbage
+    like ``$nu`` that later crashes the lenient parse path; printf-of-null
+    is null here (matching DuckDB/C printf semantics, and what a sink
+    should emit for a missing amount)."""
+    return F.when(
+        amount.isNull(), F.lit(None).cast("string")
+    ).otherwise(F.format_string("$%.2f", amount))
 
 
 def currency_parse(s: Column) -> Column:

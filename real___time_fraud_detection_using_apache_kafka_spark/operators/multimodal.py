@@ -82,6 +82,15 @@ def decode_blobs(packed: DataFrame) -> DataFrame:
         for pdf in batches:
             fmts, ws, hs, feats = [], [], [], []
             for blob in pdf["blob"]:
+                if blob is None:
+                    # missing payload -> null metadata, never a decoder
+                    # crash: at ingest scale a null/corrupt blob is
+                    # routine and must dead-letter, not kill the task
+                    fmts.append(None)
+                    ws.append(None)
+                    hs.append(None)
+                    feats.append(None)
+                    continue
                 fmt, w, h, feat = _decode_stub(bytes(blob))
                 fmts.append(fmt)
                 ws.append(w)
@@ -90,10 +99,14 @@ def decode_blobs(packed: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "byte_len": pdf["blob"].map(len).astype("int32"),
+                    "byte_len": pdf["blob"].map(
+                        lambda b: None if b is None else len(b)
+                    ).astype("Int32"),
                     "format": fmts,
-                    "width": pd.Series(ws, dtype="int32"),
-                    "height": pd.Series(hs, dtype="int32"),
+                    # nullable Int32 so null-blob rows survive the Arrow
+                    # conversion (plain int32 cannot hold a null)
+                    "width": pd.Series(ws, dtype="Int32"),
+                    "height": pd.Series(hs, dtype="Int32"),
                     "feature": feats,
                 }
             )
@@ -131,6 +144,13 @@ def decode_blobs_arrow(packed: DataFrame) -> DataFrame:
             fmts, ws, hs, feats, lens = [], [], [], [], []
             for v in blobs:
                 blob = v.as_py()  # bytes of THIS blob only, no column boxing
+                if blob is None:  # null payload -> null metadata (see decode_blobs)
+                    fmts.append(None)
+                    ws.append(None)
+                    hs.append(None)
+                    feats.append(None)
+                    lens.append(None)
+                    continue
                 fmt, w, h, feat = _decode_stub(blob)
                 fmts.append(fmt)
                 ws.append(w)

@@ -29,18 +29,28 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     wins), matching DuckDB ``ASOF JOIN`` semantics.
 
     Implementation: union the tagged inputs, sort each key group by
-    (event time, side) within ONE window shuffle, and carry the last
-    non-null right value forward with ``last(..., ignorenulls=True)``.
+    (event time, side) within ONE window shuffle, and carry the latest
+    right ROW forward as a single struct with
+    ``last(..., ignorenulls=True)``.
+
+    The struct carry is load-bearing for correctness, not style: with
+    per-column ``last(ignorenulls)`` carries, a right row holding a NULL
+    in one value column but not another would produce a FRANKENSTEIN
+    match — value from an older row, timestamp from a newer one.  The
+    struct is non-null for every right row (even when its fields are
+    null), so ``ignorenulls`` skips exactly the left-tagged rows and the
+    attached columns always come from ONE right row — DuckDB ASOF JOIN
+    semantics, null fields included.
     """
     on = list(on)
     lcols = left.columns
+    r_struct_type = right.select(*value_cols).schema
     l_tag = left.select(
         *on,
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),  # right rows at equal ts sort first
         F.struct(*[F.col(c) for c in lcols]).alias("_l"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
-          for c in value_cols],
+        F.lit(None).cast(r_struct_type).alias("_r"),
     )
     r_tag = right.select(
         *on,
@@ -49,7 +59,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
         F.lit(None).cast(
             l_tag.schema["_l"].dataType
         ).alias("_l"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("_r"),
     )
     unioned = l_tag.unionByName(r_tag)
     w = (
@@ -58,15 +68,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.select(
-        "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
-            for c in value_cols
-        ],
+        "*", F.last("_r", ignorenulls=True).over(w).alias("_asof")
     )
     return carried.filter(F.col("_side") == 1).select(
         "_l.*",
-        *[F.col(f"_asof_{c}").alias(f"asof_{c}") for c in value_cols],
+        *[F.col(f"_asof.{c}").alias(f"asof_{c}") for c in value_cols],
     )
 
 

@@ -173,11 +173,19 @@ def daily_gapfill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, ts, event_id, event_type,
                lag(event_type) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
-               ) AS prev_type
+               ) AS prev_type,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS rn
         FROM events WHERE user_id < 40
     ), flagged AS (
-        SELECT *, CASE WHEN prev_type IS NULL
-                         OR prev_type <> event_type THEN 1 ELSE 0 END AS chg
+        -- IS DISTINCT FROM + explicit first-row flag: a NULL state must
+        -- compress into runs like any other value (prev IS NULL alone
+        -- can't distinguish "first row" from "previous state was null",
+        -- which fractures run ids nondeterministically)
+        SELECT *, CASE WHEN rn = 1
+                         OR prev_type IS DISTINCT FROM event_type
+                       THEN 1 ELSE 0 END AS chg
         FROM ordered
     ), runs AS (
         SELECT *, sum(chg) OVER (
@@ -221,9 +229,11 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_id",
         "event_type",
+        # null-safe run boundary (mirrors the oracle's IS DISTINCT FROM
+        # + first-row flag): a NULL state is a state like any other
         F.when(
-            F.lag("event_type").over(seq).isNull()
-            | (F.lag("event_type").over(seq) != F.col("event_type")),
+            (F.row_number().over(seq) == 1)
+            | ~F.lag("event_type").over(seq).eqNullSafe(F.col("event_type")),
             1,
         )
         .otherwise(0)
@@ -297,6 +307,8 @@ _SCORED = """
            round(value / 500.0, 6) AS score,
            event_id
     FROM events
+    -- dropna mirror of scored_events (queries_metrics.SCORED_CTE)
+    WHERE value IS NOT NULL AND props IS NOT NULL
 """
 
 
@@ -532,6 +544,7 @@ def revenue_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*)     OVER (PARTITION BY c_mktsegment) AS n,
                sum(o_totalprice) OVER (PARTITION BY c_mktsegment) AS tot
         FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_totalprice IS NOT NULL
     )
     SELECT c_mktsegment,
            any_value(n)  AS n_orders,
@@ -566,7 +579,8 @@ def order_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sees strings and rejects the UDF
     @pandas_udf("double", PandasUDFType.GROUPED_AGG)
     def gini(x):
-        v = np.sort(x.to_numpy(dtype="float64"))
+        # dropna defensively: one NaN would poison the whole group's sum
+        v = np.sort(x.dropna().to_numpy(dtype="float64"))
         n = v.size
         i = np.arange(1, n + 1, dtype="float64")
         return float(((2.0 * i - n - 1) * v).sum() / (n * v.sum()))
@@ -578,7 +592,11 @@ def order_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     def n_rows(x):
         return len(x)
 
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        # gini over KNOWN amounts: null order values carry no
+        # concentration information (mirrored in the oracle WHERE)
+        F.col("o_totalprice").isNotNull()
+    )
     c = load_table(spark, sf_dir, "customer")
     joined = o.join(
         F.broadcast(c.select("c_custkey", "c_mktsegment")),

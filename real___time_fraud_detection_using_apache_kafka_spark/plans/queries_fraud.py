@@ -364,14 +364,23 @@ def session_conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths = (
         sessions.groupBy("user_id", "session_id")
         .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+            # nullif '': array_join SKIPS null elements, so a session of
+            # only null-typed events renders '' while the oracle's
+            # string_agg (which also skips nulls) yields NULL — fold the
+            # empty path to NULL to match
+            F.nullif(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("ts", "event_id", "event_type")
+                            )
+                        ),
+                        lambda s: s["event_type"],
                     ),
-                    lambda s: s["event_type"],
+                    ">",
                 ),
-                ">",
+                F.lit(""),
             ).alias("path"),
             F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
             .alias("converted"),

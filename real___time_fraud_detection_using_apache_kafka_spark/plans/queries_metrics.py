@@ -37,12 +37,19 @@ SCORED_CTE = """
                value / 500.0 AS score,
                CASE WHEN value / 500.0 >= 0.1 THEN 1 ELSE 0 END AS predicted
         FROM events
+        -- dropna mirror (FD/evaluation.py:125): a row without a score
+        -- source or label source is unscorable; keeping them would also
+        -- make cross-engine NULL ordering observable in the curve ops
+        WHERE value IS NOT NULL AND props IS NOT NULL
     )
 """
 
 
 def scored_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").filter(
+        # dropna mirror (FD/evaluation.py:125) — see SCORED_CTE comment
+        F.col("value").isNotNull() & F.col("props").isNotNull()
+    )
     k = F.get_json_object("props", "$.k").cast("int")
     score = F.col("value") / 500.0
     return e.select(
@@ -72,7 +79,13 @@ def scored_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM counts
     ), agg AS (
         SELECT user_id, count(*) AS suspicious_count,
-               round(avg(value), 2) AS avg_value, max(ts) AS last_ts
+               -- DECIMAL end-to-end: a double mean whose shortest repr
+               -- is x.xx5 rounds differently across engines (DuckDB
+               -- rounds the repr, Spark the binary value); the decimal
+               -- quotient is exact and rounds identically everywhere
+               round(sum(CAST(value AS DECIMAL(18,6))) / count(*), 2)
+                   AS avg_value,
+               max(ts) AS last_ts
         FROM susp GROUP BY user_id
     )
     SELECT a.user_id, a.suspicious_count, a.avg_value, a.last_ts, m.top_event_type
@@ -97,11 +110,16 @@ def fraud_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     susp = e.filter(F.col("value") >= 75)
     pair = susp.groupBy("user_id", "event_type").agg(
         F.count("*").alias("cnt"),
-        F.sum("value").alias("vsum"),
+        # DECIMAL partial sums: order-independent exact arithmetic, so
+        # the 2-dp rounded mean is identical at any parallelism / engine
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("vsum"),
         F.max("ts").alias("mts"),
     )
     per_user = pair.groupBy("user_id").agg(
         F.sum("cnt").alias("suspicious_count"),
+        # decimal quotient rounded as DECIMAL (registry casts to double):
+        # rounding the double instead diverges across engines whenever the
+        # mean's shortest repr is x.xx5
         F.round(F.sum("vsum") / F.sum("cnt"), 2).alias("avg_value"),
         F.max("mts").alias("last_ts"),
         F.min_by(
@@ -467,8 +485,10 @@ def psi_score_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) - sum(predicted)                   AS non_fraud_count,
                sum(actual)                                 AS actual_fraud,
                round(avg(score), 6)                        AS avg_probability,
-               round(avg(CASE WHEN actual = 1 THEN value END), 2)
-                                                           AS fraud_avg_amount,
+               round(sum(CASE WHEN actual = 1
+                              THEN CAST(value AS DECIMAL(18,6)) END)
+                     / nullif(sum(CASE WHEN actual = 1 THEN 1 ELSE 0 END), 0),
+                     2)                                    AS fraud_avg_amount,
                sum(CASE WHEN actual = 1 AND predicted = 1 THEN 1 ELSE 0 END) AS tp,
                sum(CASE WHEN actual = 0 AND predicted = 1 THEN 1 ELSE 0 END) AS fp,
                sum(CASE WHEN actual = 1 AND predicted = 0 THEN 1 ELSE 0 END) AS fn,
@@ -517,8 +537,14 @@ def dashboard_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") - F.sum("predicted")).alias("non_fraud_count"),
         F.sum("actual").alias("actual_fraud"),
         F.round(F.avg("score"), 6).alias("avg_probability"),
-        F.round(F.avg(F.when(F.col("actual") == 1, F.col("value"))), 2)
-        .alias("fraud_avg_amount"),
+        F.round(
+            F.sum(
+                F.when(F.col("actual") == 1,
+                       F.col("value").cast("decimal(18,6)"))
+            )
+            / F.nullif(F.count_if(F.col("actual") == 1), F.lit(0)),
+            2,
+        ).alias("fraud_avg_amount"),
         F.count_if((F.col("actual") == 1) & (F.col("predicted") == 1)).alias("tp"),
         F.count_if((F.col("actual") == 0) & (F.col("predicted") == 1)).alias("fp"),
         F.count_if((F.col("actual") == 1) & (F.col("predicted") == 0)).alias("fn"),

@@ -680,7 +680,9 @@ def scalar_datetime_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
            replace(lower(trim(c_mktsegment)), ' ', '_')  AS segment_key,
            printf('$%.2f', c_acctbal)                    AS acctbal_usd,
            substr(c_name, 1, 8)                          AS name_prefix,
-           concat(c_mktsegment, '#', cast(c_nationkey AS VARCHAR)) AS seg_nation
+           -- || not concat(): DuckDB's concat SKIPS null args while
+           -- Spark's propagates; || null-propagates on both engines
+           c_mktsegment || '#' || cast(c_nationkey AS VARCHAR) AS seg_nation
     FROM customer
     WHERE c_custkey <= 500
     """,
@@ -734,12 +736,14 @@ def generator_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH canon AS (
         SELECT DISTINCT event_type AS canonical FROM events
+        WHERE event_type IS NOT NULL
     ), drifted AS (
         SELECT DISTINCT upper(substr(event_type, 1, 1)) || substr(event_type, 2)
                    AS drifted
-        FROM events
+        FROM events WHERE event_type IS NOT NULL
         UNION
         SELECT DISTINCT upper(event_type) FROM events
+        WHERE event_type IS NOT NULL
     ), scored AS (
         SELECT d.drifted, c.canonical,
                levenshtein(d.drifted, c.canonical) AS dist
@@ -762,8 +766,12 @@ def fuzzy_category_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: both sides first collapse to DISTINCT labels —
     categorical domains are tiny regardless of corpus size, so the cross
-    join is |domains|² on aggregated rows, never a row-level product."""
-    e = load_table(spark, sf_dir, "events")
+    join is |domains|² on aggregated rows, never a row-level product.
+    Null labels are excluded on both sides — a missing category is
+    null-handling's job (P8-P10), not fuzzy matching's."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
     cap = F.concat(
         F.upper(F.substring("event_type", 1, 1)),
         F.expr("substr(event_type, 2)"),
@@ -847,10 +855,17 @@ def scalar_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "kv_map_roundtrip",
     oracle="""
     SELECT event_id,
-           event_type AS type_rt,
-           cast(printf('%.2f', value) AS DOUBLE) AS value_rt,
-           true AS has_user,
-           2 AS n_other
+           -- a record with any null field renders a null kv line, so the
+           -- whole parsed map is null (mirrored in the Spark guard)
+           CASE WHEN event_type IS NULL OR value IS NULL OR user_id IS NULL
+                THEN NULL ELSE event_type END AS type_rt,
+           CASE WHEN event_type IS NULL OR value IS NULL OR user_id IS NULL
+                THEN NULL
+                ELSE cast(printf('%.2f', value) AS DOUBLE) END AS value_rt,
+           CASE WHEN event_type IS NULL OR value IS NULL OR user_id IS NULL
+                THEN NULL ELSE true END AS has_user,
+           CASE WHEN event_type IS NULL OR value IS NULL OR user_id IS NULL
+                THEN NULL ELSE 2 END AS n_other
     FROM events WHERE event_id <= 2000
     """,
 )
@@ -863,9 +878,19 @@ def kv_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     render→parse = identity (the same contract as currency_roundtrip).
     Entirely narrow map/array expressions — zero shuffles."""
     e = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 2000)
-    s = F.format_string(
-        "type: %s, value: %.2f, user: %d",
-        F.col("event_type"), F.col("value"), F.col("user_id"),
+    # null-guard the render: format_string would print a null field as
+    # the literal "null" (then "value: nu..." crashes the double cast);
+    # a record with a missing field renders NO line, parsing to nulls
+    any_null = (
+        F.col("event_type").isNull()
+        | F.col("value").isNull()
+        | F.col("user_id").isNull()
+    )
+    s = F.when(any_null, F.lit(None).cast("string")).otherwise(
+        F.format_string(
+            "type: %s, value: %.2f, user: %d",
+            F.col("event_type"), F.col("value"), F.col("user_id"),
+        )
     )
     m = F.str_to_map(s, F.lit(", "), F.lit(": "))
     mk = F.transform_keys(m, lambda k, _: F.upper(k))
@@ -885,7 +910,11 @@ def kv_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type AS csv_et,
            value      AS csv_value,
            event_type AS xml_et,
-           user_id    AS xml_user
+           -- the XML snippet is built with null-propagating concat, so a
+           -- null event_type nulls the WHOLE snippet and therefore every
+           -- field parsed from it (the CSV side has per-field nulls:
+           -- to_csv renders a null field as an empty cell)
+           CASE WHEN event_type IS NULL THEN NULL ELSE user_id END AS xml_user
     FROM events WHERE event_id <= 2000
     """,
 )

@@ -157,7 +157,10 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT *, greatest(score_en, score_de, score_fr, score_es) AS mx FROM s
     )
     SELECT doc_id, lang, score_en, score_de, score_fr, score_es,
-           CASE WHEN mx = 0 THEN 'und'
+           -- mx IS NULL: a null text yields null scores; without the
+           -- guard the CASE falls through every NULL comparison into
+           -- ELSE 'de' while Spark's filtered argmax says 'und'
+           CASE WHEN mx IS NULL OR mx = 0 THEN 'und'
                 WHEN score_fr = mx THEN 'fr'
                 WHEN score_es = mx THEN 'es'
                 WHEN score_en = mx THEN 'en'
@@ -429,7 +432,9 @@ def multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            cast(octet_length(encode(text)) + 4 AS INT)      AS byte_len,
-           'IMG0'                                           AS format,
+           -- null text packs to a null blob, which decodes to null
+           -- metadata (see operators.multimodal.decode_blobs)
+           CASE WHEN text IS NULL THEN NULL ELSE 'IMG0' END AS format,
            cast(octet_length(encode(text)) % 64 + 1 AS INT) AS width,
            cast(octet_length(encode(text)) % 48 + 1 AS INT) AS height
     FROM documents
@@ -951,9 +956,15 @@ def embedding_gated_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c.doc_id, len(c.grams) AS n_grams,
            coalesce(h.n_overlap, 0) AS n_overlap,
-           round(coalesce(h.n_overlap, 0) / cast(len(c.grams) AS DOUBLE), 6)
+           -- guarded fraction: a null-text doc has zero grams; 0/0 must
+           -- be NULL on both engines, not NaN/err
+           CASE WHEN len(c.grams) > 0
+                THEN round(coalesce(h.n_overlap, 0)
+                           / cast(len(c.grams) AS DOUBLE), 6) END
                AS overlap_frac,
-           CASE WHEN coalesce(h.n_overlap, 0) / cast(len(c.grams) AS DOUBLE) >= 0.1
+           CASE WHEN len(c.grams) > 0
+                 AND coalesce(h.n_overlap, 0)
+                     / cast(len(c.grams) AS DOUBLE) >= 0.1
                 THEN 1 ELSE 0 END AS contaminated
     FROM cand c LEFT JOIN hits h ON h.doc_id = c.doc_id
     """,
@@ -981,7 +992,13 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     cand = docs.filter(F.col("source") != "src0").select(
-        "doc_id", word_ngrams(F.col("text"), 3).alias("grams")
+        "doc_id",
+        # null text -> ZERO grams (not a null array), so counts stay
+        # integral and the report still lists the doc
+        F.coalesce(
+            word_ngrams(F.col("text"), 3),
+            F.array().cast("array<string>"),
+        ).alias("grams"),
     )
     cg = cand.select("doc_id", F.explode("grams").alias("g"))
     hits = (
@@ -989,7 +1006,13 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_overlap"))
     )
-    frac = F.coalesce(F.col("n_overlap"), F.lit(0)) / F.size("grams").cast("double")
+    # guarded fraction: 0 grams -> NULL (0/0 would be NaN), mirrored in
+    # the oracle CASE
+    frac = F.when(
+        F.size("grams") > 0,
+        F.coalesce(F.col("n_overlap"), F.lit(0))
+        / F.size("grams").cast("double"),
+    )
     return (
         cand.join(hits, "doc_id", "left")
         .select(

@@ -215,6 +215,10 @@ def q12_shipping_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderdate", "o_orderpriority"
     )
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    # NOT-IN three-valued logic: a NULL priority is in NEITHER bucket
+    # (matches the oracle's `NOT IN` CASE, which yields NULL -> ELSE 0);
+    # a bare `1 - is_high` would silently count unknowns as low
+    low = F.when(F.col("o_orderpriority").isNotNull() & ~high, 1).otherwise(0)
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
@@ -224,11 +228,12 @@ def q12_shipping_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit("LATE")).alias("ship_bucket"),
             F.year("o_orderdate").alias("order_year"),
             F.when(high, 1).otherwise(0).alias("is_high"),
+            low.alias("is_low"),
         )
         .groupBy("ship_bucket", "order_year")
         .agg(
             F.sum("is_high").alias("high_line_count"),
-            F.sum(1 - F.col("is_high")).alias("low_line_count"),
+            F.sum("is_low").alias("low_line_count"),
         )
     )
 

@@ -129,3 +129,46 @@ def test_sequence_pattern_and_pmi_invariants(spark, sf_dir):
     # random-ish synthetic stream: joint ~ product of marginals -> PMI ~ 0
     mean_abs = sum(abs(r["pmi"]) * r["n"] for r in pmi) / total
     assert mean_abs < 0.2
+
+
+def test_asof_join_carries_right_row_atomically(spark):
+    """A right row with a NULL in one value column must NOT produce a
+    frankenstein match (value from an older row, timestamp from a newer
+    one): the as-of carry is one struct per right ROW — DuckDB ASOF JOIN
+    semantics, null fields included (caught by the round-4 null sweep)."""
+    from real___time_fraud_detection_using_apache_kafka_spark.operators.temporal import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 100, "q")], "k int, ts int, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 5.0, "old"), (1, 50, None, "new")],
+        "k int, rts int, v double, label string",
+    )
+    row = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="rts",
+        value_cols=["v", "label", "rts"],
+    ).collect()[0]
+    # the latest right row (rts=50) wins ATOMICALLY: its null v rides
+    # along with its label/ts — never v=5.0 from the older row
+    assert row["asof_rts"] == 50
+    assert row["asof_label"] == "new"
+    assert row["asof_v"] is None
+
+
+def test_asof_join_no_prior_right_row_is_all_null(spark):
+    from real___time_fraud_detection_using_apache_kafka_spark.operators.temporal import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame([(1, 5, "q")], "k int, ts int, tag string")
+    right = spark.createDataFrame(
+        [(1, 50, 1.0)], "k int, rts int, v double"
+    )
+    row = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="rts",
+        value_cols=["v", "rts"],
+    ).collect()[0]
+    assert row["asof_v"] is None and row["asof_rts"] is None
