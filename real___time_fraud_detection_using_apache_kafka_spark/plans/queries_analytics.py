@@ -302,7 +302,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SCORED = """
-    SELECT CASE WHEN cast(json_extract(props, '$.k') AS INT) >= 50
+    SELECT CASE WHEN cast(json_extract(CASE WHEN json_valid(props) THEN props END, '$.k') AS INT) >= 50
                 THEN 1 ELSE 0 END AS actual,
            round(value / 500.0, 6) AS score,
            event_id

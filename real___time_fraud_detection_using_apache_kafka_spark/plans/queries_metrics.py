@@ -32,7 +32,7 @@ from .registry import register
 SCORED_CTE = """
     WITH scored AS (
         SELECT event_id, user_id, ts, event_type, value,
-               CASE WHEN cast(json_extract(props, '$.k') AS INT) >= 50
+               CASE WHEN cast(json_extract(CASE WHEN json_valid(props) THEN props END, '$.k') AS INT) >= 50
                     THEN 1 ELSE 0 END AS actual,
                value / 500.0 AS score,
                CASE WHEN value / 500.0 >= 0.1 THEN 1 ELSE 0 END AS predicted

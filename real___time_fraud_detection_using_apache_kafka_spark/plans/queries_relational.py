@@ -972,7 +972,7 @@ def currency_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "json_extract_props",
     oracle="""
-    SELECT cast(cast(json_extract(props, '$.k') AS INT) // 10 AS BIGINT) AS k_decile,
+    SELECT cast(cast(json_extract(CASE WHEN json_valid(props) THEN props END, '$.k') AS INT) // 10 AS BIGINT) AS k_decile,
            count(*) AS n_events,
            round(avg(value), 4) AS avg_value
     FROM events
@@ -996,9 +996,9 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     "variant_props_stats",
     oracle="""
     SELECT event_type, count(*) AS n_events,
-           round(avg(cast(json_extract(props, '$.k') AS INT)), 4) AS avg_k,
-           cast(max(cast(json_extract(props, '$.k') AS INT)) AS BIGINT) AS max_k,
-           sum(CASE WHEN json_extract(props, '$.missing') IS NULL
+           round(avg(cast(json_extract(CASE WHEN json_valid(props) THEN props END, '$.k') AS INT)), 4) AS avg_k,
+           cast(max(cast(json_extract(CASE WHEN json_valid(props) THEN props END, '$.k') AS INT)) AS BIGINT) AS max_k,
+           sum(CASE WHEN json_extract(CASE WHEN json_valid(props) THEN props END, '$.missing') IS NULL
                     THEN 1 ELSE 0 END) AS n_missing
     FROM events
     GROUP BY event_type
@@ -1013,9 +1013,11 @@ def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference re-deserializes the whole record per field access).
     ``try_variant_get`` on an absent path yields null (the engine's
     typed mirror of the consumer's defensive ``.get(key, default)``,
-    FD/consumer.py:37-38)."""
+    FD/consumer.py:37-38).  ``try_parse_json``, not ``parse_json``: a
+    malformed payload must dead-letter to null (T6), never kill the
+    job — mirrored in the oracle's ``json_valid`` guard."""
     e = load_table(spark, sf_dir, "events")
-    v = F.parse_json("props")
+    v = F.try_parse_json("props")
     return (
         e.select("event_type", v.alias("v"))
         .select(
