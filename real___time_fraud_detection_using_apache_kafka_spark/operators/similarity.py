@@ -172,6 +172,105 @@ def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.45,
     )
 
 
+def knn_graph_topk(embeddings: DataFrame, k: int = 5, n_blocks: int = 8,
+                   local_margin: int = 8, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Exact all-pairs k-nearest-neighbor GRAPH (every vector is a query):
+    per-vector cosine top-k over the whole corpus — the kNN-graph builder
+    behind dedup clustering, label propagation, and graph-based retrieval
+    indexes (HNSW ground truth).
+
+    ``brute_force_topk`` broadcasts the probe side, which is impossible
+    when the probe side IS the corpus.  Instead the candidate matrix is
+    block-decomposed like ``cosine_neardup_pairs``, with per-block LOCAL
+    top-k replacing the threshold:
+
+      1. rows hash into ``n_blocks`` blocks; the query side replicates to
+         every block (replication factor B), the candidate side stays put;
+      2. one cogrouped kernel per (query-replica, candidate-block) pair
+         scores a float64 matmul and emits each query's local
+         top-``(k + local_margin)`` candidate IDS only — so the shuffle
+         output is O(N * B * k), never O(N^2);
+      3. the exact JVM fold re-scores the surviving O(B * (k+m)) per-query
+         candidates and a window keeps the global top-k — output values
+         and ordering are bit-identical to the naive all-pairs plan (and
+         the SQL oracle), because every emitted cosine comes from the
+         same sequential fold.
+
+    ``local_margin`` absorbs the matmul-vs-fold last-ulp reordering risk
+    at the local cut: a true global top-k member can only be lost if
+    > ``local_margin`` candidates inside ITS OWN block sit within float
+    reassociation distance (~1e-14) of it — vanishingly unlikely for
+    real-valued embeddings, and the margin is a constant-factor knob.
+
+    Scale: the kernel's cost is O(N^2 / B) multiply-adds as BLAS matmul
+    flops (not interpreted folds); memory per task is two block slices.
+    An exact kNN graph is inherently quadratic — at 100 TB prune block
+    pairs first (IVF cells / LSH buckets, see ``ivf_topk``), then build
+    the exact graph inside each pruned cell with this same kernel.
+    """
+    tagged = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+    partners = F.array(*[F.lit(j) for j in range(n_blocks)])
+    left = tagged.withColumn("pblk", F.explode(partners))
+    n_keep = k + local_margin
+
+    def kernel(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        empty = pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                              "neighbor_id": pd.Series(dtype="int64")})
+        if lpdf.empty or rpdf.empty:
+            return empty
+        va = np.asarray(lpdf["v"].tolist(), dtype=np.float64)
+        vb = np.asarray(rpdf["v"].tolist(), dtype=np.float64)
+        na = np.linalg.norm(va, axis=1)
+        nb = np.linalg.norm(vb, axis=1)
+        na[na == 0.0] = 1.0
+        nb[nb == 0.0] = 1.0
+        sim = (va / na[:, None]) @ (vb / nb[:, None]).T
+        ia = lpdf["id"].to_numpy()
+        ib = rpdf["id"].to_numpy()
+        sim[ia[:, None] == ib[None, :]] = -np.inf  # never self
+        m = min(n_keep, sim.shape[1])
+        # argpartition: local top-m per query row, no full sort
+        top = np.argpartition(-sim, m - 1, axis=1)[:, :m]
+        qs = np.repeat(ia, m)
+        ns = ib[top.ravel()]
+        keep = sim[np.repeat(np.arange(sim.shape[0]), m), top.ravel()] > -np.inf
+        return pd.DataFrame({"query_id": qs[keep], "neighbor_id": ns[keep]})
+
+    cand = (
+        left.groupBy("pblk")
+        .cogroup(tagged.groupBy("blk"))
+        .applyInPandas(kernel, "query_id long, neighbor_id long")
+    )
+    q = embeddings.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
+    scored = cand.join(q, "query_id").join(c, "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
+        ).alias("cosine"),
+    )
+    from .windows import topk_per_group
+
+    return topk_per_group(
+        scored, ["query_id"], [F.desc("cosine"), F.asc("neighbor_id")], k,
+        rank_col="rank",
+    )
+
+
 def empty_topk(candidates: DataFrame, id_col: str = "vec_id") -> DataFrame:
     """Zero-row result with the (query_id, neighbor_id, cosine, rank)
     top-k schema, id-typed from ``candidates`` — the graceful output of

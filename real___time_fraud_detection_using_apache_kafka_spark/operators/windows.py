@@ -54,10 +54,29 @@ def bounded_seq_window(*order_cols: Column):
     return Window.orderBy(*order_cols)
 
 
+_COMBINE_WINDOW_AGG = {"sum": F.sum, "min": F.min, "max": F.max}
+_COMBINE_MERGE = {
+    "sum": lambda a, b: a + b,
+    "min": F.least,   # least/greatest skip NULLs, so NULL is the identity
+    "max": F.greatest,
+}
+
+
+def _combine_identity(combine: str, dtype) -> Column:
+    """Identity element of the monoid, typed: 0 for sum, NULL for min/max
+    (``least``/``greatest`` skip NULLs, so a NULL accumulator over an
+    empty prefix stays NULL — "no preceding rows", which callers test
+    with ``isNull`` rather than a magic sentinel)."""
+    if combine == "sum":
+        return F.lit(0).cast(dtype)
+    return F.lit(None).cast(dtype)
+
+
 def _plan_side_offsets(totals: DataFrame, bucket_col: str,
                        value_cols: Sequence[str],
                        descending: bool = False,
-                       grand_cols: Sequence[str] = ()) -> DataFrame:
+                       grand_cols: Sequence[str] = (),
+                       combine: str = "sum") -> DataFrame:
     """Exclusive per-bucket prefix offsets computed INSIDE the plan from
     the metadata-sized bucket totals (one row per bucket, <= a few
     thousand buckets independent of input scale).
@@ -92,20 +111,20 @@ def _plan_side_offsets(totals: DataFrame, bucket_col: str,
         arr = F.reverse(arr)
     packed = totals.agg(arr.alias("_a"))
 
+    merge = _COMBINE_MERGE[combine]
+
     def prefix_of(c):
-        zero = F.lit(0).cast(types[f"_tot_{c}"])
+        zero = _combine_identity(combine, types[f"_tot_{c}"])
         return lambda s, i: F.aggregate(
             F.slice(F.col("_a"), F.lit(1), i), zero,
-            lambda acc, x: acc + x[f"_tot_{c}"],
+            lambda acc, x: merge(acc, x[f"_tot_{c}"]),
         )
 
     def grand_of(c):
-        zero = F.lit(0).cast(types[f"_tot_{c}"])
-
-        def merge(acc, x):
-            return acc + x[f"_tot_{c}"]
-
-        return F.aggregate(F.col("_a"), zero, merge)
+        zero = _combine_identity(combine, types[f"_tot_{c}"])
+        return F.aggregate(
+            F.col("_a"), zero, lambda acc, x: merge(acc, x[f"_tot_{c}"])
+        )
 
     def entry(s, i):
         fields = [s[bucket_col].alias(bucket_col)]
@@ -125,7 +144,8 @@ def _plan_side_offsets(totals: DataFrame, bucket_col: str,
 def exclusive_prefix_sum(by_p: DataFrame, order_col: str, sum_cols: Sequence[str],
                          descending: bool = False, n_buckets: int = 256,
                          bounds: tuple[float, float] = (0.0, 1.0),
-                         grand_cols: Sequence[str] = ()) -> DataFrame:
+                         grand_cols: Sequence[str] = (),
+                         combine: str = "sum") -> DataFrame:
     """Distributed exclusive prefix sums over ``by_p`` ordered by
     ``order_col`` — each ``c`` in ``sum_cols`` gains a ``{c}_before`` column
     holding the sum of ``c`` over all STRICTLY-preceding rows; each ``c``
@@ -163,7 +183,19 @@ def exclusive_prefix_sum(by_p: DataFrame, order_col: str, sum_cols: Sequence[str
     local[32]-to-cluster parallelism with negligible fixed cost; raise
     it when per-bucket row counts grow past task-sized (e.g. billions of
     distinct scores).
+
+    ``combine`` generalizes the monoid: ``"sum"`` (default, exact prior
+    behavior), ``"min"``, or ``"max"`` — prefix-min/-max power order
+    statistics like the 2-D skyline (running best over strictly-preceding
+    rows) with the same no-single-partition plan shape.  For min/max the
+    identity is NULL (``least``/``greatest`` skip NULLs), so
+    ``{c}_before`` is NULL exactly when no row strictly precedes —
+    callers branch on ``isNull``, not a sentinel.
     """
+    if combine not in _COMBINE_WINDOW_AGG:
+        raise ValueError(f"combine must be one of {sorted(_COMBINE_WINDOW_AGG)}")
+    agg_fn = _COMBINE_WINDOW_AGG[combine]
+    merge = _COMBINE_MERGE[combine]
     lo, hi = bounds
     span = hi - lo
     raw = (F.col(order_col) - F.lit(lo)) / F.lit(span) * n_buckets
@@ -177,20 +209,21 @@ def exclusive_prefix_sum(by_p: DataFrame, order_col: str, sum_cols: Sequence[str
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     for c in sum_cols:
-        df = df.withColumn(
-            f"_local_{c}", F.coalesce(F.sum(c).over(in_bucket), F.lit(0))
-        )
+        local = agg_fn(c).over(in_bucket)
+        if combine == "sum":
+            local = F.coalesce(local, F.lit(0))  # empty prefix sums to 0
+        df = df.withColumn(f"_local_{c}", local)
     totals = by_p.select("*", bucket).groupBy("_bucket").agg(
-        *[F.sum(c).alias(f"_tot_{c}") for c in sum_cols]
+        *[agg_fn(c).alias(f"_tot_{c}") for c in sum_cols]
     )
     offsets = _plan_side_offsets(
         totals, "_bucket", sum_cols, descending=descending,
-        grand_cols=grand_cols,
+        grand_cols=grand_cols, combine=combine,
     )
     joined = df.join(F.broadcast(offsets), "_bucket")
     for c in sum_cols:
         joined = joined.withColumn(
-            f"{c}_before", F.col(f"_off_{c}") + F.col(f"_local_{c}")
+            f"{c}_before", merge(F.col(f"_off_{c}"), F.col(f"_local_{c}"))
         )
     for c in grand_cols:
         joined = joined.withColumn(f"{c}_grand", F.col(f"_grand_{c}"))

@@ -606,3 +606,226 @@ def order_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_rows("o_totalprice").alias("n_orders"),
         F.round(gini("o_totalprice"), 6).alias("gini"),
     )
+
+
+@register(
+    "skyline_orders",
+    oracle="""
+    SELECT a.o_orderkey, a.o_orderdate, a.o_totalprice
+    FROM orders a
+    WHERE a.o_totalprice IS NOT NULL AND a.o_orderdate IS NOT NULL
+      AND NOT EXISTS (
+        SELECT 1 FROM orders b
+        WHERE b.o_totalprice IS NOT NULL AND b.o_orderdate IS NOT NULL
+          AND b.o_orderdate > a.o_orderdate
+          AND b.o_totalprice < a.o_totalprice
+      )
+    """,
+)
+def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): orders not STRICTLY dominated on
+    (newer order date, lower total price) — "no later order was cheaper".
+    The classic multi-criteria shortlist operator (Börzsönyi et al.,
+    ICDE 2001), which naive SQL states as a quadratic NOT EXISTS
+    anti-join (the oracle's formulation).
+
+    Scale-safe plan: in 2-D, dominance collapses to a prefix extreme —
+    a row survives iff min(price over all strictly-later dates) is not
+    below its own price.  So: one hash aggregate to per-date minima
+    (|distinct dates| rows), ``exclusive_prefix_sum(combine="min")``
+    descending over dates (bucketed distributed prefix — no
+    single-partition window, no quadratic join), broadcast the per-date
+    thresholds back, and filter inside the scan.  Total cost: two scans
+    + one date-keyed shuffle, vs the oracle's O(n²) pair probe.  NULL
+    threshold means "no strictly later date" (latest date ⇒ on the
+    frontier by definition).
+    """
+    from ..operators.windows import exclusive_prefix_sum
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull() & F.col("o_orderdate").isNotNull()
+    )
+    # bucket order key: epoch days (driver-known testdata span 1995-2001,
+    # padded; clamping preserves bucket monotonicity outside the span)
+    day = (F.unix_timestamp("o_orderdate") / 86400.0).alias("_day")
+    per_date = o.select(day, "o_totalprice").groupBy("_day").agg(
+        F.min("o_totalprice").alias("dmin")
+    )
+    pre = exclusive_prefix_sum(
+        per_date, "_day", ["dmin"], descending=True, combine="min",
+        bounds=(8700.0, 11900.0),
+    )
+    thresholds = pre.select("_day", F.col("dmin_before").alias("later_min"))
+    return (
+        o.select("o_orderkey", "o_orderdate", "o_totalprice", day)
+        .join(F.broadcast(thresholds), "_day")
+        .filter(
+            F.col("later_min").isNull()
+            | (F.col("o_totalprice") <= F.col("later_min"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+@register(
+    "orders_trimmed_stats",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderpriority, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS rk,
+               count(*) OVER (PARTITION BY o_orderpriority) AS n
+        -- NULL prices carry no location information, and the engines
+        -- disagree on NULL sort placement (Spark first, DuckDB last)
+        FROM orders WHERE o_totalprice IS NOT NULL
+    ), marked AS (
+        SELECT o_orderpriority, o_totalprice, n, n // 10 AS k,
+               (rk > n // 10 AND rk <= n - n // 10) AS kept
+        FROM ranked
+    )
+    SELECT o_orderpriority,
+           CAST(max(n) AS BIGINT) AS n_orders,
+           CAST(max(k) AS BIGINT) AS n_trimmed_each_side,
+           round(avg(o_totalprice), 4) AS raw_mean,
+           round(avg(CASE WHEN kept THEN o_totalprice END), 4) AS trimmed_mean,
+           round((sum(CASE WHEN kept THEN o_totalprice ELSE 0 END)
+                  + max(k) * min(CASE WHEN kept THEN o_totalprice END)
+                  + max(k) * max(CASE WHEN kept THEN o_totalprice END)
+                 ) / max(n), 4) AS winsorized_mean
+    FROM marked
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group location estimates: 10% two-sided TRIMMED mean
+    (drop the k=⌊n/10⌋ cheapest and dearest orders per priority) and the
+    matching WINSORIZED mean (clamp those tails to the surviving
+    extremes) next to the raw mean — the outlier-resistant aggregates a
+    monitoring dashboard wants when a few huge orders drag the average.
+
+    Rank-based (count cutoffs), not percentile-based: integer row ranks
+    sidestep cross-engine quantile-interpolation semantics entirely, so
+    the only doubles are the final three means.  Plan: ONE window over a
+    real partition key (priority — bounded groups, no unpartitioned
+    funnel; count rides the same window) then one hash aggregate with
+    conditional sums; two shuffles on the same key, AQE-handled skew.
+    """
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_totalprice", "o_orderkey")
+        # NULL prices: no location info + engines disagree on NULL sort
+        # placement (mirrored in the oracle WHERE)
+        .filter(F.col("o_totalprice").isNotNull())
+    )
+    ranked = o.select(
+        "o_orderpriority", "o_totalprice",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(wn).alias("n"),
+    )
+    k = F.floor(F.col("n") / 10)
+    marked = ranked.select(
+        "o_orderpriority", "o_totalprice", "n", k.alias("k"),
+        ((F.col("rk") > k) & (F.col("rk") <= F.col("n") - k)).alias("kept"),
+    )
+    kept_price = F.when(F.col("kept"), F.col("o_totalprice"))
+    return marked.groupBy("o_orderpriority").agg(
+        F.max("n").alias("n_orders"),
+        F.max("k").alias("n_trimmed_each_side"),
+        F.round(F.avg("o_totalprice"), 4).alias("raw_mean"),
+        F.round(F.avg(kept_price), 4).alias("trimmed_mean"),
+        F.round(
+            (
+                F.sum(F.coalesce(kept_price, F.lit(0.0)))
+                + F.max("k") * F.min(kept_price)
+                + F.max("k") * F.max(kept_price)
+            )
+            / F.max("n"),
+            4,
+        ).alias("winsorized_mean"),
+    )
+
+
+@register(
+    "part_copurchase_pagerank",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ), deg AS (
+        SELECT src, count(*) AS outdeg FROM pairs GROUP BY src
+    ), n AS (
+        SELECT count(DISTINCT src) AS n FROM pairs
+    ), r0 AS (
+        SELECT src AS id, CAST(1.0 AS DOUBLE) / n.n AS r FROM deg, n
+    ), r1 AS (
+        SELECT p.dst AS id, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                              / any_value(n.n)
+                            + CAST(0.85 AS DOUBLE)
+                              * sum(r0.r / deg.outdeg) AS r
+        FROM pairs p JOIN r0 ON r0.id = p.src JOIN deg ON deg.src = p.src
+        CROSS JOIN n GROUP BY p.dst
+    ), r2 AS (
+        SELECT p.dst AS id, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                              / any_value(n.n)
+                            + CAST(0.85 AS DOUBLE)
+                              * sum(r1.r / deg.outdeg) AS r
+        FROM pairs p JOIN r1 ON r1.id = p.src JOIN deg ON deg.src = p.src
+        CROSS JOIN n GROUP BY p.dst
+    ), r3 AS (
+        SELECT p.dst AS id, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                              / any_value(n.n)
+                            + CAST(0.85 AS DOUBLE)
+                              * sum(r2.r / deg.outdeg) AS r
+        FROM pairs p JOIN r2 ON r2.id = p.src JOIN deg ON deg.src = p.src
+        CROSS JOIN n GROUP BY p.dst
+    )
+    SELECT id AS part_id, round(r, 6) AS pagerank FROM r3
+    """,
+)
+def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 fixed power-method iterations, damping 0.85) over the
+    part co-purchase graph — parts are linked when they appear in the
+    same order; the rank surfaces the parts most central to basket
+    structure (the "customers who bought X" graph signal).
+
+    Graph build: lineitem self-equi-join on l_orderkey (shuffle on the
+    join key, never cartesian), symmetric distinct edges — so every node
+    has out-edges and the fixed-iteration recurrence needs no dangling
+    handling.  The edge list is persisted: three iterations plus degree/
+    node extracts re-scan it, and re-deriving the self-join each time
+    would quintuple the dominant shuffle.  Each iteration is one
+    join-by-src + one aggregate-by-dst (map-side partial; AQE splits hot
+    parts), the node-count denominator rides a broadcast 1-row aggregate
+    (no driver collect — zero-row inputs yield zero rows, not a crash).
+    Fixed iterations keep the whole computation one deterministic lazy
+    plan the chained-CTE oracle replays exactly
+    (``operators.graph.pagerank_fixed``).
+    """
+    from pyspark import StorageLevel
+
+    from ..operators.graph import pagerank_fixed
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
+    )
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ranks = pagerank_fixed(edges, iterations=3, damping=0.85)
+    return ranks.select(
+        F.col("node").alias("part_id"),
+        F.round("rank", 6).alias("pagerank"),
+    )

@@ -1870,3 +1870,228 @@ def shuffle_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         pos.alias("global_pos"),
         (pos % 8).alias("shard_id"),
     )
+
+
+@register(
+    "knn_graph",
+    oracle=f"""
+    WITH scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cosine
+        FROM embeddings a CROSS JOIN embeddings b
+        WHERE a.vec_id <> b.vec_id
+    ), ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs kNN graph (similarity-search extension): cosine
+    top-3 neighbors for EVERY vector — the graph behind near-dup
+    clustering, label propagation, and ANN-index ground truth.  Unlike
+    ``embedding_knn`` (small broadcast probe set) the probe side is the
+    corpus itself, so the plan block-decomposes the pair matrix, takes
+    per-block local top-k inside a vectorized matmul kernel (shuffle
+    output O(N·B·k), never O(N²) rows), and re-scores survivors with the
+    exact JVM fold so values match the naive all-pairs oracle
+    bit-for-bit (``operators.similarity.knn_graph_topk``)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.knn_graph_topk(emb, k=3, n_blocks=8).select(
+        "query_id", "neighbor_id", "cosine", "rank"
+    )
+
+
+@register(
+    "label_centroid_similarity",
+    oracle=f"""
+    WITH e AS (
+        SELECT label, i AS dim, cast(embedding[i] AS DOUBLE) AS val
+        FROM embeddings CROSS JOIN UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ), cent AS (
+        SELECT label, list(c ORDER BY dim) AS cv
+        FROM (SELECT label, dim, avg(val) AS c FROM e GROUP BY label, dim)
+        GROUP BY label
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           round({_cos_sql('a.cv', 'b.cv')}, 6) AS cosine
+    FROM cent a JOIN cent b ON a.label < b.label
+    """,
+)
+def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid embeddings + pairwise centroid cosine — the
+    class-geometry report (which labels are confusable) a labeled
+    embedding corpus gets profiled with.
+
+    Scale shape: the centroid is computed as 64 per-dimension ``avg``
+    aggregates in ONE hash aggregate over the scan — no explode, so the
+    shuffle carries |labels| × dim cells, not |rows| × dim exploded rows
+    (an explode would multiply a 100 TB scan by the dimension).  The
+    pairwise stage is a broadcast self-join over the |labels|-row
+    centroid table (metadata-sized), folding cosine with the same
+    sequential ``dot`` the oracle replays in dim order."""
+    from ..operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = 64  # testdata embedding width (TESTDATA.md); plan-time constant
+    # persisted: |labels| rows of 64 doubles — without it the self-join
+    # duplicates the full-fact centroid aggregate into both sides
+    cent = emb.groupBy("label").agg(
+        F.array(
+            *[F.avg(F.col("embedding")[i]) for i in range(dim)]
+        ).alias("cv")
+    ).persist()
+    a = cent.select(F.col("label").alias("label_a"), F.col("cv").alias("va"))
+    b = cent.select(F.col("label").alias("label_b"), F.col("cv").alias("vb"))
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a", "label_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+    )
+
+
+@register(
+    "bm25_top_terms",
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+        FROM documents
+    ), tokens AS (
+        SELECT doc_id, term FROM raw WHERE length(term) >= 3
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY doc_id, term
+    ), dl AS (
+        SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id
+    ), stats AS (
+        SELECT sum(dl) AS tok_total, count(*) AS n_docs FROM dl
+    ), dfreq AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), scored AS (
+        -- fractional constants CAST to DOUBLE: DuckDB literals are
+        -- DECIMAL and decimal arithmetic would diverge from Spark's
+        -- IEEE doubles before the round
+        SELECT tf.doc_id, tf.term, tf.tf,
+               round(
+                   ln(1 + (s.n_docs - dfreq.df + CAST(0.5 AS DOUBLE))
+                      / (dfreq.df + CAST(0.5 AS DOUBLE)))
+                   * ((tf.tf * CAST(2.2 AS DOUBLE))
+                      / (tf.tf + CAST(1.2 AS DOUBLE)
+                         * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+                            * (dl.dl / (cast(s.tok_total AS DOUBLE) / s.n_docs))))),
+                   6) AS bm25
+        FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term)
+        CROSS JOIN stats s
+    ), ranked AS (
+        SELECT doc_id, term, tf, bm25,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY bm25 DESC, term ASC) AS rank
+        FROM scored
+    )
+    SELECT doc_id, term, tf, bm25, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-5 terms per document (k1=1.2, b=0.75, Lucene's
+    ``ln(1 + (N-df+0.5)/(df+0.5))`` idf) — the retrieval scorer next to
+    ``tfidf_top_terms``, with the document-length normalization TF-IDF
+    lacks.
+
+    Same branch shape as tfidf: the (doc,term) tf aggregate feeds the
+    doc-length rollup, the vocabulary-sized df aggregate (term-keyed —
+    its output broadcasts back), and the 1-row (tok_total, n_docs)
+    broadcast; each branch is an independently column-pruned scan +
+    tokenize (cache-or-rescan of the tf intermediate is a
+    cluster-memory call — narrow pipelined scans are the safe default
+    at 100 TB, same policy as roc_auc).  The per-doc top-k window
+    partitions on doc_id.  Both engines evaluate the identical
+    arithmetic expression tree on integer inputs, so the doubles match
+    bit-for-bit before the defensive round."""
+    raw = load_table(spark, sf_dir, "documents")
+    docs = raw.repartition(
+        raw.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
+    tokens = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
+    ).filter(F.length("term") >= 3)
+    tf = tokens.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.sum("dl").alias("tok_total"), F.count("*").alias("n_docs")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    avgdl = F.col("tok_total").cast("double") / F.col("n_docs")
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id", "term", "tf",
+            F.round(
+                idf
+                * (
+                    (F.col("tf") * 2.2)
+                    / (F.col("tf") + 1.2 * (0.25 + 0.75 * (F.col("dl") / avgdl)))
+                ),
+                6,
+            ).alias("bm25"),
+        )
+    )
+    from ..operators.windows import topk_per_group
+
+    return topk_per_group(
+        scored, ["doc_id"], [F.desc("bm25"), F.asc("term")], 5, rank_col="rank"
+    ).select("doc_id", "term", "tf", "bm25", "rank")
+
+
+@register(
+    "quality_weighted_sample",
+    oracle=f"""
+    WITH gated AS (
+        SELECT doc_id, lang,
+               least(greatest(n_chars * 20, 500), 9500) AS keep_bps,
+               {poly_hash_duckdb("(cast(doc_id AS VARCHAR) || ':qs')")} % 10000
+                   AS sample_key
+        FROM documents
+    )
+    SELECT doc_id, lang, keep_bps, sample_key
+    FROM gated WHERE sample_key < keep_bps
+    """,
+)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-proportional deterministic sampling (training-data
+    extension): each document survives with probability proportional to
+    a quality proxy (here: clamped length in basis points of 10 000 —
+    the slot where a learned quality score plugs in), gated by the
+    portable keyed hash of its id rather than ``rand()``.
+
+    The properties a corpus-weighting pass needs at 100 TB: reproducible
+    across engines / runs / partitionings and retry-safe (same doc ⇒
+    same verdict), single narrow filter evaluated inside the scan (no
+    shuffle, no sort, no sampling pass), and re-weightable by changing
+    only the salt or the bps expression.  Extends the uniform-rate
+    ``sample_documents_stratified`` to per-row weights."""
+    from ..functions.hashing import poly_hash_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep_bps = F.least(
+        F.greatest(F.col("n_chars") * 20, F.lit(500)), F.lit(9500)
+    )
+    sample_key = F.pmod(
+        poly_hash_expr("concat(cast(doc_id as string), ':qs')"), F.lit(10000)
+    )
+    return (
+        docs.select(
+            "doc_id", "lang",
+            keep_bps.alias("keep_bps"),
+            sample_key.alias("sample_key"),
+        )
+        .filter(F.col("sample_key") < F.col("keep_bps"))
+    )

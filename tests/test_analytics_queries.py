@@ -137,3 +137,56 @@ def test_gini_udaf_bounds_and_planted_values(spark, sf_dir):
 
     assert abs(gini_ref([5.0, 5.0, 5.0, 5.0])) < 1e-12
     assert abs(gini_ref([0.001] * 9 + [1000.0]) - 0.9) < 1e-2
+
+
+def test_pagerank_fixed_star_graph(spark):
+    """Symmetric star: center receives both leaves' full mass each step,
+    so its rank must dominate; symmetric leaves tie; total mass is
+    conserved (sum = 1) under the fixed-iteration recurrence."""
+    from real___time_fraud_detection_using_apache_kafka_spark.operators.graph import pagerank_fixed
+
+    edges = spark.createDataFrame(
+        [("c", "l1"), ("c", "l2"), ("l1", "c"), ("l2", "c")], ["src", "dst"]
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank_fixed(edges, 3).collect()}
+    assert set(ranks) == {"c", "l1", "l2"}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    assert ranks["l1"] == ranks["l2"]
+    assert ranks["c"] > 2 * ranks["l1"]
+
+
+def test_pagerank_fixed_empty_edges(spark):
+    """Zero-row edge list degrades to zero rows (lazy broadcast count,
+    no driver-side division)."""
+    from real___time_fraud_detection_using_apache_kafka_spark.operators.graph import pagerank_fixed
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert pagerank_fixed(empty, 2).count() == 0
+
+
+def test_skyline_orders_frontier_property(spark, sf_dir):
+    """Every returned order is undominated; every undominated order is
+    returned (frontier completeness) — checked directly against the
+    base table, independently of the DuckDB oracle."""
+    from real___time_fraud_detection_using_apache_kafka_spark.sources.tables import load_table
+
+    sky = {
+        (r["o_orderdate"], r["o_totalprice"])
+        for r in run("skyline_orders", spark, sf_dir).collect()
+    }
+    base = [
+        (r["o_orderdate"], r["o_totalprice"])
+        for r in load_table(spark, sf_dir, "orders")
+        .select("o_orderdate", "o_totalprice")
+        .filter("o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL")
+        .collect()
+    ]
+
+    def dominated(d, p):
+        return any(bd > d and bp < p for bd, bp in base)
+
+    for d, p in sky:
+        assert not dominated(d, p)
+    for d, p in base:
+        if not dominated(d, p):
+            assert (d, p) in sky

@@ -260,3 +260,40 @@ def test_hyperplane_lsh_recall_and_no_false_positives(spark):
     assert exact, "fixture must contain at least one true pair"
     recall = len(lsh & exact) / len(exact)
     assert recall >= 0.75, f"recall {recall:.2f} too low"
+
+
+def test_knn_graph_matches_brute_force(spark):
+    """The block-kernel kNN graph (local top-k per block + exact re-rank)
+    must equal the naive all-queries brute force — same neighbors, same
+    ranks, same folded cosines — on the full sf0.001 embeddings table."""
+    from real___time_fraud_detection_using_apache_kafka_spark.operators.similarity import (
+        brute_force_topk,
+        knn_graph_topk,
+    )
+    from real___time_fraud_detection_using_apache_kafka_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in knn_graph_topk(emb, k=4, n_blocks=4).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in brute_force_topk(emb, emb, k=4).collect()
+    }
+    assert got == want
+
+
+def test_knn_graph_empty_corpus(spark):
+    from pyspark.sql.types import (
+        ArrayType, FloatType, LongType, StructField, StructType,
+    )
+
+    from real___time_fraud_detection_using_apache_kafka_spark.operators.similarity import knn_graph_topk
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ])
+    empty = spark.createDataFrame([], schema)
+    assert knn_graph_topk(empty, k=3).count() == 0

@@ -461,3 +461,48 @@ def test_curve_metrics_leave_cache_empty(spark):
     for name in ("ks_drift_stat", "roc_auc", "pr_curve_threshold"):
         assert plans.queries()[name](spark, SF).count() == 1
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_skyline_no_quadratic_join_no_global_window(spark):
+    """skyline_orders replaces the O(n²) NOT-EXISTS formulation with a
+    per-date aggregate + bucketed prefix-min + broadcast filter: the
+    plan must contain no nested-loop/cartesian pair probe and no
+    unpartitioned data-sized window."""
+    plan = plan_of(spark, "skyline_orders")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert _unpartitioned_windows(plan) == []
+    assert "_bucket" in plan  # the prefix-min machinery is in use
+
+
+def test_knn_graph_no_cartesian(spark):
+    """The all-pairs kNN graph must run through the block kernel
+    (cogrouped Pandas) — never a row-level cartesian product — and the
+    final per-query top-k window must be partitioned."""
+    plan = plan_of(spark, "knn_graph")
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert _unpartitioned_windows(plan) == []
+
+
+def test_trimmed_stats_windows_are_partitioned(spark):
+    """orders_trimmed_stats ranks within priority groups only — both
+    windows carry the group key, one scan feeds everything."""
+    import re
+
+    plan = plan_of(spark, "orders_trimmed_stats")
+    assert _unpartitioned_windows(plan) == []
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_pagerank_edges_cached_once(spark):
+    """part_copurchase_pagerank persists the edge list: the expensive
+    lineitem self-join must appear as parquet scans at most twice (the
+    cache's own build) with every iteration reading the in-memory
+    relation instead."""
+    import re
+
+    plan = plan_of(spark, "part_copurchase_pagerank")
+    assert "InMemoryTableScan" in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2

@@ -172,3 +172,45 @@ def test_curve_metrics_release_their_cache(spark):
     roc_auc(df, F.col("y"), F.col("p")).collect()
     pr_curve_best_threshold(df, F.col("y"), F.col("p")).collect()
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+@pytest.mark.parametrize("combine", ["min", "max"])
+@pytest.mark.parametrize("descending", [False, True])
+def test_exclusive_prefix_minmax_matches_window(spark, combine, descending):
+    """The monoid-generalized prefix machinery (combine='min'/'max',
+    added for skyline_orders) must agree with the single-partition
+    window it replaces, including NULL for empty prefixes."""
+    from real___time_fraud_detection_using_apache_kafka_spark.operators.windows import (
+        exclusive_prefix_sum,
+    )
+
+    rng = np.random.default_rng(29)
+    vals = {round(float(p), 4): int(v) for p, v in
+            zip(rng.random(400), rng.integers(-50, 50, 400))}
+    df = spark.createDataFrame(list(vals.items()), ["p", "v"])
+    got = exclusive_prefix_sum(
+        df, "p", ["v"], descending=descending, combine=combine, n_buckets=16
+    )
+    order = F.col("p").desc() if descending else F.col("p").asc()
+    w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
+    agg = F.min("v") if combine == "min" else F.max("v")
+    exp = df.withColumn("e", agg.over(w))
+    mism = (
+        got.join(exp, ["p", "v"])
+        .filter(~F.col("v_before").eqNullSafe(F.col("e")))
+        .count()
+    )
+    assert mism == 0
+    # the first row in order has an empty prefix -> NULL identity
+    first = got.orderBy(F.col("p").desc() if descending else F.col("p").asc()).first()
+    assert first["v_before"] is None
+
+
+def test_exclusive_prefix_sum_rejects_unknown_combine(spark):
+    from real___time_fraud_detection_using_apache_kafka_spark.operators.windows import (
+        exclusive_prefix_sum,
+    )
+
+    df = spark.createDataFrame([(0.5, 1)], ["p", "v"])
+    with pytest.raises(ValueError, match="combine"):
+        exclusive_prefix_sum(df, "p", ["v"], combine="avg")

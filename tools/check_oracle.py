@@ -60,9 +60,11 @@ def main() -> int:
     qs = plans.queries()
     oracles = plans.oracle_sql()
     failures = []
+    n_ran = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_ran += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -102,7 +104,7 @@ def main() -> int:
         else:
             print(f"OK    {name}: {len(sc)} rows "
                   f"(spark {t_spark:.1f}s, duckdb {t_duck:.1f}s)")
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} passed")
+    print(f"\n{n_ran - len(failures)}/{n_ran} passed")
     return 1 if failures else 0
 
 
