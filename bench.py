@@ -71,6 +71,14 @@ HEADLINE = [
     "session_conversion_paths",
     "corpus_segment_dedup",
     "dashboard_snapshot",
+    # round-4 additions: graph / frontier / retrieval / robust stats
+    "knn_graph",
+    "part_copurchase_pagerank",
+    "skyline_orders",
+    "bm25_top_terms",
+    "label_centroid_similarity",
+    "orders_trimmed_stats",
+    "quality_weighted_sample",
 ]
 
 
