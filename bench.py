@@ -79,6 +79,9 @@ HEADLINE = [
     "label_centroid_similarity",
     "orders_trimmed_stats",
     "quality_weighted_sample",
+    "ab_test_zstat",
+    "copurchase_lift",
+    "user_growth_curve",
 ]
 
 

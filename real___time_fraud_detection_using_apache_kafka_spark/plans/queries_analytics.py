@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import poly_hash_duckdb
 from ..sources.tables import load_table
 from .registry import register
 
@@ -828,4 +829,233 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("part_id"),
         F.round("rank", 6).alias("pagerank"),
+    )
+
+
+@register(
+    "ab_test_zstat",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               {poly_hash_duckdb("(cast(user_id AS VARCHAR) || ':exp1')")} % 2
+                   AS variant,
+               max(CASE WHEN event_type = 'purchase' AND value >= 150
+                        THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ), cells AS (
+        SELECT sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_a,
+               sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_b,
+               sum(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS conv_a,
+               sum(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS conv_b
+        FROM per_user
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(conv_a AS BIGINT) AS conv_a, CAST(conv_b AS BIGINT) AS conv_b,
+           round(conv_a / CAST(n_a AS DOUBLE), 6) AS rate_a,
+           round(conv_b / CAST(n_b AS DOUBLE), 6) AS rate_b,
+           -- NULLIF: a degenerate experiment (all or none converted,
+           -- or an empty cell) has no defined z — NULL on both engines
+           round(
+               (conv_b / CAST(n_b AS DOUBLE) - conv_a / CAST(n_a AS DOUBLE))
+               / nullif(sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                      * (1 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                      * (1 / CAST(n_a AS DOUBLE) + 1 / CAST(n_b AS DOUBLE))), 0),
+               6) AS z_stat
+    FROM cells
+    """,
+)
+def ab_test_zstat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion experiment readout: users deterministically split
+    into variants by the portable keyed hash (reproducible assignment —
+    the property an A/B platform needs; ``rand()`` would re-deal on
+    every retry), converted = any HIGH-VALUE purchase (value >= 150 —
+    selective enough that neither rate saturates), pooled
+    two-proportion z-statistic for rate_b - rate_a.
+
+    Scale shape: one user-keyed hash aggregate collapses the event log
+    to a row per user (map-side partial), then ONE global aggregate of
+    four conditional integer sums — no pivot, no self-join, no second
+    scan; every double derives from integer cells through the identical
+    expression tree on both engines."""
+    from ..functions.hashing import poly_hash_expr
+
+    e = load_table(spark, sf_dir, "events")
+    variant = F.pmod(
+        poly_hash_expr("concat(cast(user_id as string), ':exp1')"), F.lit(2)
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 150),
+                1,
+            ).otherwise(0)
+        ).alias("converted"),
+    ).select(variant.alias("variant"), "converted")
+    cells = per_user.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("converted")).otherwise(0)).alias("conv_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted")).otherwise(0)).alias("conv_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ca, cb = F.col("conv_a"), F.col("conv_b")
+    pool = (ca + cb) / (F.col("n_a") + F.col("n_b")).cast("double")
+    denom = F.sqrt(pool * (1 - pool) * (1 / na + 1 / nb))
+    # degenerate experiment (all/none converted, empty cell): z undefined
+    z = (cb / nb - ca / na) / F.nullif(denom, F.lit(0.0))
+    return cells.select(
+        "n_a", "n_b", "conv_a", "conv_b",
+        F.round(ca / na, 6).alias("rate_a"),
+        F.round(cb / nb, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_stat"),
+    )
+
+
+@register(
+    "copurchase_lift",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (
+        SELECT count(DISTINCT l_orderkey) AS n_orders FROM baskets
+    ), per_part AS (
+        SELECT l_partkey, count(*) AS n_part FROM baskets GROUP BY l_partkey
+    ), pair_counts AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS n_ab
+        FROM baskets a JOIN baskets b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+    ), scored AS (
+        SELECT part_a, part_b, n_ab, pa.n_part AS n_a, pb.n_part AS n_b,
+               round(n_ab / CAST(n.n_orders AS DOUBLE), 6) AS support,
+               round(n_ab / CAST(pa.n_part AS DOUBLE), 6) AS confidence,
+               round((n_ab * CAST(n.n_orders AS DOUBLE))
+                     / (CAST(pa.n_part AS DOUBLE) * pb.n_part), 6) AS lift
+        FROM pair_counts
+        JOIN per_part pa ON pa.l_partkey = part_a
+        JOIN per_part pb ON pb.l_partkey = part_b
+        CROSS JOIN n
+        WHERE n_ab >= 3
+    )
+    SELECT part_a, part_b, n_ab, n_a, n_b, support, confidence, lift
+    FROM scored
+    ORDER BY lift DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise association rules over order baskets: support /
+    confidence / lift for every part pair co-purchased ≥ 3 times, top-20
+    by lift — the oracled EXACT complement to the MLlib FPGrowth tier
+    (``frequent_event_itemsets``, rows-only), sharing the co-purchase
+    join shape with ``part_copurchase_pagerank``.
+
+    Scale: baskets dedup + pair generation shuffle on l_orderkey (never
+    cartesian — the join is order-key equi), pair counting is one hash
+    aggregate on the (a,b) key with map-side partial; the per-part
+    counts are vocabulary-sized and broadcast back; the order count is
+    a 1-row broadcast.  The min-support gate prunes the tail before the
+    stat joins, and the final top-20 is a TakeOrderedAndProject (heap +
+    driver merge), not a global sort.  Every ranking double derives
+    from integer counts via the same expression tree on both engines,
+    so the LIMIT boundary cannot diverge."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n = baskets.agg(
+        F.count_distinct("l_orderkey").alias("n_orders")
+    )
+    per_part = baskets.groupBy("l_partkey").agg(F.count("*").alias("n_part"))
+    a = baskets.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = baskets.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pair_counts = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    pa = per_part.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a")
+    )
+    pb = per_part.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b")
+    )
+    scored = (
+        pair_counts.join(F.broadcast(pa), "part_a")
+        .join(F.broadcast(pb), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a", "part_b", "n_ab", "n_a", "n_b",
+            F.round(F.col("n_ab") / F.col("n_orders").cast("double"), 6).alias("support"),
+            F.round(F.col("n_ab") / F.col("n_a").cast("double"), 6).alias("confidence"),
+            F.round(
+                (F.col("n_ab") * F.col("n_orders").cast("double"))
+                / (F.col("n_a").cast("double") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift"), F.asc("part_a"), F.asc("part_b")
+    ).limit(20)
+
+
+@register(
+    "user_growth_curve",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ), per_day AS (
+        SELECT first_day AS day, count(*) AS n_new
+        FROM first_seen GROUP BY first_day
+    )
+    SELECT day, n_new,
+           sum(n_new) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users,
+           round(sum(n_new) OVER (ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / CAST(sum(n_new) OVER () AS DOUBLE), 6) AS frac_of_total
+    FROM per_day
+    """,
+)
+def user_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-unique-users growth curve: a running DISTINCT count —
+    normally inexpressible as a window — becomes a plain prefix sum by
+    attributing each user to their FIRST-seen day (one user-keyed
+    aggregate), then accumulating per-day new-user counts.
+
+    Scale: the only data-sized operations are the user-collapse hash
+    aggregate and the per-day rollup; the running windows execute over
+    calendar-bounded per-day rows (``bounded_seq_window`` — days, not
+    events), with the grand total riding the same sorted pass instead
+    of a crossJoin-of-agg."""
+    from ..operators.windows import bounded_seq_window
+
+    e = load_table(spark, sf_dir, "events")
+    first_seen = (
+        e.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("first_day"))
+    )
+    per_day = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("n_new")
+    )
+    cum = bounded_seq_window(F.col("day")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = bounded_seq_window(F.col("day")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per_day.select(
+        "day", "n_new",
+        F.sum("n_new").over(cum).alias("cum_users"),
+        F.round(
+            F.sum("n_new").over(cum) / F.sum("n_new").over(w_all).cast("double"), 6
+        ).alias("frac_of_total"),
     )

@@ -506,3 +506,40 @@ def test_pagerank_edges_cached_once(spark):
     plan = plan_of(spark, "part_copurchase_pagerank")
     assert "InMemoryTableScan" in plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2
+
+
+def test_copurchase_lift_heap_topk_and_broadcast_stats(spark):
+    """copurchase_lift's top-20 must be a per-partition heap + driver
+    merge (TakeOrderedAndProject), never a global sort, and the
+    per-part/order-count stat joins must broadcast."""
+    plan = plan_of(spark, "copurchase_lift")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_ab_test_single_pass(spark):
+    """ab_test_zstat: one events scan, two hash aggregates, no joins,
+    no windows — the whole experiment readout is a single pipeline."""
+    import re
+
+    plan = plan_of(spark, "ab_test_zstat")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_user_growth_curve_windows_over_days_only(spark):
+    """The running windows execute over per-day rows (calendar-bounded),
+    after the user-collapse and day rollup aggregates — the plan's
+    window input is the aggregate, never raw events."""
+    import re
+
+    plan = plan_of(spark, "user_growth_curve")
+    # formatted explain numbers nodes bottom-up: the window's id must be
+    # HIGHER than every aggregate's (aggregates execute first, so the
+    # window's input is day-rollup rows, never raw events)
+    agg_ids = [int(i) for i in re.findall(r"\((\d+)\) HashAggregate", plan)]
+    win_ids = [int(i) for i in re.findall(r"\((\d+)\) Window", plan)]
+    assert agg_ids and win_ids
+    assert max(agg_ids) < min(win_ids)
