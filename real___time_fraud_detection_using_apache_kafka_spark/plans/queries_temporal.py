@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.temporal import asof_join, interval_join, session_stats
+from ..operators.temporal import _micros, asof_join, interval_join, session_stats
 from ..sources.tables import load_table
 from .registry import register
 
@@ -393,4 +393,98 @@ def event_transition_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         # +0.0 so both engines stringify identically — mirrored in the
         # oracle SQL
         (F.round(F.log(p_joint / (p_prev * p_cur)), 6) + F.lit(0.0)).alias("pmi"),
+    )
+
+
+@register(
+    "interval_union_coverage",
+    oracle="""
+    WITH iv AS (
+        -- interval = [ts, ts + value seconds); micros kept integral and
+        -- floor()ed explicitly: Spark CAST truncates where DuckDB CAST
+        -- rounds, so the boundary micro-second must be pinned by floor
+        SELECT user_id,
+               epoch_us(ts) AS s_us,
+               epoch_us(ts) + CAST(floor(value * 1000000) AS BIGINT) AS e_us
+        FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+    ), flagged AS (
+        SELECT user_id, s_us, e_us,
+               CASE WHEN max(e_us) OVER (
+                        PARTITION BY user_id ORDER BY s_us, e_us
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) IS NULL
+                 OR s_us > max(e_us) OVER (
+                        PARTITION BY user_id ORDER BY s_us, e_us
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS is_new
+        FROM iv
+    ), islands AS (
+        SELECT user_id, s_us, e_us,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+                                 ROWS UNBOUNDED PRECEDING) AS island
+        FROM flagged
+    ), merged AS (
+        SELECT user_id, island,
+               min(s_us) AS start_us, max(e_us) AS end_us
+        FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           count(*) AS n_intervals,
+           CAST(sum(end_us - start_us) // 1000000 AS BIGINT) AS covered_sec
+    FROM merged GROUP BY user_id
+    """,
+)
+def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union algebra: each event spans [ts, ts + value seconds)
+    (VARIABLE width — a long interval can swallow several later ones, so
+    this is true interval merging, not gap sessionization), overlapping
+    or nested spans per user are coalesced, and the output is the merged
+    interval count and total covered wall-clock per user — the
+    busy-time / SLA-coverage operator.
+
+    Classic sweep: sort within user, an interval opens a new island iff
+    its start exceeds the running MAX of all preceding ends (a window
+    max over the unbounded preceding frame — partitioned by user, never
+    global), island id = running sum of the open flags, then two grouped
+    rollups.  ONE user-keyed exchange feeds every window and both
+    aggregates.  All arithmetic in integral epoch-micros so the island
+    boundaries and durations are exact on both engines.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    s_us = _micros(F.col("ts"))
+    e_us = s_us + F.floor(F.col("value") * 1_000_000).cast("long")
+    iv = e.select("user_id", s_us.alias("s_us"), e_us.alias("e_us"))
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s_us", "e_us")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max = F.max("e_us").over(w_prev)
+    flagged = iv.select(
+        "user_id", "s_us", "e_us",
+        F.when(
+            prev_max.isNull() | (F.col("s_us") > prev_max), 1
+        ).otherwise(0).alias("is_new"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s_us", "e_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = flagged.select(
+        "user_id", "s_us", "e_us",
+        F.sum("is_new").over(w_run).alias("island"),
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s_us").alias("start_us"), F.max("e_us").alias("end_us")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count("*").alias("n_intervals"),
+        F.floor(
+            F.sum(F.col("end_us") - F.col("start_us")) / 1_000_000
+        ).cast("long").alias("covered_sec"),
     )

@@ -2095,3 +2095,64 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("sample_key") < F.col("keep_bps"))
     )
+
+
+@register(
+    "weighted_reservoir_sample",
+    oracle=f"""
+    WITH keyed AS (
+        -- Efraimidis-Spirakis A-ES: min -ln(u)/w over the stream ==
+        -- weighted sampling without replacement; u is the portable-hash
+        -- uniform so the draw is reproducible across engines/retries
+        SELECT lang, doc_id, n_chars,
+               round(
+                   -ln(({poly_hash_duckdb("(cast(doc_id AS VARCHAR) || ':wrs')")} % 1000003 + 1)
+                       / CAST(1000004 AS DOUBLE))
+                   / greatest(n_chars, 1),
+                   9) AS sample_key
+        FROM documents
+    ), ranked AS (
+        SELECT lang, doc_id, n_chars, sample_key,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY sample_key ASC, doc_id ASC) AS rank
+        FROM keyed
+    )
+    SELECT lang, doc_id, n_chars, sample_key, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k=5 per language stratum:
+    the Efraimidis-Spirakis A-ES scheme — each row draws key
+    ``-ln(u)/w`` (u = portable-hash uniform, w = its quality weight,
+    here clamped length) and the k SMALLEST keys per stratum are the
+    sample.  The single-pass mergeable formulation of "sample k docs
+    with probability proportional to quality", which naive rejection
+    sampling cannot do distributed; complements the Bernoulli-rate
+    ``quality_weighted_sample`` (that one is with-replacement-style
+    per-row gating with no fixed k).
+
+    Scale: key assignment is narrow arithmetic inside the scan; the
+    per-stratum top-k is one window on the stratum key (Catalyst plans
+    WindowGroupLimit — per-partition heaps, no full sort of the
+    corpus).  Ranking compares the ROUNDED key (1-ulp ``ln`` skew
+    between libm and the JVM cannot reorder) with doc_id ties pinned.
+    """
+    from ..functions.hashing import poly_hash_expr
+    from ..operators.windows import topk_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        (F.pmod(
+            poly_hash_expr("concat(cast(doc_id as string), ':wrs')"),
+            F.lit(1000003),
+        ) + 1) / F.lit(1000004).cast("double")
+    )
+    key = F.round(-F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)), 9)
+    keyed = docs.select(
+        "lang", "doc_id", "n_chars", key.alias("sample_key")
+    )
+    return topk_per_group(
+        keyed, ["lang"], [F.asc("sample_key"), F.asc("doc_id")], 5,
+        rank_col="rank",
+    ).select("lang", "doc_id", "n_chars", "sample_key", "rank")
