@@ -31,6 +31,124 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def triangle_stats(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Exact triangle census of an undirected graph given as CANONICAL
+    unique edges (one row per edge, ``a < b`` by id): returns one row
+    ``(n_nodes, n_edges, n_wedges, n_triangles, global_clustering)``
+    where ``global_clustering = 3*triangles / wedges`` (the transitivity
+    ratio) and wedges = Σ_v d(v)(d(v)-1)/2.
+
+    Scale design — degree orientation (the standard O(|E|^1.5) bound):
+    a naive triangle join enumerates Σ d(v)² wedges, which a single hub
+    vertex turns quadratic.  Instead every edge is oriented from its
+    lower endpoint to its higher endpoint under the TOTAL order
+    (degree, id) — so every vertex's OUT-degree is O(sqrt(|E|)) no
+    matter how skewed the in-degrees — wedges are enumerated only
+    between out-edges of the orientation (o1.src = o2.src, one
+    self-join on the oriented source), and each wedge probes the
+    canonical edge set once (equi-join on the id-ordered pair).  Every
+    triangle is counted exactly once, at its (degree, id)-minimal
+    vertex.  Plan: two |E|-sized hash joins against the broadcastable
+    degree table, one oriented self-join, one closing equi-join — all
+    equi-joins, no cross product, AQE skew-split applies to the hub
+    side.  The orientation needs no global rank: (degree, id) tuple
+    comparisons are computed per-edge from a degree lookup.
+    """
+    e = edges.select(F.col(a).alias("ea"), F.col(b).alias("eb"))
+    deg = (
+        e.select(F.col("ea").alias("node"))
+        .union(e.select(F.col("eb").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # orientation key: lexicographic (deg, id); struct comparison gives
+    # the total order directly in codegen
+    da = deg.select(F.col("node").alias("ea"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("node").alias("eb"), F.col("deg").alias("degb"))
+    keyed = (
+        e.join(F.broadcast(da), "ea")
+        .join(F.broadcast(db), "eb")
+        .select(
+            "ea", "eb",
+            F.struct(F.col("dega").alias("d"), F.col("ea").alias("i")).alias("ka"),
+            F.struct(F.col("degb").alias("d"), F.col("eb").alias("i")).alias("kb"),
+        )
+    )
+    oriented = keyed.select(
+        F.when(F.col("ka") < F.col("kb"), F.col("ea")).otherwise(F.col("eb")).alias("src"),
+        F.when(F.col("ka") < F.col("kb"), F.col("eb")).otherwise(F.col("ea")).alias("dst"),
+    )
+    o1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    o2 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    # each unordered out-pair once: id order on (v, w) — the closing
+    # edge key is the id-canonical pair, matching the input edge form
+    wedges = o1.join(o2, "u").filter(F.col("v") < F.col("w"))
+    tri = wedges.join(
+        e, (F.col("v") == F.col("ea")) & (F.col("w") == F.col("eb"))
+    ).agg(F.count("*").alias("n_triangles"))
+    counts = deg.agg(
+        F.count("*").alias("n_nodes"),
+        (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2).cast("long").alias("n_wedges"),
+    )
+    n_e = e.agg(F.count("*").alias("n_edges"))
+    return (
+        counts.crossJoin(F.broadcast(n_e))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes", "n_edges", "n_wedges",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+            F.round(
+                F.when(
+                    F.col("n_wedges") > 0,
+                    3.0 * F.coalesce(F.col("n_triangles"), F.lit(0))
+                    / F.col("n_wedges"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("global_clustering"),
+        )
+    )
+
+
+def khop_min_dist(edges: DataFrame, seeds: DataFrame, max_hops: int,
+                  src: str = "src", dst: str = "dst",
+                  node: str = "node") -> DataFrame:
+    """Minimum hop distance (BFS level) from a seed set over a DIRECTED
+    edge list, bounded at ``max_hops``: returns ``(node, dist)`` for
+    every node reachable within the bound, ``dist`` = fewest edges from
+    any seed (seeds themselves at 0).  Symmetrize the edge list first
+    for undirected reachability.
+
+    Frontier BFS as a fixed unrolled plan (same doctrine as
+    :func:`pagerank_fixed` — ``max_hops`` is a plan parameter, no
+    convergence test): per level, one equi-join frontier⋈edges, one
+    distinct, one left-anti against the visited set.  The frontier and
+    visited state are O(|V|) id+dist rows; both are persisted per level
+    because the anti-join makes each level's lineage reference every
+    earlier level — unpersisted, level h would recompute level h-1's
+    whole subtree twice (2^h total scans).  Persisted, each level scans
+    the cached |V|-bounded state plus the edge list once.  At
+    billion-vertex scale the same loop holds with the frontier
+    broadcast while small (expansion phase) and checkpointing every few
+    levels to truncate lineage; early exit on an empty frontier is a
+    driver-side count on metadata-sized state.
+    """
+    visited = seeds.select(F.col(node).alias("node"), F.lit(0).alias("dist"))
+    visited = visited.persist()
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges[src])
+            .select(F.col(dst).alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .select("node", F.lit(h).alias("dist"))
+            .persist()
+        )
+        visited = visited.union(nxt).persist()
+        frontier = nxt
+    return visited
+
+
 def pagerank_fixed(edges: DataFrame, iterations: int = 3,
                    damping: float = 0.85,
                    src: str = "src", dst: str = "dst") -> DataFrame:

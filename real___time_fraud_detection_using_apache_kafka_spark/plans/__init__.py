@@ -11,5 +11,7 @@ from . import queries_sketch  # noqa: E402,F401
 from . import queries_analytics  # noqa: E402,F401
 from . import queries_quality  # noqa: E402,F401
 from . import queries_fraud  # noqa: E402,F401
+from . import queries_graph  # noqa: E402,F401
+from . import queries_timeseries  # noqa: E402,F401
 
 __all__ = ["QUERIES", "queries", "oracle_sql", "register"]

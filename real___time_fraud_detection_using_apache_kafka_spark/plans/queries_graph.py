@@ -1,0 +1,191 @@
+"""Graph-analytics catalog queries (engine extension surface, SURVEY.md
+§2 extensions — the reference has no graph operators; a 100 TB
+analytics engine needs the relational-graph basics for entity-linking,
+co-occurrence and propagation workloads; same family as
+``part_copurchase_pagerank`` / ``knn_graph`` in queries_analytics.py).
+
+Shared graph: the part CO-PURCHASE graph — an undirected edge joins two
+parts that appear together in at least ``MIN_SHARED_ORDERS`` distinct
+orders.  The threshold is the support prune every real co-occurrence
+graph applies (raw basket pairs grow quadratically in basket size; the
+support filter collapses them before any graph algorithm runs), and it
+keeps the oracle's recursive/self-join tiers tractable at sf0.01 while
+the Spark tier scales to the full pair set.
+
+Plan shape shared by the edge build: one orderkey-partitioned
+self-join (baskets are small, so per-order pair fan-out is bounded),
+one hash aggregate on the canonical (low-id, high-id) pair key with
+map-side partials, one support filter — a single partitioning, no
+cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.graph import khop_min_dist, triangle_stats
+from ..sources.tables import load_table
+from .registry import register
+
+MIN_SHARED_ORDERS = 2
+
+# Canonical undirected co-purchase edges (a < b by part id), support >= 2.
+_EDGES_CTE = f"""
+    pairs AS (
+        SELECT x.l_partkey AS pa, y.l_partkey AS pb, x.l_orderkey AS ok
+        FROM lineitem x JOIN lineitem y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    ), edges AS (
+        SELECT pa AS a, pb AS b
+        FROM pairs GROUP BY pa, pb
+        HAVING count(DISTINCT ok) >= {MIN_SHARED_ORDERS}
+    )
+"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    x = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    y = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    return (
+        x.join(y, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count_distinct("ok").alias("_support"))
+        .filter(F.col("_support") >= MIN_SHARED_ORDERS)
+        .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    )
+
+
+@register(
+    "copurchase_triangles",
+    oracle=f"""
+    WITH {_EDGES_CTE}, deg AS (
+        SELECT node, count(*) AS d FROM (
+            SELECT a AS node FROM edges UNION ALL SELECT b FROM edges
+        ) GROUP BY node
+    ), tri AS (
+        -- exact count, each triangle once via the id-total-order a<b<c
+        SELECT count(*) AS n_triangles
+        FROM edges e1
+        JOIN edges e2 ON e2.a = e1.b
+        JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT (SELECT count(*) FROM deg)                          AS n_nodes,
+           (SELECT count(*) FROM edges)                        AS n_edges,
+           (SELECT CAST(sum(d * (d - 1)) / 2 AS BIGINT) FROM deg) AS n_wedges,
+           n_triangles,
+           round(CASE WHEN (SELECT sum(d * (d - 1)) / 2 FROM deg) > 0
+                 THEN 3.0 * n_triangles
+                      / (SELECT sum(d * (d - 1)) / 2 FROM deg)
+                 ELSE 0.0 END, 6)                              AS global_clustering
+    FROM tri
+    """,
+)
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle census + global clustering coefficient of the
+    co-purchase graph — the cohesion statistic behind community/motif
+    analysis ("parts bought together in closed triples").
+
+    The oracle counts triangles with the naive id-ordered 3-way
+    self-join (fine at oracle scale); the Spark tier uses DEGREE
+    ORIENTATION (``operators/graph.py:triangle_stats``) so wedge
+    enumeration is bounded by out-degree O(sqrt(|E|)) per vertex —
+    the skew-proof O(|E|^1.5) plan that survives hub vertices at
+    100 TB.  Results are identical: both count each triangle once.
+    """
+    return triangle_stats(_copurchase_edges(spark, sf_dir))
+
+
+@register(
+    "copurchase_khop_reach",
+    oracle=f"""
+    WITH RECURSIVE {_EDGES_CTE}, sym AS (
+        SELECT a AS src, b AS dst FROM edges
+        UNION ALL
+        SELECT b, a FROM edges
+    ), reach(node, d) AS (
+        SELECT p_partkey, 0 FROM part WHERE p_size = 50
+        UNION
+        SELECT s.dst, r.d + 1
+        FROM reach r JOIN sym s ON s.src = r.node
+        WHERE r.d < 3
+    ), first_hop AS (
+        SELECT node, min(d) AS hops FROM reach GROUP BY node
+    )
+    SELECT hops, count(*) AS n_nodes
+    FROM first_hop GROUP BY hops
+    """,
+)
+def copurchase_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS reachability: how many parts sit exactly 0/1/2/3 hops
+    from the seed set (all size-50 parts) in the co-purchase graph —
+    the blast-radius / related-items-frontier query.
+
+    Spark tier: ``operators/graph.py:khop_min_dist`` — an unrolled
+    frontier BFS (per level: one equi-join, one distinct, one
+    left-anti against the visited set; state is O(|V|) id+dist rows).
+    The oracle replays it as a recursive CTE whose UNION dedups
+    (node, d) pairs, then takes min(d) per node — identical min-hop
+    semantics.  ``hops`` is cast INT on both sides.
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+    sym = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    seeds = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 50)
+        .select(F.col("p_partkey").alias("node"))
+    )
+    reached = khop_min_dist(sym, seeds, max_hops=3)
+    return reached.groupBy(
+        F.col("dist").cast("int").alias("hops")
+    ).agg(F.count("*").alias("n_nodes"))
+
+
+@register(
+    "copurchase_degree_stats",
+    oracle=f"""
+    WITH {_EDGES_CTE}, deg AS (
+        SELECT node, count(*) AS d FROM (
+            SELECT a AS node FROM edges UNION ALL SELECT b FROM edges
+        ) GROUP BY node
+    )
+    SELECT CAST(floor(ln(d) / ln(2)) AS INT) AS degree_bucket,
+           count(*)                          AS n_nodes,
+           min(d)                            AS min_degree,
+           max(d)                            AS max_degree
+    FROM deg GROUP BY degree_bucket
+    """,
+)
+def copurchase_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed degree distribution of the co-purchase graph — the
+    first diagnostic run on any large graph (is it power-law? where do
+    the hubs start?), and the input to choosing broadcast-vs-shuffle
+    and salting strategies for the other graph queries.
+
+    Pure relational: edge build, one unpivoted degree aggregate, one
+    bucket rollup — two hash shuffles end-to-end, all map-side
+    partial.  Bucket = floor(log2(degree)), computed as ln(d)/ln(2) on
+    both engines so the rounding path is identical (log2(8) can land a
+    hair under 3.0 in either libm; the shared expression makes the
+    bucket boundaries agree bit-for-bit).
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    return deg.groupBy(
+        F.floor(F.log(F.col("d").cast("double")) / F.log(F.lit(2.0)))
+        .cast("int")
+        .alias("degree_bucket")
+    ).agg(
+        F.count("*").alias("n_nodes"),
+        F.min("d").alias("min_degree"),
+        F.max("d").alias("max_degree"),
+    )

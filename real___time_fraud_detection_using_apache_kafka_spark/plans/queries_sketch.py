@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from ..functions.hashing import poly_hash_duckdb
 from .registry import register
 
 
@@ -149,4 +150,85 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cnt").alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("tok"))
         .limit(k)
+    )
+
+
+KMV_K = 64
+
+
+@register(
+    "kmv_distinct_users",
+    oracle=f"""
+    WITH d AS (
+        SELECT DISTINCT event_type,
+               {poly_hash_duckdb("cast(user_id AS VARCHAR)")} AS h
+        FROM events WHERE user_id IS NOT NULL
+    ), ranked AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+        FROM d
+    ), sk AS (
+        SELECT event_type, count(*) AS nk, max(h) AS hk
+        FROM ranked WHERE rk <= {KMV_K} GROUP BY event_type
+    ), ex AS (
+        SELECT event_type, count(DISTINCT user_id) AS distinct_users
+        FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+    )
+    SELECT ex.event_type, ex.distinct_users,
+           round(CASE WHEN sk.nk >= {KMV_K}
+                 THEN ({KMV_K} - 1.0) * 1000000008 / (sk.hk + 1)
+                 ELSE CAST(sk.nk AS DOUBLE) END, 4) AS kmv_estimate,
+           round(abs(CASE WHEN sk.nk >= {KMV_K}
+                     THEN ({KMV_K} - 1.0) * 1000000008 / (sk.hk + 1)
+                     ELSE CAST(sk.nk AS DOUBLE) END - ex.distinct_users)
+                 / ex.distinct_users, 4) AS rel_err
+    FROM ex JOIN sk USING (event_type)
+    """,
+)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch (k=64) of users per event type,
+    next to the exact count and its relative error — the DETERMINISTIC
+    member of the sketch tier: unlike HLL (engine-specific registers,
+    rows-only checked above), KMV's state is just the k smallest hash
+    values under a portable hash, so the DuckDB oracle reproduces the
+    estimate bit-for-bit.  Estimator: (k-1)/u_k with u_k the k-th
+    smallest hash mapped to (0,1]; degenerates to the exact distinct
+    hash count when a group has fewer than k values.
+
+    Scale design — why KMV is a 100 TB primitive: the state is
+    mergeable (union the hash sets, keep the k smallest), so map-side
+    partial aggregation, day-level rollups, and cross-partition merges
+    all compose without rescanning.  Plan here: one distinct on
+    (type, hash) with partial dedup in the map stage, a per-type top-k
+    window (WindowGroupLimit — per-partition heaps), one tiny rollup;
+    the exact side is one count-distinct aggregate for the error
+    column.  The sketch side never materializes more than k rows per
+    group past the dedup.
+    """
+    from ..functions.hashing import MOD, poly_hash_expr
+    from ..operators.windows import topk_per_group
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    d = e.select(
+        "event_type",
+        poly_hash_expr("cast(user_id as string)").alias("h"),
+    ).distinct()
+    sk = (
+        topk_per_group(d, ["event_type"], [F.asc("h")], KMV_K)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("nk"), F.max("h").alias("hk"))
+    )
+    est = F.when(
+        F.col("nk") >= KMV_K,
+        (KMV_K - 1.0) * (MOD + 1) / (F.col("hk") + 1),
+    ).otherwise(F.col("nk").cast("double"))
+    ex = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("distinct_users")
+    )
+    return ex.join(sk, "event_type").select(
+        "event_type", "distinct_users",
+        F.round(est, 4).alias("kmv_estimate"),
+        F.round(
+            F.abs(est - F.col("distinct_users")) / F.col("distinct_users"), 4
+        ).alias("rel_err"),
     )

@@ -1,0 +1,164 @@
+"""Unit semantics for the graph operators (triangle census, bounded
+BFS) on hand-built graphs with known answers, plus the sequential-
+statistics queries' closed-form cases.  The catalog-level Spark-vs-
+DuckDB differential for these lives in tools/check_oracle.py; these
+tests pin the OPERATOR semantics independent of the testdata."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from real___time_fraud_detection_using_apache_kafka_spark.operators.graph import (
+    khop_min_dist,
+    triangle_stats,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "a long, b long")
+
+
+class TestTriangleStats:
+    def test_k4_complete_graph(self, spark):
+        # K4: 4 triangles, 6 edges, every wedge closed -> clustering 1.0
+        e = _edges(
+            spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+        )
+        row = triangle_stats(e).collect()[0]
+        assert row.n_nodes == 4
+        assert row.n_edges == 6
+        assert row.n_triangles == 4
+        # wedges: each node deg 3 -> 4 * 3 = 12; 3*4/12 = 1.0
+        assert row.n_wedges == 12
+        assert row.global_clustering == 1.0
+
+    def test_path_graph_has_no_triangles(self, spark):
+        e = _edges(spark, [(1, 2), (2, 3), (3, 4)])
+        row = triangle_stats(e).collect()[0]
+        assert row.n_triangles == 0
+        assert row.n_wedges == 2  # at nodes 2 and 3
+        assert row.global_clustering == 0.0
+
+    def test_hub_plus_one_closing_edge(self, spark):
+        # star center 0 with leaves 1..5, plus edge (1,2): exactly one
+        # triangle regardless of hub degree — the skew case the degree
+        # orientation exists for
+        e = _edges(spark, [(0, i) for i in range(1, 6)] + [(1, 2)])
+        row = triangle_stats(e).collect()[0]
+        assert row.n_triangles == 1
+
+    def test_empty_graph(self, spark):
+        e = _edges(spark, []).filter(F.lit(False))
+        row = triangle_stats(e).collect()[0]
+        assert (row.n_triangles, row.n_edges, row.n_nodes) == (0, 0, 0)
+        assert row.global_clustering == 0.0
+
+
+class TestKhopMinDist:
+    def _sym(self, spark, pairs):
+        e = spark.createDataFrame(pairs, "src long, dst long")
+        return e.union(e.select(F.col("dst").alias("src"),
+                                F.col("src").alias("dst")))
+
+    def test_path_distances(self, spark):
+        # 1-2-3-4-5, seed {1}: dist = index, capped at 3 hops
+        edges = self._sym(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+        seeds = spark.createDataFrame([(1,)], "node long")
+        got = {r.node: r.dist for r in khop_min_dist(edges, seeds, 3).collect()}
+        assert got == {1: 0, 2: 1, 3: 2, 4: 3}  # 5 is 4 hops: excluded
+
+    def test_min_dist_wins_over_longer_path(self, spark):
+        # two routes 1->4: direct edge and 1-2-3-4; dist(4) must be 1
+        edges = self._sym(spark, [(1, 2), (2, 3), (3, 4), (1, 4)])
+        seeds = spark.createDataFrame([(1,)], "node long")
+        got = {r.node: r.dist for r in khop_min_dist(edges, seeds, 3).collect()}
+        assert got[4] == 1
+
+    def test_multiple_seeds_take_nearest(self, spark):
+        edges = self._sym(spark, [(1, 2), (2, 3), (3, 4)])
+        seeds = spark.createDataFrame([(1,), (4,)], "node long")
+        got = {r.node: r.dist for r in khop_min_dist(edges, seeds, 2).collect()}
+        assert got == {1: 0, 4: 0, 2: 1, 3: 1}
+
+    def test_isolated_seed_distance_zero(self, spark):
+        edges = self._sym(spark, [(1, 2)])
+        seeds = spark.createDataFrame([(99,)], "node long")
+        got = {r.node: r.dist for r in khop_min_dist(edges, seeds, 2).collect()}
+        assert got == {99: 0}
+
+
+class TestSequentialStats:
+    def test_ewma_fold_matches_closed_form(self, spark, sf_dir):
+        from real___time_fraud_detection_using_apache_kafka_spark.plans.queries_timeseries import (
+            EWMA_ALPHA,
+            ewma_user_value,
+        )
+        from real___time_fraud_detection_using_apache_kafka_spark.sources.tables import load_table
+
+        got = {r.user_id: r for r in ewma_user_value(spark, sf_dir).collect()}
+        # replay one user's history in plain Python
+        e = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        )
+        uid = e.groupBy("user_id").count().orderBy(F.desc("count")).first().user_id
+        hist = [
+            r.value
+            for r in e.filter(F.col("user_id") == uid)
+            .orderBy("ts", "event_id")
+            .collect()
+        ]
+        acc = hist[0]
+        for x in hist[1:]:
+            acc = acc * (1 - EWMA_ALPHA) + EWMA_ALPHA * x
+        assert got[uid].n_events == len(hist)
+        assert got[uid].ewma == pytest.approx(round(acc, 6), abs=1e-6)
+
+    def test_cusum_zero_on_constant_series(self, spark, tmp_path):
+        # constant daily counts -> every cusum partial sum is 0; the
+        # argmax must break ties to the EARLIEST day
+        import pandas as pd
+
+        from real___time_fraud_detection_using_apache_kafka_spark.plans.queries_timeseries import (
+            cusum_changepoint,
+        )
+
+        days = pd.date_range("2024-01-01", periods=5, freq="D")
+        pdf = pd.DataFrame(
+            {
+                "o_orderkey": range(10),
+                "o_custkey": [1] * 10,
+                "o_orderstatus": ["F"] * 10,
+                "o_totalprice": [100.0] * 10,
+                "o_orderdate": list(days) * 2,
+                "o_orderpriority": ["1-URGENT"] * 10,
+            }
+        )
+        d = tmp_path / "const_sf"
+        spark.createDataFrame(pdf).write.parquet(f"{d}/orders.parquet")
+        row = cusum_changepoint(spark, str(d)).collect()[0]
+        assert row.max_abs_cusum == 0.0
+        assert str(row.changepoint_day) == "2024-01-01"
+        assert row.n_days == 5
+        assert row.daily_mean == 2.0
+
+
+class TestKmvSketch:
+    def test_estimate_within_kmv_error_bound(self, spark, sf_dir):
+        from real___time_fraud_detection_using_apache_kafka_spark.plans.queries_sketch import (
+            KMV_K,
+            kmv_distinct_users,
+        )
+
+        rows = kmv_distinct_users(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            if r.distinct_users < KMV_K:
+                # degenerate tier: sketch IS the exact distinct-hash count
+                assert r.kmv_estimate == pytest.approx(r.distinct_users)
+            else:
+                # KMV standard error ~ 1/sqrt(k-2); allow 5 sigma
+                assert r.rel_err <= 5.0 / math.sqrt(KMV_K - 2)
