@@ -82,6 +82,21 @@ HEADLINE = [
     "ab_test_zstat",
     "copurchase_lift",
     "user_growth_curve",
+    # round-4 batch 2: graph census, sequential stats, sketches, intervals
+    "copurchase_triangles",
+    "copurchase_khop_reach",
+    "copurchase_degree_stats",
+    "ewma_user_value",
+    "autocorr_daily_revenue",
+    "cusum_changepoint",
+    "kmv_distinct_users",
+    "interval_union_coverage",
+    "weighted_reservoir_sample",
+    # round-4 batch 3: reshaping + fuzzy matching
+    "fuzzy_vocab_correction",
+    "user_event_pivot",
+    "priority_metrics_unpivot",
+    "revenue_time_rollup",
 ]
 
 

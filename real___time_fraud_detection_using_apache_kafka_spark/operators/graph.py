@@ -55,11 +55,17 @@ def triangle_stats(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     comparisons are computed per-edge from a degree lookup.
     """
     e = edges.select(F.col(a).alias("ea"), F.col(b).alias("eb"))
+    # deg is consumed three times (two orientation broadcasts + the
+    # wedge/node counts); it is |V|-sized, so cache it rather than
+    # re-aggregating the edge list per consumer (callers pass a
+    # persisted edge list for the same reason — e itself is read by the
+    # orientation join, the closing join and the edge count)
     deg = (
         e.select(F.col("ea").alias("node"))
         .union(e.select(F.col("eb").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
+        .persist()
     )
     # orientation key: lexicographic (deg, id); struct comparison gives
     # the total order directly in codegen

@@ -1362,3 +1362,144 @@ def null_safe_join_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(right.alias("r"), F.col("l.k").eqNullSafe(F.col("r.k")))
         .select("l.o_orderpriority", "l.k", "l.n_l", "r.n_r")
     )
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "user_event_pivot",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click')    AS click,
+           count(*) FILTER (event_type = 'error')    AS error,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup')   AS signup,
+           count(*) FILTER (event_type = 'view')     AS view,
+           count(*)                                  AS total
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: the per-user event-type count matrix (long → wide), the
+    feature-table shape every per-entity model consumes.
+
+    ``pivot`` is called WITH the explicit value list — without it Spark
+    runs an eager distinct-collect job over the pivot column before it
+    can even resolve the schema (a full extra scan, and a failure mode
+    when the column has unbounded cardinality).  With the list, the
+    pivot compiles to one hash aggregate with a conditional-count
+    expression per value — exactly the manual FILTER formulation the
+    oracle states, one shuffle, map-side partials.  Missing cells are
+    0, not null (count semantics on both engines).
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    wide = (
+        e.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))  # count(*) is rejected inside pivot
+    )
+    totals = e.groupBy("user_id").agg(F.count("*").alias("total"))
+    out = wide.join(totals, "user_id")
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES],
+        "total",
+    )
+
+
+@register(
+    "priority_metrics_unpivot",
+    oracle="""
+    WITH wide AS (
+        SELECT o_orderpriority,
+               CAST(count(*) AS DOUBLE)       AS n_orders,
+               round(sum(o_totalprice), 2)    AS revenue,
+               round(avg(o_totalprice), 2)    AS avg_value
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, metric, value FROM (
+        SELECT o_orderpriority, 'n_orders'  AS metric, n_orders  AS value FROM wide
+        UNION ALL
+        SELECT o_orderpriority, 'revenue',  revenue   FROM wide
+        UNION ALL
+        SELECT o_orderpriority, 'avg_value', avg_value FROM wide
+    )
+    """,
+)
+def priority_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/MELT: per-priority KPI columns flipped to tidy
+    (priority, metric, value) rows — the wide→long inverse of the pivot
+    above and the shape every generic metrics sink/dashboard ingests.
+
+    ``DataFrame.unpivot`` compiles to an Expand node: each input row is
+    replicated once per value column INSIDE the stage — no shuffle, no
+    union-of-scans (the oracle's UNION ALL formulation would rescan the
+    aggregate 3×; Expand reads it once).  The upstream is one grouped
+    aggregate over 5 groups, so the whole query is one exchange.
+    Values are cast to a common DOUBLE before melting, as unpivot
+    requires a single value type.
+    """
+    wide = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("double").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_value"),
+        )
+    )
+    return wide.unpivot(
+        ["o_orderpriority"], ["n_orders", "revenue", "avg_value"],
+        "metric", "value",
+    )
+
+
+@register(
+    "revenue_time_rollup",
+    oracle="""
+    SELECT year(o_orderdate)                          AS yr,
+           quarter(o_orderdate)                       AS qtr,
+           CASE WHEN year(o_orderdate) IS NULL THEN 2
+                WHEN quarter(o_orderdate) IS NULL THEN 1
+                ELSE 0 END                            AS lvl,
+           count(*)                                   AS n_orders,
+           round(sum(o_totalprice), 2)                AS revenue
+    FROM orders
+    GROUP BY ROLLUP (year(o_orderdate), quarter(o_orderdate))
+    """,
+)
+def revenue_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-hierarchy ROLLUP: revenue at quarter, year, and grand-total
+    granularity in ONE aggregate — the continuous-aggregate /
+    hypertable-rollup shape (coarser grains derive from finer ones
+    inside the same Expand, no re-scan per level, complementing the
+    full-lattice ``cube_status_priority``).
+
+    Spark compiles rollup to Expand(3 projections) + one hash
+    aggregate: a single shuffle whose key count is Σ levels, with
+    map-side partials — at 100 TB this beats three separate
+    aggregations by reading the fact table once.  The level indicator
+    is derived from the rolled-up NULLs with an identical CASE on both
+    engines (calendar fields are never natively null here, so NULL
+    unambiguously marks aggregation level).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        "o_totalprice",
+    )
+    lvl = (
+        F.when(F.col("yr").isNull(), 2)
+        .when(F.col("qtr").isNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        o.rollup("yr", "qtr")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select("yr", "qtr", lvl.alias("lvl"), "n_orders", "revenue")
+    )

@@ -2156,3 +2156,112 @@ def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed, ["lang"], [F.asc("sample_key"), F.asc("doc_id")], 5,
         rank_col="rank",
     ).select("lang", "doc_id", "n_chars", "sample_key", "rank")
+
+
+# delete-one-char neighborhood, shared by the Spark and DuckDB tiers of
+# the SymSpell-style fuzzy join: the token itself + every single-deletion
+# variant.  Two tokens are within edit distance 1 iff their neighborhoods
+# intersect (deletion covers deletes; insertion is the mirror delete on
+# the longer side; substitution shares the both-sides delete) — so the
+# candidate join is a plain EQUI-join on the variant key, never a
+# quadratic levenshtein cross join.
+_DELETE_VARIANTS_SPARK = (
+    "array_union(array(tok), transform(sequence(1, length(tok)), "
+    "i -> concat(substr(tok, 1, i - 1), substr(tok, i + 1, length(tok)))))"
+)
+_DELETE_VARIANTS_DUCK = (
+    "list_distinct(list_append(list_transform(range(1, length(tok) + 1), "
+    "i -> substr(tok, 1, i - 1) || substr(tok, i + 1, length(tok))), tok))"
+)
+
+
+@register(
+    "fuzzy_vocab_correction",
+    oracle=f"""
+    WITH freq AS (
+        SELECT tok, count(*) AS cnt
+        FROM (SELECT unnest({TOKS}) AS tok FROM documents) t
+        WHERE tok <> '' GROUP BY tok
+    ), noisy AS (
+        -- deterministic corruption: first character dropped; strings
+        -- that are themselves real vocabulary need no correction
+        SELECT DISTINCT substr(tok, 2, length(tok)) AS tok
+        FROM freq WHERE length(tok) >= 3
+          AND substr(tok, 2, length(tok)) NOT IN (SELECT tok FROM freq)
+    ), vvar AS (
+        SELECT tok AS sugg, cnt AS sugg_cnt, unnest({_DELETE_VARIANTS_DUCK}) AS v
+        FROM freq
+    ), rvar AS (
+        SELECT tok AS noisy_token, unnest({_DELETE_VARIANTS_DUCK}) AS v
+        FROM noisy
+    ), cand AS (
+        SELECT DISTINCT noisy_token, sugg, sugg_cnt
+        FROM rvar JOIN vvar USING (v)
+        WHERE levenshtein(noisy_token, sugg) <= 1
+    ), best AS (
+        SELECT noisy_token, sugg AS suggestion, sugg_cnt AS suggestion_cnt,
+               row_number() OVER (PARTITION BY noisy_token
+                                  ORDER BY sugg_cnt DESC, sugg ASC) AS pick
+        FROM cand
+    )
+    SELECT noisy_token, suggestion, suggestion_cnt
+    FROM best WHERE pick = 1
+    """,
+)
+def fuzzy_vocab_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell-style fuzzy vocabulary normalization: every corrupted
+    token (deterministic corruption: corpus tokens with the first
+    character dropped, excluding strings that are themselves valid
+    vocabulary) is matched to its best edit-distance-1 correction in
+    the vocabulary — suggestion = highest-frequency candidate, ties to
+    the lexicographically first.  The OCR-noise / typo-collapse pass of
+    a corpus-cleaning pipeline, with the noisy side derived from the
+    data so the recovery is end-to-end verifiable.
+
+    Scale design — the symmetric-delete trick: candidates come from an
+    EQUI-join on the delete-one-char neighborhood (each token emits
+    length+1 variant keys), so the work is O(tokens x length), not the
+    O(|noisy| x |vocab|) levenshtein cross join; ``levenshtein`` runs
+    only on the few candidates sharing a variant (it must — a shared
+    variant admits distance-2 pairs like ab/ba).  Every side is
+    VOCABULARY-sized (distinct tokens), never corpus-sized: the only
+    corpus-scale operations are the explode and the frequency
+    aggregate, both map-side combined; the variant join is
+    vocab x avg-token-length rows.  The NOT-IN gate compiles to a
+    broadcast null-aware anti-join on the vocabulary.
+    """
+    from ..operators.windows import topk_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    dropped = F.expr("substr(tok, 2, length(tok))")
+    noisy = (
+        freq.filter(F.length("tok") >= 3)
+        .select(dropped.alias("tok"))
+        .distinct()
+        .join(freq.select("tok"), "tok", "left_anti")
+    )
+    variants = F.explode(F.expr(_DELETE_VARIANTS_SPARK)).alias("v")
+    vvar = freq.select(
+        F.col("tok").alias("sugg"), F.col("cnt").alias("sugg_cnt"), variants
+    )
+    rvar = noisy.select(F.col("tok").alias("noisy_token"), variants)
+    cand = (
+        rvar.join(F.broadcast(vvar), "v")
+        .select("noisy_token", "sugg", "sugg_cnt")
+        .distinct()
+        .filter(F.levenshtein("noisy_token", "sugg") <= 1)
+    )
+    return topk_per_group(
+        cand, ["noisy_token"], [F.desc("sugg_cnt"), F.asc("sugg")], 1,
+        rank_col="pick",
+    ).select(
+        "noisy_token",
+        F.col("sugg").alias("suggestion"),
+        F.col("sugg_cnt").alias("suggestion_cnt"),
+    )
