@@ -105,6 +105,15 @@ def _stable_types(fn: QueryFn) -> QueryFn:
 # been driver-graded.  Everything rotated out stays in the catalog right
 # after the head and is green in r3's driver gate and in every local
 # full-catalog oracle run (tools/check_oracle.py, 140/140).
+#
+# Round-5 head plan (do NOT reshuffle mid-round-4 — the 23 queries ADDED
+# during round 4 (graph census / BFS / time-series / KMV / fuzzy-join /
+# pivot / unpivot / rollup / interval-union / weighted-reservoir ...)
+# are local-oracle + nulled-sweep + vanilla green but deliberately NOT
+# in this head; displacing the r3-item-1 never-graded set or the
+# rewritten-plan confirmations would trade one coverage debt for
+# another): compose round 5 from those 23 + the remaining never-graded
+# tail, completing cumulative driver coverage of the whole catalog.
 _GRADED_FIRST = [
     # round-2 fix needing driver confirmation + this round's rewrites
     "q12_shipping_lateness",
