@@ -31,6 +31,39 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def basket_pairs(df: DataFrame, basket: str, item: str,
+                 a: str = "a", b: str = "b") -> DataFrame:
+    """All unordered co-occurring item pairs per basket — one output row
+    per (basket, pair), items deduped within the basket, pair canonical
+    ``a < b``.  The shared first stage of every co-occurrence graph.
+
+    Plan: ONE hash shuffle on the basket key with ``collect_set`` doing
+    the within-basket dedup inside the aggregate (map-side partial), then
+    a NARROW array expansion (`array_sort` + nested `transform`/`slice` +
+    `explode`) emitting each i<j pair once — already canonical because
+    the array is sorted.  Compared to the classic self-equi-join this
+    removes two exchanges: the pre-join dedup shuffle and the second
+    join-side shuffle (a self-join needs both sides hashed by basket;
+    the aggregate needs one pass).  Pair fan-out is k(k-1)/2 per basket
+    of k distinct items, generated inside the scan stage — fine for
+    bounded baskets (orders, sessions); a heavy-tailed basket domain
+    should cap k or fall back to the join formulation so one mega-basket
+    cannot produce a single giant row."""
+    baskets = df.groupBy(basket).agg(
+        F.array_sort(F.collect_set(item)).alias("_items")
+    )
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(_items, (x, i) -> "
+            "transform(slice(_items, i + 2, size(_items) - i - 1), "
+            "y -> struct(x AS a, y AS b))))"
+        )
+    ).alias("_p")
+    return baskets.select(pair).select(
+        F.col("_p.a").alias(a), F.col("_p.b").alias(b)
+    )
+
+
 def triangle_stats(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     """Exact triangle census of an undirected graph given as CANONICAL
     unique edges (one row per edge, ``a < b`` by id): returns one row

@@ -811,18 +811,18 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.graph import pagerank_fixed
 
+    from ..operators.graph import basket_pairs
+
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
-    )
-    b = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
-    )
+    # basket_pairs replaces the self-equi-join: within-order dedup rides
+    # the one orderkey aggregate and the i<j expansion is narrow, so the
+    # distinct lands on HALF the rows (canonical pairs, symmetrized
+    # after) with two fewer exchanges — same edge set as the oracle's
+    # self-join DISTINCT
+    und = basket_pairs(li, "l_orderkey", "l_partkey").distinct()
     edges = (
-        a.join(b, "ok")
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ranks = pagerank_fixed(edges, iterations=3, damping=0.85)

@@ -45,32 +45,27 @@ _EDGES_CTE = f"""
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # (order, part) deduped BEFORE pairing: a part repeated across an
-    # order's lineitems would otherwise multiply pair rows and force a
-    # two-phase count(DISTINCT ok) on the (much larger) pair set — after
-    # the dedup every (ok, pa, pb) row is unique, so support is a plain
-    # map-side-combined count.  The result is PERSISTED: the support
-    # filter collapses the quadratic basket pairs to a tiny edge list
-    # (|E| ≪ |lineitem|), and every graph query consumes that list 2-5
-    # times (degrees, orientation, per-BFS-level joins) — without the
-    # cache each consumer replays the basket self-join, which measured
-    # 3-9 s/query at sf0.1 vs sub-second cached.  The bench/driver clear
-    # the cache between queries; long-lived callers own unpersist, as
-    # with pagerank_fixed's degree cache.
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    x = li.select("ok", F.col("p").alias("pa"))
-    y = li.select("ok", F.col("p").alias("pb"))
+    # basket_pairs does the within-order dedup INSIDE one orderkey
+    # aggregate and expands i<j pairs narrowly (no self-join, no
+    # pre-dedup shuffle — see operators/graph.py), so support is a plain
+    # map-side-combined count over already-unique (order, pair) rows.
+    # The result is PERSISTED: the support filter collapses the
+    # quadratic basket pairs to a tiny edge list (1.2M pair rows →
+    # ~3.6k edges at sf0.1), and every graph query consumes that list
+    # 2-5 times (degrees, orientation, per-BFS-level joins) — without
+    # the cache each consumer replays the pair build, which measured
+    # 3-9 s/query at sf0.1 vs sub-second cached.  The bench/driver
+    # clear the cache between queries; long-lived callers own
+    # unpersist, as with pagerank_fixed's degree cache.
+    from ..operators.graph import basket_pairs
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     return (
-        x.join(y, "ok")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
+        basket_pairs(li, "l_orderkey", "l_partkey")
+        .groupBy("a", "b")
         .agg(F.count("*").alias("_support"))
         .filter(F.col("_support") >= MIN_SHARED_ORDERS)
-        .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+        .select("a", "b")
         .persist()
     )
 

@@ -326,3 +326,69 @@ def rule_alert_sink(rules_table, alerts_table, app_id: str):
         hwm["batch"] = batch_id
 
     return write
+
+
+# (n_events, ewma) per user — the streaming dual of the batch
+# ewma_user_value catalog query (plans/queries_timeseries.py)
+EWMA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+EWMA_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+
+def ewma_stream(events: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Per-user EWMA maintained INCREMENTALLY in the state store — the
+    streaming dual of the batch fold in ``ewma_user_value``: identical
+    recurrence (first observation seeds, then
+    ``ewma = (1-α)·ewma + α·x``), so a stream replayed in event-time
+    order converges to bit-identical state (parity-tested).
+
+    State per key is TWO scalars — this is why the recurrence beats
+    keep-the-history designs in a stream: O(distinct users) total state
+    at any stream length.  Rows are folded in (ts, event_id) order
+    WITHIN each micro-batch (sorted in the Arrow batch, vectorized-
+    cheap); cross-batch order is the source's append order, which holds
+    for replayed logs and time-ordered topics — out-of-order streams
+    need the watermark-buffered variant (sort in an event-time window
+    before folding), the standard trade documented here rather than
+    silently absorbed.
+
+    Input columns: ``user_id`` (long), ``ts``, ``event_id``, ``value``.
+    """
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, ewma = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for x in pdf["value"]:
+                x = float(x)
+                ewma = x if n == 0 else (1.0 - alpha) * ewma + alpha * x
+                n += 1
+        state.update((n, ewma))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "ewma": [ewma]}
+        )
+
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=EWMA_OUTPUT_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -162,3 +162,78 @@ class TestKmvSketch:
             else:
                 # KMV standard error ~ 1/sqrt(k-2); allow 5 sigma
                 assert r.rel_err <= 5.0 / math.sqrt(KMV_K - 2)
+
+
+class TestEwmaStreamParity:
+    def test_stream_state_matches_batch_fold(self, spark, tmp_path):
+        """The streaming EWMA (two scalars of state per user) replayed
+        over a time-ordered stream must land on the SAME per-user state
+        as the batch array-fold catalog query — same recurrence, same
+        float-op sequence, so equality is exact at the catalog's
+        6-decimal rounding, not approximate."""
+        import pandas as pd
+
+        from real___time_fraud_detection_using_apache_kafka_spark.plans.queries_timeseries import (
+            ewma_user_value,
+        )
+        from real___time_fraud_detection_using_apache_kafka_spark.streaming.stateful import ewma_stream
+
+        rng = pd.date_range("2024-05-01", periods=60, freq="h")
+        pdf = pd.DataFrame(
+            {
+                "event_id": range(60),
+                "ts": rng,
+                "user_id": [i % 5 + 1 for i in range(60)],
+                "event_type": ["view"] * 60,
+                "value": [float((i * 37) % 101) + 0.25 for i in range(60)],
+                "props": ["{}"] * 60,
+            }
+        )
+        sf = tmp_path / "sf"
+        spark.createDataFrame(pdf).write.parquet(f"{sf}/events.parquet")
+        expected = {
+            r.user_id: (r.n_events, r.ewma)
+            for r in ewma_user_value(spark, str(sf)).collect()
+        }
+
+        src, ckpt = f"{tmp_path}/src", f"{tmp_path}/ckpt"
+        early = spark.createDataFrame(pdf[pdf.event_id < 30])
+        late = spark.createDataFrame(pdf[pdf.event_id >= 30])
+
+        def write_batch(df):
+            df.select(
+                F.to_json(F.struct(*df.columns)).alias("v")
+            ).write.mode("append").text(src)
+
+        schema = ("event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string")
+        write_batch(early)
+        stream = (
+            spark.readStream.schema("v string").text(src)
+            .select(F.from_json(F.col("v"), schema).alias("e"))
+            .select("e.*")
+        )
+        q = (
+            ewma_stream(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("ewma_t")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            write_batch(late)  # second micro-batch: state must carry
+            q.processAllAvailable()
+            latest = {
+                r.user_id: (r.n_events, round(r.ewma, 6))
+                for r in spark.sql(
+                    "SELECT user_id, n_events, ewma FROM ("
+                    " SELECT *, row_number() OVER ("
+                    "   PARTITION BY user_id ORDER BY n_events DESC) rk"
+                    " FROM ewma_t) WHERE rk = 1"
+                ).collect()
+            }
+        finally:
+            q.stop()
+        assert latest == expected
