@@ -97,6 +97,8 @@ HEADLINE = [
     "user_event_pivot",
     "priority_metrics_unpivot",
     "revenue_time_rollup",
+    "order_value_equidepth_hist",
+    "source_lang_entropy",
 ]
 
 

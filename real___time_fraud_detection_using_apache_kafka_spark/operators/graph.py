@@ -190,7 +190,8 @@ def khop_min_dist(edges: DataFrame, seeds: DataFrame, max_hops: int,
 
 def pagerank_fixed(edges: DataFrame, iterations: int = 3,
                    damping: float = 0.85,
-                   src: str = "src", dst: str = "dst") -> DataFrame:
+                   src: str = "src", dst: str = "dst",
+                   strategy: str = "broadcast") -> DataFrame:
     """PageRank with ``iterations`` synchronous power-method steps over a
     directed edge list (one row per edge, no duplicates).
 
@@ -199,23 +200,58 @@ def pagerank_fixed(edges: DataFrame, iterations: int = 3,
     is deliberately out of scope for the relational tier.  Returns
     ``(node, rank)`` with ranks summing to ~1.
 
-    Plan, per iteration: the |V|-sized rank state is pre-divided by
-    out-degree into a per-source message vector (a |V| ⋈ |V| join), then
-    BROADCAST into the cached |E|-sized edge list — so the big side is
-    never shuffled or sorted per iteration; the only data-sized exchange
-    is the sum-by-``dst`` hash aggregate (map-side partial).  Rank state
-    is one double per vertex: for co-occurrence graphs |V| ≪ |E| and the
-    state broadcasts at any realistic vocabulary (a billion-vertex graph
-    would instead repartition BOTH sides by ``src`` once and reuse that
-    co-partitioning across iterations — same recurrence, swap the join
-    strategy).
+    Two physical strategies, same recurrence and identical output:
+
+    - ``strategy="broadcast"`` (default): the |V|-sized rank state is
+      pre-divided by out-degree into a per-source message vector (a
+      |V| ⋈ |V| join), then BROADCAST into the cached |E|-sized edge
+      list — the big side is never shuffled or sorted per iteration;
+      the only data-sized exchange is the sum-by-``dst`` hash aggregate
+      (map-side partial).  Right whenever the one-double-per-vertex
+      state fits a broadcast — co-occurrence graphs with |V| ≪ |E|.
+    - ``strategy="copartition"``: the edge list is hash-partitioned by
+      ``src`` ONCE (caller persists the returned layout via the edges
+      frame it passed); each iteration shuffles only the |V|-row
+      message vector to the same partitioning and joins shuffle-hash,
+      with the edge side's cached partitioning reused — per-iteration
+      cost is one |V|-row exchange + the sum-by-dst aggregate, with NO
+      per-vertex broadcast.  This is the big-|V| tier: the measured
+      crossover on local[32] synthetic graphs is ~10M vertices, where
+      the broadcast tier's per-iteration |V| broadcast turns
+      superlinear (SCALE.md table) while copartition stays near-linear.
     """
+    if strategy not in ("broadcast", "copartition"):
+        raise ValueError(f"unknown strategy: {strategy}")
+    if strategy == "copartition":
+        return _pagerank_copartition(edges, iterations, damping, src, dst)
     # deg is the ONLY |E|-sized aggregate; it is persisted because the
     # node set, the node count, and every iteration's message vector all
     # derive from it — without the cache each broadcast subtree would
     # re-shuffle the full edge list per iteration (measured: ~6 extra
     # |E|-row exchanges for 3 iterations at sf0.1)
     deg = edges.groupBy(src).agg(F.count("*").alias("_outdeg")).persist()
+    return _pagerank_iterate(edges, deg, iterations, damping, src, dst,
+                             broadcast_msg=True)
+
+
+def _pagerank_copartition(edges: DataFrame, iterations: int,
+                          damping: float, src: str, dst: str) -> DataFrame:
+    n_part = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    # one-time layout: edges hash-partitioned by src and cached — the
+    # cached InMemoryRelation advertises this partitioning, so the
+    # per-iteration message join shuffles ONLY the |V|-row message side
+    # to match; the |E| side is never exchanged again
+    e = edges.repartition(n_part, F.col(src)).persist()
+    deg = e.groupBy(src).agg(F.count("*").alias("_outdeg")).persist()
+    return _pagerank_iterate(e, deg, iterations, damping, src, dst,
+                             broadcast_msg=False)
+
+
+def _pagerank_iterate(edges: DataFrame, deg: DataFrame, iterations: int,
+                      damping: float, src: str, dst: str,
+                      broadcast_msg: bool) -> DataFrame:
     nodes = deg.select(F.col(src).alias("node"))  # distinct by grouping
     n = deg.agg(F.count("*").alias("_n"))
     ranks = nodes.crossJoin(F.broadcast(n)).select(
@@ -224,12 +260,20 @@ def pagerank_fixed(edges: DataFrame, iterations: int = 3,
     for _ in range(iterations):
         # fresh column names per hop: ranks/deg/edges share lineage, so
         # joining back on a same-named column would be ambiguous
-        msg = ranks.join(F.broadcast(deg), ranks["node"] == deg[src]).select(
+        deg_side = F.broadcast(deg) if broadcast_msg else deg
+        msg = ranks.join(deg_side, ranks["node"] == deg[src]).select(
             F.col("node").alias("_msrc"),
             (F.col("rank") / F.col("_outdeg")).alias("_m"),
         )
+        if broadcast_msg:
+            msg_side = F.broadcast(msg)
+        else:
+            # shuffle-hash, not sort-merge: SMJ would re-SORT the cached
+            # |E| partitions every iteration; SHJ builds a hash map from
+            # the small |V|-row message partition instead
+            msg_side = msg.hint("shuffle_hash")
         contribs = (
-            edges.join(F.broadcast(msg), F.col(src) == F.col("_msrc"))
+            edges.join(msg_side, F.col(src) == F.col("_msrc"))
             .groupBy(dst)
             .agg(F.sum("_m").alias("_in"))
         )

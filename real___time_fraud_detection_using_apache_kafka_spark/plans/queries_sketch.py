@@ -232,3 +232,59 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(est - F.col("distinct_users")) / F.col("distinct_users"), 4
         ).alias("rel_err"),
     )
+
+
+@register(
+    "order_value_equidepth_hist",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_totalprice,
+               ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS tile
+        FROM orders WHERE o_totalprice IS NOT NULL
+    )
+    SELECT tile,
+           count(*)                   AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi,
+           round(sum(o_totalprice), 2) AS bucket_sum
+    FROM ranked GROUP BY tile
+    """,
+)
+def order_value_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT equi-depth (equal-count) histogram of order values, 10
+    buckets — the complement of the fixed-width histogram above and the
+    exact tier under ``approx_percentile``: bucket boundaries land
+    exactly where the sorted data puts them, not where a sketch
+    estimates.
+
+    Scale design: SQL ``ntile`` is a global-sort window (single
+    partition at any size) — instead the exact global rank comes from
+    ``bucketed_global_rank`` (price-band bucket key = a coarse monotone
+    prefix of the total order; per-band row_number + array-expression
+    prefix offsets; one hash shuffle + per-band local sort, no
+    single-partition funnel), and the tile is the closed-form
+    ``ntile_from_rank`` — identical semantics to the oracle's ntile,
+    distributed.  The total count rides the offsets broadcast.
+    """
+    from ..operators.windows import bucketed_global_rank, ntile_from_rank
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .filter(F.col("o_totalprice").isNotNull())
+    )
+    ranked = bucketed_global_rank(
+        o,
+        F.floor(F.col("o_totalprice") / 10000).cast("long"),
+        [F.asc("o_totalprice"), F.asc("o_orderkey")],
+        total_col="_n",
+    )
+    tiled = ranked.withColumn(
+        "tile", ntile_from_rank(F.col("global_rank"), F.col("_n"), 10)
+    )
+    return tiled.groupBy("tile").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+        F.round(F.sum("o_totalprice"), 2).alias("bucket_sum"),
+    )

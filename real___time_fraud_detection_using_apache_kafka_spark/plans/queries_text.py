@@ -2265,3 +2265,67 @@ def fuzzy_vocab_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sugg").alias("suggestion"),
         F.col("sugg_cnt").alias("suggestion_cnt"),
     )
+
+
+@register(
+    "source_lang_entropy",
+    oracle="""
+    WITH cell AS (
+        SELECT source, lang, count(*) AS c
+        FROM documents GROUP BY source, lang
+    ), src AS (
+        SELECT source, sum(c) AS n FROM cell GROUP BY source
+    ), corpus AS (
+        SELECT lang, sum(c) AS lc FROM cell GROUP BY lang
+    ), total AS (SELECT sum(c) AS n_all FROM cell)
+    SELECT s.source,
+           s.n                                           AS n_docs,
+           round(-sum((c / CAST(s.n AS DOUBLE))
+                      * ln(c / CAST(s.n AS DOUBLE))), 6) AS entropy_nats,
+           round(sum((c / CAST(s.n AS DOUBLE))
+                     * ln((c / CAST(s.n AS DOUBLE))
+                          / (lc / CAST(t.n_all AS DOUBLE)))), 6) AS kl_vs_corpus
+    FROM cell
+    JOIN src s USING (source)
+    JOIN corpus USING (lang)
+    CROSS JOIN total t
+    GROUP BY s.source, s.n
+    """,
+)
+def source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information-theoretic mixture diagnostics per document source:
+    Shannon entropy (nats) of its language distribution — how diverse
+    is this source — and KL divergence against the corpus-wide language
+    mix — how far it skews from the blend the training run targets.
+    The quantitative companion to ``corpus_mix_report``: mixture
+    rebalancing tooling thresholds on exactly these two numbers.
+
+    Plan: ONE corpus-scale aggregate (the (source, lang) cell counts,
+    map-side combined); everything downstream — per-source totals,
+    corpus language marginals, the grand total, both log-sums — derives
+    from that cell table, which is |sources| x |langs| rows at any
+    corpus size.  The grand total rides a broadcast 1-row aggregate of
+    the cells, never a second fact scan.  Every p, q > 0 by
+    construction (cells exist only where counted), so the logs are
+    total.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cell = docs.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    src = cell.groupBy("source").agg(F.sum("c").alias("n"))
+    corpus = cell.groupBy("lang").agg(F.sum("c").alias("lc"))
+    total = cell.agg(F.sum("c").alias("n_all"))
+    p = F.col("c") / F.col("n").cast("double")
+    q = F.col("lc") / F.col("n_all").cast("double")
+    return (
+        cell.join(F.broadcast(src), "source")
+        .join(F.broadcast(corpus), "lang")
+        .crossJoin(F.broadcast(total))
+        .groupBy("source", "n")
+        .agg(
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_corpus"),
+        )
+        .select(
+            "source", F.col("n").alias("n_docs"), "entropy_nats", "kl_vs_corpus"
+        )
+    )

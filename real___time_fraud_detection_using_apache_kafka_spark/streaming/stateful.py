@@ -392,3 +392,77 @@ def ewma_stream(events: DataFrame, alpha: float = 0.3) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# k smallest distinct portable-hash values per event_type — the
+# streaming dual of the batch kmv_distinct_users catalog query
+KMV_STATE_SCHEMA = T.StructType(
+    [T.StructField("mins", T.ArrayType(T.LongType()))]
+)
+
+KMV_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("nk", T.LongType()),
+        T.StructField("kmv_estimate", T.DoubleType()),
+    ]
+)
+
+
+def kmv_distinct_stream(events: DataFrame, k: int = 64) -> DataFrame:
+    """Per-event-type KMV distinct-user sketch maintained in the state
+    store — the streaming dual of the batch ``kmv_distinct_users``
+    query, and the reason KMV earns its place in the engine: the state
+    (k smallest distinct hash values) is a MERGEABLE, ORDER-INDEPENDENT
+    set union, so the stream converges to byte-identical state no
+    matter how rows shard into micro-batches — parity with the batch
+    sketch is EXACT, not approximate (tested), unlike order-sensitive
+    recurrences (``ewma_stream``) that need time-ordered replay.
+
+    State per key is ≤ k longs at any stream length; each micro-batch
+    folds only the touched keys.  Estimate: (k-1)/u_k with u_k the k-th
+    smallest hash mapped to (0,1] under the portable polynomial hash
+    (``functions/hashing.py``) — the same constants the batch tier and
+    the DuckDB oracle use.
+
+    Input columns: ``event_type`` (string), ``user_id`` (long).
+    """
+    from ..functions.hashing import MOD, MULT
+
+    def poly_hash(s: str) -> int:
+        h = 0
+        for ch in s:
+            h = (h * MULT + ord(ch)) % MOD
+        return h
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (mins,) = state.get if state.exists else ([],)
+        acc = set(mins)
+        for pdf in pdfs:
+            for uid in pdf["user_id"].dropna():
+                acc.add(poly_hash(str(int(uid))))
+        mins = sorted(acc)[:k]
+        state.update((mins,))
+        nk = len(mins)
+        est = (k - 1.0) * (MOD + 1) / (mins[-1] + 1) if nk >= k else float(nk)
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "nk": [nk],
+                "kmv_estimate": [round(est, 4)],
+            }
+        )
+
+    return (
+        events.select("event_type", "user_id")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=KMV_OUTPUT_SCHEMA,
+            stateStructType=KMV_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -236,4 +236,106 @@ class TestEwmaStreamParity:
             }
         finally:
             q.stop()
+        assert latest == expected, {"stream": latest, "batch": expected}
+
+
+class TestKmvStreamParity:
+    def test_stream_sketch_state_matches_batch_exactly(self, spark, sf_dir, tmp_path):
+        """KMV state is an order-independent mergeable set union, so the
+        stream must land on the EXACT batch estimate even when
+        micro-batches split the data arbitrarily (here: by event_id
+        parity, deliberately NOT time order)."""
+        from real___time_fraud_detection_using_apache_kafka_spark.plans.queries_sketch import (
+            kmv_distinct_users,
+        )
+        from real___time_fraud_detection_using_apache_kafka_spark.sources.tables import load_table
+        from real___time_fraud_detection_using_apache_kafka_spark.streaming.stateful import (
+            kmv_distinct_stream,
+        )
+
+        expected = {
+            r.event_type: r.kmv_estimate
+            for r in kmv_distinct_users(spark, sf_dir).collect()
+        }
+
+        e = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "user_id"
+        )
+        src, ckpt = f"{tmp_path}/src", f"{tmp_path}/ckpt"
+
+        def write_batch(df):
+            df.select(
+                F.to_json(F.struct(*df.columns)).alias("v")
+            ).write.mode("append").text(src)
+
+        write_batch(e.filter(F.col("event_id") % 2 == 0))
+        stream = (
+            spark.readStream.schema("v string").text(src)
+            .select(
+                F.from_json(
+                    F.col("v"),
+                    "event_id long, event_type string, user_id long",
+                ).alias("e")
+            )
+            .select("e.*")
+        )
+        q = (
+            kmv_distinct_stream(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("kmv_t")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            write_batch(e.filter(F.col("event_id") % 2 == 1))
+            q.processAllAvailable()
+            latest = {
+                r.event_type: r.kmv_estimate
+                for r in spark.sql(
+                    "SELECT event_type, kmv_estimate FROM ("
+                    " SELECT *, row_number() OVER ("
+                    "   PARTITION BY event_type ORDER BY nk DESC) rk"
+                    " FROM kmv_t) WHERE rk = 1"
+                ).collect()
+            }
+        finally:
+            q.stop()
         assert latest == expected
+
+
+class TestPagerankStrategies:
+    def test_copartition_matches_broadcast(self, spark):
+        """Both physical strategies run the same recurrence — ranks must
+        agree to float-accumulation tolerance on a graph where they
+        take genuinely different join paths."""
+        from real___time_fraud_detection_using_apache_kafka_spark.operators.graph import pagerank_fixed
+
+        e = spark.createDataFrame(
+            [(a, b) for a in range(1, 8) for b in range(1, 8) if a != b
+             and (a + b) % 3 != 0],
+            "src long, dst long",
+        )
+        sym = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct().persist()
+        try:
+            bc = {r.node: r.rank
+                  for r in pagerank_fixed(sym, iterations=3).collect()}
+            cp = {r.node: r.rank
+                  for r in pagerank_fixed(
+                      sym, iterations=3, strategy="copartition").collect()}
+        finally:
+            sym.unpersist()
+        assert set(bc) == set(cp)
+        for node, r in bc.items():
+            assert cp[node] == pytest.approx(r, rel=1e-12)
+        assert sum(bc.values()) == pytest.approx(1.0, abs=1e-9)
+
+    def test_unknown_strategy_rejected(self, spark):
+        from real___time_fraud_detection_using_apache_kafka_spark.operators.graph import pagerank_fixed
+
+        e = spark.createDataFrame([(1, 2)], "src long, dst long")
+        with pytest.raises(ValueError, match="unknown strategy"):
+            pagerank_fixed(e, strategy="gossip")

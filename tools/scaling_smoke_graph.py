@@ -43,14 +43,21 @@ def edges_of(spark, n_edges: int):
     ).distinct()
 
 
-def run_pagerank(spark, n_edges: int) -> float:
+def run_pagerank(spark, n_edges: int, strategy: str = "broadcast") -> float:
     edges = edges_of(spark, n_edges).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         t0 = time.time()
-        pagerank_fixed(edges, iterations=3).agg(F.sum("rank")).collect()
+        pagerank_fixed(edges, iterations=3, strategy=strategy).agg(
+            F.sum("rank")
+        ).collect()
         return time.time() - t0
     finally:
         edges.unpersist()
+        spark.catalog.clearCache()  # drop the strategy-internal persists
+
+
+def run_pagerank_cp(spark, n_edges: int) -> float:
+    return run_pagerank(spark, n_edges, strategy="copartition")
 
 
 def vectors_of(spark, n: int):
@@ -93,11 +100,12 @@ def main() -> None:
                                                     100_000_000]
     knn_sizes = [5_000, 20_000, 50_000]
     spark = get_spark("scaling-smoke-graph")
-    print("| edges (pre-closure) | pagerank 3-iter |")
-    print("|---|---|")
+    print("| edges (pre-closure) | pagerank broadcast | pagerank copartition |")
+    print("|---|---|---|")
     for n in edge_sizes:
         t = measure(run_pagerank, spark, n, big=20_000_000)
-        print(f"| {n/1e6:g}M | {t:.2f} s |")
+        tc = measure(run_pagerank_cp, spark, n, big=20_000_000)
+        print(f"| {n/1e6:g}M | {t:.2f} s | {tc:.2f} s |")
         sys.stdout.flush()
     print()
     print("| vectors (dim 64) | knn_graph top-5 |")
