@@ -215,10 +215,15 @@ def pagerank_fixed(edges: DataFrame, iterations: int = 3,
       message vector to the same partitioning and joins shuffle-hash,
       with the edge side's cached partitioning reused — per-iteration
       cost is one |V|-row exchange + the sum-by-dst aggregate, with NO
-      per-vertex broadcast.  This is the big-|V| tier: the measured
-      crossover on local[32] synthetic graphs is ~10M vertices, where
-      the broadcast tier's per-iteration |V| broadcast turns
-      superlinear (SCALE.md table) while copartition stays near-linear.
+      per-vertex broadcast.  This is the big-|V| tier by PLAN SHAPE:
+      a broadcast of 10M+ rank rows per iteration serializes through
+      one driver and every executor's memory, which a cluster cannot
+      amortize — copartition replaces it with an ordinary shuffle.  On
+      single-JVM local[32] the two tiers measure EQUAL up to 100M
+      synthetic edges (SCALE.md table — local mode makes a broadcast a
+      memory copy, hiding exactly the cost that dominates on a real
+      cluster), so the smoke validates correctness and non-regression,
+      not the cluster crossover.
     """
     if strategy not in ("broadcast", "copartition"):
         raise ValueError(f"unknown strategy: {strategy}")
