@@ -1059,3 +1059,42 @@ def user_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_new").over(cum) / F.sum("n_new").over(w_all).cast("double"), 6
         ).alias("frac_of_total"),
     )
+
+
+# Same oracle as part_copurchase_pagerank: the copartition tier must be
+# HASH-IDENTICAL to the broadcast tier (same recurrence, different join
+# strategy), so it earns the same SQL oracle rather than a rows-only
+# check — the physical-strategy swap gets independent driver-grade
+# verification.
+from .registry import QUERIES as _QUERIES  # noqa: E402
+
+
+@register(
+    "part_copurchase_pagerank_copart",
+    oracle=_QUERIES["part_copurchase_pagerank"].oracle,
+)
+def part_copurchase_pagerank_copart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The big-|V| PageRank tier over the same co-purchase graph:
+    ``strategy="copartition"`` hash-partitions the edge list by src once
+    (cached layout) and shuffles only the |V|-row message vector per
+    iteration — no per-vertex broadcast (see
+    ``operators/graph.py:pagerank_fixed`` for when each tier wins).
+    Results are identical to the broadcast tier by construction, and
+    this entry pins that with the same DuckDB oracle."""
+    from pyspark import StorageLevel
+
+    from ..operators.graph import basket_pairs, pagerank_fixed
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    und = basket_pairs(li, "l_orderkey", "l_partkey").distinct()
+    edges = (
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ranks = pagerank_fixed(edges, iterations=3, damping=0.85,
+                           strategy="copartition")
+    return ranks.select(
+        F.col("node").alias("part_id"),
+        F.round("rank", 6).alias("pagerank"),
+    )
