@@ -2329,3 +2329,95 @@ def source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", F.col("n").alias("n_docs"), "entropy_nats", "kl_vs_corpus"
         )
     )
+
+
+@register(
+    "bigram_collocations_pmi",
+    oracle=f"""
+    WITH toks AS (
+        SELECT {TOKS} AS t FROM documents WHERE text IS NOT NULL
+    ), bg AS (
+        SELECT t[i] AS a, t[i + 1] AS b
+        FROM toks, UNNEST(range(1, len(t))) AS u(i)
+    ), uni AS (
+        SELECT tok, count(*) AS c FROM (
+            SELECT unnest(t) AS tok FROM toks
+        ) GROUP BY tok
+    ), bgc AS (
+        SELECT a, b, count(*) AS c_ab FROM bg GROUP BY a, b
+        HAVING count(*) >= 5
+    ), tot AS (
+        SELECT (SELECT count(*) FROM bg)                 AS n_bg,
+               (SELECT sum(c) FROM uni)                  AS n_uni
+    )
+    SELECT a, b, c_ab,
+           round(ln((c_ab / CAST(t.n_bg AS DOUBLE))
+                    / ((ua.c / CAST(t.n_uni AS DOUBLE))
+                       * (ub.c / CAST(t.n_uni AS DOUBLE)))), 6) AS pmi
+    FROM bgc
+    JOIN uni ua ON ua.tok = bgc.a
+    JOIN uni ub ON ub.tok = bgc.b
+    CROSS JOIN tot t
+    ORDER BY pmi DESC, a ASC, b ASC
+    LIMIT 20
+    """,
+)
+def bigram_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 adjacent token bigrams by pointwise
+    mutual information (support ≥ 5) — the statistic that separates
+    set-phrase pairs from chance adjacency, feeding tokenizer merge
+    candidates and phrase-aware dedup.  The corpus-text sibling of
+    ``event_transition_pmi`` (per-user event sequences).
+
+    Plan: bigram emission is a NARROW index transform inside the scan
+    (no self-join — adjacency is positional); one hash aggregate each
+    for bigram and unigram counts (map-side combined, vocabulary- and
+    vocab²-bounded outputs); unigram marginals broadcast back onto the
+    bigram table; both corpus totals ride ONE broadcast 1-row subtree.
+    The final cut is a limit-20 heap ordered by the ROUNDED pmi (both
+    engines order the identical 6-dp value, so a last-ulp ``ln``
+    divergence cannot flip the cut) with the pair as tiebreak.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = docs.select(F.split(F.trim(F.col("text")), r"\s+").alias("t"))
+    bg = toks.filter(F.size("t") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    uni = toks.select(F.explode("t").alias("tok")).groupBy("tok").agg(
+        F.count("*").alias("c")
+    )
+    bgc = (
+        bg.groupBy("a", "b")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    tot = bg.agg(F.count("*").alias("n_bg")).crossJoin(
+        F.broadcast(uni.agg(F.sum("c").alias("n_uni")))
+    )
+    ua = uni.select(F.col("tok").alias("a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("tok").alias("b"), F.col("c").alias("c_b"))
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab") / F.col("n_bg").cast("double"))
+            / (
+                (F.col("c_a") / F.col("n_uni").cast("double"))
+                * (F.col("c_b") / F.col("n_uni").cast("double"))
+            )
+        ),
+        6,
+    )
+    return (
+        bgc.join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(tot))
+        .select("a", "b", "c_ab", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
+        .limit(20)
+    )

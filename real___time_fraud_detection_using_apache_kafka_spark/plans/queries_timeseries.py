@@ -202,3 +202,62 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs("s"), 6).alias("max_abs_cusum"),
         )
     )
+
+
+@register(
+    "daily_anomaly_zscore",
+    oracle="""
+    WITH per_day AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               round(sum(o_totalprice), 2) AS rev
+        FROM orders GROUP BY day
+    ), scored AS (
+        SELECT day, rev,
+               avg(rev) OVER w AS mu,
+               stddev_samp(rev) OVER w AS sigma,
+               count(*) OVER w AS n_window
+        FROM per_day
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT day, rev, n_window,
+           round((rev - mu) / sigma, 4) AS zscore
+    FROM scored
+    WHERE n_window >= 7 AND sigma > 0
+      AND abs((rev - mu) / sigma) > 2
+    """,
+)
+def daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection on the daily revenue series:
+    each day is z-scored against the mean/stddev of the PRECEDING 7
+    observed days (strictly trailing — the day never scores against
+    itself, the causal form a live monitor needs), and days beyond
+    |z| > 2 are flagged.  The alerting companion to
+    ``cusum_changepoint`` (retrospective level shift) and
+    ``value_outliers_robust`` (population outliers).
+
+    Plan: facts collapse to per-day rows first, so the trailing frame
+    runs over the calendar-bounded series (``bounded_seq_window``);
+    warm-up rows (fewer than 7 predecessors) are excluded explicitly
+    via the frame row count rather than left to NULL-propagation
+    differences.  Both engines evaluate the same frame in the same day
+    order; the 4-dp round absorbs stddev accumulation ulps.
+    """
+    per_day = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    w = bounded_seq_window(F.col("day")).rowsBetween(-7, -1)
+    scored = per_day.select(
+        "day", "rev",
+        F.avg("rev").over(w).alias("mu"),
+        F.stddev_samp("rev").over(w).alias("sigma"),
+        F.count("*").over(w).alias("n_window"),
+    )
+    z = (F.col("rev") - F.col("mu")) / F.col("sigma")
+    return (
+        scored.filter(
+            (F.col("n_window") >= 7) & (F.col("sigma") > 0) & (F.abs(z) > 2)
+        )
+        .select("day", "rev", "n_window", F.round(z, 4).alias("zscore"))
+    )
