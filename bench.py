@@ -99,6 +99,8 @@ HEADLINE = [
     "revenue_time_rollup",
     "order_value_equidepth_hist",
     "source_lang_entropy",
+    "daily_anomaly_zscore",
+    "bigram_collocations_pmi",
 ]
 
 

@@ -2251,8 +2251,14 @@ def fuzzy_vocab_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tok").alias("sugg"), F.col("cnt").alias("sugg_cnt"), variants
     )
     rvar = noisy.select(F.col("tok").alias("noisy_token"), variants)
+    # NO broadcast hint on the variant join: both sides are
+    # vocabulary-sized, which is small for word vocabularies but NOT
+    # bounded (a 10M-token vocab × ~9 deletion variants each is past
+    # broadcast range) — the join stays a plain equi-join on the
+    # variant key and AQE broadcasts at runtime when the side is
+    # actually small, instead of a forced hint that OOMs at scale
     cand = (
-        rvar.join(F.broadcast(vvar), "v")
+        rvar.join(vvar, "v")
         .select("noisy_token", "sugg", "sugg_cnt")
         .distinct()
         .filter(F.levenshtein("noisy_token", "sugg") <= 1)

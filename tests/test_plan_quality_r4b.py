@@ -69,14 +69,16 @@ def test_rollup_is_expand_single_scan(spark):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
 
 
-def test_fuzzy_join_is_broadcast_equi_on_variant_key(spark):
-    """The SymSpell candidate join must be a broadcast equi-join on the
-    deletion-variant key; levenshtein appears only as a post-join
-    filter, never as a join condition (which would force nested-loop)."""
+def test_fuzzy_join_is_equi_on_variant_key(spark):
+    """The SymSpell candidate join must be an equi-join on the
+    deletion-variant key (hash/sort-merge, unhinted — AQE broadcasts at
+    runtime when the vocab side is actually small); levenshtein appears
+    only as a post-join filter, never as a join condition (which would
+    force nested-loop)."""
     plan = plan_of(spark, "fuzzy_vocab_correction")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan)
 
 
 def test_ewma_has_no_window_exec(spark):
