@@ -370,12 +370,18 @@ def ewma_stream(events: DataFrame, alpha: float = 0.3) -> DataFrame:
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         n, ewma = state.get if state.exists else (0, 0.0)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for x in pdf["value"]:
-                x = float(x)
-                ewma = x if n == 0 else (1.0 - alpha) * ewma + alpha * x
-                n += 1
+        # BUFFER the whole micro-batch before sorting: the group's rows
+        # may arrive as several Arrow chunks whose boundaries do not
+        # respect event time (spill/merge dependent, i.e. load
+        # dependent) — sorting per chunk would fold out of order
+        # exactly when the executor is busiest.  Bounded: one key's
+        # share of one micro-batch.
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for x in pdf["value"]:
+            x = float(x)
+            ewma = x if n == 0 else (1.0 - alpha) * ewma + alpha * x
+            n += 1
         state.update((n, ewma))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "ewma": [ewma]}
