@@ -1098,3 +1098,33 @@ def part_copurchase_pagerank_copart(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("node").alias("part_id"),
         F.round("rank", 6).alias("pagerank"),
     )
+
+
+@register("als_part_recommendations")  # rows-only: factorization has no SQL oracle
+def als_part_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collaborative-filtering recommendations: implicit-feedback ALS
+    (Hu-Koren-Volinsky) factorizes the (customer, part, purchase-count)
+    matrix and emits top-3 unseen-part recommendations per customer —
+    the "customers who bought X also bought" surface, learned rather
+    than counted (the counted complement is ``copurchase_lift``).
+
+    Rows-only by necessity: a matrix factorization has no SQL oracle;
+    the quality contract lives in tests (planted low-rank clusters
+    recovered, unseen in-cluster items outrank cross-cluster ones,
+    same-seed determinism — tests/test_recommend.py).  Scale: ALS is
+    the canonical distributed factorizer (blocked alternating least
+    squares; factors O((|users|+|items|)×rank)); recommendForAllUsers
+    is a blocked factor product, never a cross join.
+    """
+    from ..ml.recommend import fit_als, purchase_counts, recommend_parts
+
+    ratings = purchase_counts(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+    )
+    if ratings.isEmpty():  # ALS cannot fit zero rows
+        return spark.createDataFrame(
+            [], "custkey long, rank int, partkey long, score double"
+        )
+    model = fit_als(ratings, rank=4, max_iter=5, seed=42)
+    return recommend_parts(model, k=3)
