@@ -110,6 +110,7 @@ def txn_event_interval_join(
     lookback: str = "10 minutes",
     txn_watermark: str = "5 minutes",
     event_watermark: str = "15 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream interval join (§2.4 extension).
 
@@ -122,6 +123,13 @@ def txn_event_interval_join(
     most ``lookback`` past its watermark; join state is bounded and the
     query can run forever.  The equi-key (customer) drives the shuffle;
     the time bound is evaluated within each key partition.
+
+    ``how="left_outer"`` additionally emits every UNMATCHED transaction
+    null-padded — but only once the event-side watermark proves no
+    matching event can still arrive (the row waits in state until
+    then), which is the defining semantics of watermarked outer
+    stream-stream joins: correctness is bought with emission latency of
+    one watermark delay, never with a guess.
     """
     t = txns.withWatermark(txn_ts, txn_watermark).alias("t")
     e = events.withWatermark(event_ts, event_watermark).alias("e")
@@ -130,7 +138,7 @@ def txn_event_interval_join(
         & (F.col(f"e.{event_ts}") >= F.col(f"t.{txn_ts}") - F.expr(f"INTERVAL {lookback}"))
         & (F.col(f"e.{event_ts}") <= F.col(f"t.{txn_ts}"))
     )
-    return t.join(e, cond, "inner").select(
+    return t.join(e, cond, how).select(
         F.col(f"t.{key}").alias(key),
         F.col(f"t.{txn_ts}").alias(txn_ts),
         "t.transaction_id",

@@ -412,3 +412,84 @@ def test_rule_alert_sink_hot_reloads_rules_between_batches(spark, tmpdir):
     # replay of batch 1 (foreachBatch at-least-once window) is a no-op
     sink(b1, 1)
     assert alerts.read(spark).count() == 3
+
+
+def test_interval_join_left_outer_emits_unmatched_on_watermark(spark, tmpdir):
+    """Left-outer stream-stream: a transaction with no event inside its
+    lookback must eventually surface NULL-padded — and only after the
+    event-side watermark proves no match can still arrive (advanced
+    here by feeding later batches)."""
+    src_t, src_e = f"{tmpdir}/t", f"{tmpdir}/e"
+    ckpt = f"{tmpdir}/ckpt2"
+    t_schema = "customer_id string, transaction_id string, amount double, txn_ts timestamp"
+    e_schema = "customer_id string, event_ts timestamp, event_type string"
+
+    def jwrite(df, path):
+        df.select(F.to_json(F.struct(*df.columns)).alias("v")).write.mode(
+            "append"
+        ).text(path)
+
+    base = 1_700_000_000  # fixed epoch anchor
+    t0 = spark.createDataFrame(
+        [("A", "tx1", 10.0, base), ("B", "tx2", 20.0, base)],
+        "customer_id string, transaction_id string, amount double, sec long",
+    ).select("customer_id", "transaction_id", "amount",
+             F.timestamp_seconds("sec").alias("txn_ts"))
+    e0 = spark.createDataFrame(
+        [("A", base - 60, "login")],  # matches tx1; B has nothing
+        "customer_id string, sec long, event_type string",
+    ).select("customer_id", F.timestamp_seconds("sec").alias("event_ts"),
+             "event_type")
+    jwrite(t0, src_t)
+    jwrite(e0, src_e)
+
+    st = (spark.readStream.schema("v string").text(src_t)
+          .select(F.from_json("v", t_schema).alias("r")).select("r.*"))
+    se = (spark.readStream.schema("v string").text(src_e)
+          .select(F.from_json("v", e_schema).alias("r")).select("r.*"))
+    q = (
+        txn_event_interval_join(st, se, how="left_outer")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("oj_t")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # nudge both watermarks far past tx2's match horizon; outer
+        # emission may need a couple of batch boundaries to flush
+        for hours in (2, 3, 4):
+            jwrite(
+                spark.createDataFrame(
+                    [("Z", f"txZ{hours}", 1.0, base + hours * 3600)],
+                    "customer_id string, transaction_id string, amount double, sec long",
+                ).select("customer_id", "transaction_id", "amount",
+                         F.timestamp_seconds("sec").alias("txn_ts")),
+                src_t,
+            )
+            jwrite(
+                spark.createDataFrame(
+                    [("Z", base + hours * 3600, "ping")],
+                    "customer_id string, sec long, event_type string",
+                ).select("customer_id",
+                         F.timestamp_seconds("sec").alias("event_ts"),
+                         "event_type"),
+                src_e,
+            )
+            q.processAllAvailable()
+            unmatched = spark.sql(
+                "SELECT * FROM oj_t WHERE transaction_id = 'tx2'"
+            ).collect()
+            if unmatched:
+                break
+        assert unmatched, "tx2 never emitted null-padded"
+        assert unmatched[0].event_type is None
+        assert unmatched[0].event_ts is None
+        # the matched row emitted normally
+        m = spark.sql(
+            "SELECT event_type FROM oj_t WHERE transaction_id = 'tx1'"
+        ).collect()
+        assert [r.event_type for r in m] == ["login"]
+    finally:
+        q.stop()
