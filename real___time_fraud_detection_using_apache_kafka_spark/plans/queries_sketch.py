@@ -288,3 +288,128 @@ def order_value_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("o_totalprice"), 2).alias("hi"),
         F.round(F.sum("o_totalprice"), 2).alias("bucket_sum"),
     )
+
+
+OVERLAP_K = 256
+
+
+@register(
+    "source_vocab_overlap",
+    oracle=f"""
+    WITH d AS (
+        SELECT DISTINCT source, tok,
+               {poly_hash_duckdb("tok")} AS h
+        FROM (
+            SELECT source,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM documents WHERE text IS NOT NULL
+        ) WHERE tok <> ''
+    ), per_src AS (
+        SELECT source,
+               count(*) AS n_toks,
+               list_sort(list(h))[1:{OVERLAP_K}] AS sk
+        FROM d GROUP BY source
+    ), inter AS (
+        SELECT x.source AS source_a, y.source AS source_b,
+               count(*) AS n_common
+        FROM d x JOIN d y ON x.tok = y.tok AND x.source < y.source
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               a.n_toks AS n_a, b.n_toks AS n_b,
+               coalesce(i.n_common, 0) AS n_common,
+               a.sk AS sk_a, b.sk AS sk_b,
+               list_sort(list_distinct(a.sk || b.sk)) AS u
+        FROM per_src a
+        JOIN per_src b ON a.source < b.source
+        LEFT JOIN inter i
+          ON i.source_a = a.source AND i.source_b = b.source
+    )
+    SELECT source_a, source_b, n_a, n_b, n_common,
+           round(n_common / CAST(n_a + n_b - n_common AS DOUBLE), 6)
+               AS jaccard_exact,
+           round(len(list_intersect(list_intersect(
+                         u[1:least({OVERLAP_K}, len(u))], sk_a), sk_b))
+                 / CAST(least({OVERLAP_K}, len(u)) AS DOUBLE), 6)
+               AS jaccard_kmv
+    FROM pairs
+    """,
+)
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source corpus overlap: exact vocabulary Jaccard between
+    every pair of document sources, next to the K-minimum-values SKETCH
+    estimate of the same quantity — the contamination/redundancy
+    diagnostic a data-mixing pipeline runs before blending sources, at
+    the cost of one small sketch per source instead of a vocabulary
+    self-join.
+
+    KMV set algebra: a pair's union sketch is the k smallest of the
+    merged sketches, and J ≈ |U_k ∩ A_k ∩ B_k| / k — deterministic
+    under the portable hash, so the oracle reproduces the ESTIMATE
+    bit-for-bit, and when both vocabularies are smaller than k the
+    sketches are the full sets and the estimate degrades gracefully to
+    the exact Jaccard.  Scale: the exact tier's token self-join is
+    vocabulary-sized (already sub-corpus) and exists to VALIDATE the
+    sketch; at a 10B-token vocabulary only the sketch tier runs —
+    |sources| sketches of k longs each, merged pairwise on the driver
+    side of a broadcast, with the corpus touched once for the distinct
+    (source, token) projection.
+    """
+    from ..functions.hashing import poly_hash_expr
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    d = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+        .select("source", "tok", poly_hash_expr("tok").alias("h"))
+    )
+    per_src = d.groupBy("source").agg(
+        F.count("*").alias("n_toks"),
+        F.slice(F.array_sort(F.collect_set("h")), 1, OVERLAP_K).alias("sk"),
+    )
+    x = d.select(F.col("source").alias("source_a"), "tok")
+    y = d.select(F.col("source").alias("source_b"), "tok")
+    inter = (
+        x.join(y, "tok")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    a = per_src.select(
+        F.col("source").alias("source_a"),
+        F.col("n_toks").alias("n_a"),
+        F.col("sk").alias("sk_a"),
+    )
+    b = per_src.select(
+        F.col("source").alias("source_b"),
+        F.col("n_toks").alias("n_b"),
+        F.col("sk").alias("sk_b"),
+    )
+    pairs = (
+        a.join(b, F.col("source_a") < F.col("source_b"))
+        .join(inter, ["source_a", "source_b"], "left")
+        .withColumn("n_common", F.coalesce("n_common", F.lit(0)))
+        .withColumn("u", F.array_sort(F.array_union("sk_a", "sk_b")))
+    )
+    k_eff = F.least(F.lit(OVERLAP_K), F.size("u"))
+    num = F.size(
+        F.array_intersect(
+            F.array_intersect(F.slice("u", 1, k_eff), F.col("sk_a")),
+            F.col("sk_b"),
+        )
+    )
+    return pairs.select(
+        "source_a", "source_b", "n_a", "n_b", "n_common",
+        F.round(
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+            6,
+        ).alias("jaccard_exact"),
+        F.round(num / k_eff.cast("double"), 6).alias("jaccard_kmv"),
+    )
