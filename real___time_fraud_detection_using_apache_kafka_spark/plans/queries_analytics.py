@@ -1128,3 +1128,84 @@ def als_part_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     model = fit_als(ratings, rank=4, max_iter=5, seed=42)
     return recommend_parts(model, k=3)
+
+
+@register(
+    "part_revenue_abc",
+    oracle="""
+    WITH pr AS (
+        -- DECIMAL the per-part revenue: exact, order-independent sums,
+        -- so the distinct revenue VALUES (the grouping keys below) are
+        -- identical across engines — a double sum's last-ulp wobble
+        -- would fracture groups nondeterministically
+        SELECT l_partkey,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        FROM lineitem GROUP BY l_partkey
+    ), by_rev AS (
+        SELECT rev, count(*) AS n, sum(rev) AS g FROM pr GROUP BY rev
+    ), c AS (
+        SELECT rev, n, g,
+               sum(g) OVER (ORDER BY rev DESC
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(g) OVER () AS total
+        FROM by_rev
+    )
+    SELECT CASE WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.7
+                THEN 'A'
+                WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.9
+                THEN 'B' ELSE 'C' END      AS abc_class,
+           sum(n)                          AS n_parts,
+           round(CAST(sum(g) AS DOUBLE), 2) AS revenue,
+           round(CAST(sum(g) AS DOUBLE)
+                 / CAST(any_value(total) AS DOUBLE), 6) AS revenue_share
+    FROM c GROUP BY abc_class
+    """,
+)
+def part_revenue_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue: class A = the
+    top sellers covering the first 70% of cumulative revenue, B to 90%,
+    C the long tail — the inventory-prioritization rollup every
+    merchandising pipeline runs.
+
+    Scale shape — the roc_auc pattern reapplied to money: per-part
+    revenues collapse to one row per DISTINCT revenue value (ties get
+    one row, so class assignment is deterministic — no arbitrary order
+    among equal-revenue parts), and the descending cumulative comes
+    from the bucketed ``exclusive_prefix_sum`` with the grand total
+    riding the same offsets broadcast — no single-partition window over
+    the part domain at any catalog size.  Revenue sums are DECIMAL
+    end-to-end (exact, order-independent) so the distinct-value
+    grouping keys match across engines; only the final shares surface
+    as doubles.
+    """
+    from ..operators.windows import exclusive_prefix_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev")
+    )
+    by_rev = pr.groupBy("rev").agg(
+        F.count("*").alias("n"), F.sum("rev").alias("g")
+    )
+    pre = exclusive_prefix_sum(
+        by_rev.withColumn("rev_d", F.col("rev").cast("double")),
+        "rev_d", ["g"], descending=True,
+        bounds=(0.0, 1e8), grand_cols=["g"],
+    )
+    share = (F.col("g_before") + F.col("g")).cast("double") / F.col(
+        "g_grand"
+    ).cast("double")
+    cls = (
+        F.when(share <= 0.7, "A").when(share <= 0.9, "B").otherwise("C")
+    )
+    return (
+        pre.withColumn("abc_class", cls)
+        .groupBy("abc_class")
+        .agg(
+            F.sum("n").alias("n_parts"),
+            F.round(F.sum("g").cast("double"), 2).alias("revenue"),
+            F.round(
+                F.sum("g").cast("double") / F.max("g_grand").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+    )
