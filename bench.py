@@ -101,6 +101,8 @@ HEADLINE = [
     "source_lang_entropy",
     "daily_anomaly_zscore",
     "bigram_collocations_pmi",
+    "source_vocab_overlap",
+    "part_revenue_abc",
 ]
 
 
