@@ -261,3 +261,84 @@ def daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("day", "rev", "n_window", F.round(z, 4).alias("zscore"))
     )
+
+
+@register(
+    "holt_revenue_forecast",
+    oracle="""
+    WITH per_day AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               round(sum(o_totalprice), 2) AS rev
+        FROM orders GROUP BY day
+    ), series AS (
+        SELECT list(CAST(rev AS DOUBLE) ORDER BY day) AS xs,
+               count(*) AS n_days
+        FROM per_day
+    ), fitted AS (
+        SELECT n_days,
+               CASE WHEN n_days >= 2 THEN
+                   list_reduce(
+                       list_prepend([xs[2], xs[2] - xs[1]],
+                                    list_transform(xs[3:len(xs)],
+                                                   v -> [v, 0.0])),
+                       (acc, x) -> [
+                           0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
+                           0.3 * (0.5 * x[1] + 0.5 * (acc[1] + acc[2])
+                                  - acc[1]) + 0.7 * acc[2]
+                       ])
+               END AS lb
+        FROM series
+    )
+    SELECT n_days,
+           round(lb[1], 6)               AS level,
+           round(lb[2], 6)               AS trend,
+           round(lb[1] + 1 * lb[2], 6)   AS forecast_1d,
+           round(lb[1] + 7 * lb[2], 6)   AS forecast_7d
+    FROM fitted
+    """,
+)
+def holt_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend, α=0.5, β=0.3)
+    over the daily revenue series, with 1-day and 7-day linear
+    forecasts — the next step up from EWMA when the series trends, and
+    the classical baseline every forecasting stack is judged against.
+
+    The two-state recurrence folds as ONE ``aggregate`` expression with
+    an array<double> [level, trend] accumulator (init: level=x₂,
+    trend=x₂−x₁, folding from the 3rd observation — the standard Holt
+    initialization), over the calendar-bounded day series collected in
+    order.  The IDENTICAL fold — same literals, same op order — runs on
+    DuckDB via ``list_reduce`` with a list accumulator, so the fitted
+    state matches bit-for-bit before the 6-dp round.  Scale: the fact
+    table collapses to per-day rows first; the fold touches only the
+    bounded series (same doctrine as the other sequential queries).
+    """
+    per_day = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    series = per_day.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, rev))), "
+            "s -> cast(s.rev as double))"
+        ).alias("xs"),
+        F.count("*").alias("n_days"),
+    )
+    fold = F.expr(
+        "CASE WHEN size(xs) >= 2 THEN "
+        "aggregate(slice(xs, 3, greatest(size(xs) - 2, 0)), "
+        "array(xs[1], xs[1] - xs[0]), "
+        "(acc, x) -> array("
+        "0.5 * x + 0.5 * (acc[0] + acc[1]), "
+        "0.3 * (0.5 * x + 0.5 * (acc[0] + acc[1]) - acc[0]) + 0.7 * acc[1]"
+        ")) END"
+    )
+    fitted = series.select("n_days", fold.alias("lb"))
+    return fitted.select(
+        "n_days",
+        F.round(F.expr("lb[0]"), 6).alias("level"),
+        F.round(F.expr("lb[1]"), 6).alias("trend"),
+        F.round(F.expr("lb[0] + 1 * lb[1]"), 6).alias("forecast_1d"),
+        F.round(F.expr("lb[0] + 7 * lb[1]"), 6).alias("forecast_7d"),
+    )
