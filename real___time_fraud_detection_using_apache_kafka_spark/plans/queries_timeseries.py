@@ -342,3 +342,231 @@ def holt_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("lb[0] + 1 * lb[1]"), 6).alias("forecast_1d"),
         F.round(F.expr("lb[0] + 7 * lb[1]"), 6).alias("forecast_7d"),
     )
+
+
+@register(
+    "session_survival_km",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, event_id, epoch_us(ts) AS us
+        FROM events WHERE user_id IS NOT NULL
+    ), horizon AS (
+        SELECT max(us) AS h_us FROM e
+    ), flagged AS (
+        SELECT user_id, us,
+               CASE WHEN us - lag(us) OVER (
+                        PARTITION BY user_id ORDER BY us, event_id)
+                      > 30 * 60 * 1000000
+                      OR lag(us) OVER (
+                        PARTITION BY user_id ORDER BY us, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM e
+    ), sess AS (
+        SELECT user_id, us,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    ), durs AS (
+        SELECT user_id, sid,
+               CAST((max(us) - min(us)) // 60000000 AS BIGINT) AS dur_min,
+               CASE WHEN (SELECT h_us FROM horizon) - max(us)
+                         < 30 * 60 * 1000000
+                    THEN 1 ELSE 0 END AS censored
+        FROM sess GROUP BY user_id, sid
+    ), deaths AS (
+        SELECT dur_min, count(*) FILTER (censored = 0) AS d,
+               count(*) AS total_at
+        FROM durs GROUP BY dur_min
+    ), km AS (
+        SELECT dur_min, d,
+               sum(total_at) OVER (ORDER BY dur_min DESC
+                                   ROWS UNBOUNDED PRECEDING) AS n_at_risk
+        FROM deaths
+    )
+    SELECT dur_min AS duration_min, d AS n_ended, n_at_risk,
+           -- the final factor can be exactly 0 (everyone at risk dies):
+           -- ln() is guarded and the zero flag pins S = 0 from there on
+           round(CASE WHEN max(CASE WHEN d = n_at_risk THEN 1 ELSE 0 END)
+                          OVER (ORDER BY dur_min ROWS UNBOUNDED PRECEDING) = 1
+                 THEN 0.0
+                 ELSE exp(sum(CASE WHEN d < n_at_risk
+                              THEN ln(1.0 - d / CAST(n_at_risk AS DOUBLE)) END)
+                          OVER (ORDER BY dur_min ROWS UNBOUNDED PRECEDING))
+                 END, 6) AS survival
+    FROM km WHERE d > 0
+    """,
+)
+def session_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of SESSION durations: how long do
+    user sessions (30-minute inactivity gap) live, with each user's
+    possibly-still-open trailing session right-CENSORED (its last event
+    lies within one gap of the corpus horizon, so its true duration is
+    unknown) — the censoring correction that separates survival
+    analysis from a naive duration histogram.  S(t) = Π_{dᵢ≤t}
+    (1 − dᵢ/nᵢ) over durations with at least one completed session.
+
+    Plan: sessionization is the engine's standard gap/island sweep on
+    ONE user-keyed exchange; after the per-session collapse everything
+    runs on per-DISTINCT-duration rows — at-risk counts are a
+    descending cumulative, the product telescopes to exp(Σ ln(·)) on
+    the ascending pass, both ``bounded_seq_window`` (durations are
+    wall-clock-bounded).  Both engines evaluate the identical ordered
+    sequence; the 6-dp round absorbs exp/ln last-ulp skew.  The
+    horizon rides a broadcast 1-row aggregate.
+    """
+    from ..operators.temporal import _micros
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", "event_id", _micros(F.col("ts")).alias("us"))
+    )
+    gap = 30 * 60 * 1_000_000
+    horizon = e.agg(F.max("us").alias("h_us"))
+    w_lag = Window.partitionBy("user_id").orderBy("us", "event_id")
+    prev = F.lag("us").over(w_lag)
+    flagged = e.select(
+        "user_id", "us",
+        F.when(prev.isNull() | (F.col("us") - prev > gap), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = flagged.select(
+        "user_id", "us", F.sum("is_new").over(w_run).alias("sid")
+    )
+    durs = (
+        sess.groupBy("user_id", "sid")
+        .agg(F.min("us").alias("s_us"), F.max("us").alias("e_us"))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.floor((F.col("e_us") - F.col("s_us")) / 60_000_000)
+            .cast("long")
+            .alias("dur_min"),
+            F.when(F.col("h_us") - F.col("e_us") < gap, 1)
+            .otherwise(0)
+            .alias("censored"),
+        )
+    )
+    deaths = durs.groupBy("dur_min").agg(
+        F.count(F.when(F.col("censored") == 0, 1)).alias("d"),
+        F.count("*").alias("total_at"),
+    )
+    w_desc = bounded_seq_window(F.desc("dur_min")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    km = deaths.select(
+        "dur_min", "d", F.sum("total_at").over(w_desc).alias("n_at_risk")
+    )
+    w_asc = bounded_seq_window(F.asc("dur_min")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ln_term = F.when(
+        F.col("d") < F.col("n_at_risk"),
+        F.log(1.0 - F.col("d") / F.col("n_at_risk").cast("double")),
+    )
+    hit_zero = F.max(
+        F.when(F.col("d") == F.col("n_at_risk"), 1).otherwise(0)
+    ).over(w_asc)
+    surv = F.when(hit_zero == 1, F.lit(0.0)).otherwise(
+        F.exp(F.sum(ln_term).over(w_asc))
+    )
+    return (
+        km.withColumn("survival", F.round(surv, 6))
+        .filter(F.col("d") > 0)
+        .select(
+            F.col("dur_min").alias("duration_min"),
+            F.col("d").alias("n_ended"),
+            "n_at_risk",
+            "survival",
+        )
+    )
+
+
+@register(
+    "theil_sen_revenue_trend",
+    oracle="""
+    WITH per_day AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               round(sum(o_totalprice), 2) AS rev
+        FROM orders GROUP BY day
+    ), base AS (
+        SELECT day, rev,
+               date_diff('day', (SELECT min(day) FROM per_day), day) AS x
+        FROM per_day
+    ), slopes AS (
+        SELECT (b.rev - a.rev) / CAST(b.x - a.x AS DOUBLE) AS s
+        FROM base a JOIN base b ON a.x < b.x
+    ), fit AS (
+        SELECT quantile_cont(s, 0.5) AS slope,
+               (SELECT count(*) FROM slopes) AS n_pairs
+        FROM slopes
+    )
+    SELECT (SELECT count(*) FROM base)        AS n_days,
+           n_pairs,
+           round(slope, 6)                    AS slope_per_day,
+           round((SELECT quantile_cont(rev - fit.slope * x, 0.5)
+                  FROM base), 6)              AS intercept
+    FROM fit
+    """,
+)
+def theil_sen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily revenue: slope = MEDIAN of all
+    pairwise day-to-day slopes, intercept = median residual at x=0 —
+    the estimator that shrugs off the outlier days that drag the OLS
+    fit (``revenue_trend_regression``) around; up to ~29% contamination
+    tolerated by construction.
+
+    Plan: the fact table collapses to per-day rows first, so the O(n²)
+    pairwise-slope join runs on the CALENDAR-bounded series (~10⁵ pairs
+    per decade of days — metadata next to the fact scan), joined on
+    the day index, never a fact-to-fact product.  The medians use the
+    shared linear-interpolation percentile semantics
+    (``percentile`` / ``quantile_cont``), and both engines interpolate
+    the same sorted doubles, so the 6-dp round holds the hash.
+    """
+    per_day = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    base = per_day.crossJoin(
+        F.broadcast(per_day.agg(F.min("day").alias("d0")))
+    ).select(
+        "rev", F.datediff("day", "d0").alias("x")
+    )
+    # the day table collapses to ~1 partition after its aggregate; spread
+    # the O(days²) pair generation across tasks before the theta-join
+    # (the broadcast NLJ parallelizes over left-side partitions only)
+    a = base.repartition(32).select(
+        F.col("x").alias("xa"), F.col("rev").alias("ra")
+    )
+    b = base.select(F.col("x").alias("xb"), F.col("rev").alias("rb"))
+    slopes = a.join(F.broadcast(b), F.col("xa") < F.col("xb")).select(
+        ((F.col("rb") - F.col("ra")) / (F.col("xb") - F.col("xa")).cast("double")
+         ).alias("s")
+    )
+    fit = slopes.agg(
+        F.percentile("s", F.lit(0.5)).alias("slope"),
+        F.count("*").alias("n_pairs"),
+    )
+    # ONE pass carries slope/n_pairs through the residual aggregate —
+    # a second crossJoin(fit) would re-evaluate the whole pairwise
+    # subtree (measured ~2x)
+    resid = base.crossJoin(F.broadcast(fit)).agg(
+        F.percentile(
+            F.col("rev") - F.col("slope") * F.col("x"), F.lit(0.5)
+        ).alias("intercept"),
+        F.count("*").alias("n_days"),
+        F.max("slope").alias("slope"),
+        F.max("n_pairs").alias("n_pairs"),
+    )
+    return resid.select(
+        "n_days", "n_pairs",
+        F.round("slope", 6).alias("slope_per_day"),
+        F.round("intercept", 6).alias("intercept"),
+    )
