@@ -103,6 +103,9 @@ HEADLINE = [
     "bigram_collocations_pmi",
     "source_vocab_overlap",
     "part_revenue_abc",
+    "holt_revenue_forecast",
+    "session_survival_km",
+    "theil_sen_revenue_trend",
 ]
 
 
