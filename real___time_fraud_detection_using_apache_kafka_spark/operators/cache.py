@@ -1,0 +1,54 @@
+"""Session-scoped lifecycle for operator-internal persisted state.
+
+Several operators persist intermediate frames for correctness-of-cost
+reasons (the BFS visited set, PageRank's out-degree table, the
+co-purchase edge list): the frames are consumed several times inside
+ONE query's plan, and recomputing them measured 3-9 s/query at sf0.1.
+Those persists cannot be unpersisted inside the operator — the returned
+DataFrame is lazy, and the cache must be alive when the CALLER runs the
+action.
+
+The one consistent policy (VERDICT r4 item 3): every internal persist
+goes through :func:`tracked_persist`, and :func:`release_tracked` frees
+everything tracked for a session.  The query registry calls
+``release_tracked`` at the START of building each catalog query, so a
+long-lived session looping build→collect→build (the driver's exact
+pattern, and bench.py's) holds at most ONE query's internal caches at
+any moment — bounded, never accumulating.  Callers composing operators
+directly can call ``release_tracked(spark)`` themselves after their
+action (or keep using ``spark.catalog.clearCache()``, which remains a
+superset).
+
+Unpersisting a frame never invalidates it — a later action simply
+recomputes — so early release is always safe, only ever a cost.
+"""
+
+from __future__ import annotations
+
+import weakref
+
+from pyspark.sql import DataFrame, SparkSession
+
+# session -> list of persisted DataFrames; weak keys so a stopped
+# session's entry disappears with it
+_TRACKED: "weakref.WeakKeyDictionary[SparkSession, list[DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def tracked_persist(df: DataFrame, storage_level=None) -> DataFrame:
+    """Persist ``df`` and register it for session-scoped release."""
+    df = df.persist(storage_level) if storage_level is not None else df.persist()
+    _TRACKED.setdefault(df.sparkSession, []).append(df)
+    return df
+
+
+def release_tracked(spark: SparkSession) -> int:
+    """Unpersist every tracked frame for ``spark``; returns the count."""
+    frames = _TRACKED.pop(spark, [])
+    for df in frames:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to free
+    return len(frames)

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .cache import tracked_persist
+
 
 def basket_pairs(df: DataFrame, basket: str, item: str,
                  a: str = "a", b: str = "b") -> DataFrame:
@@ -93,12 +95,11 @@ def triangle_stats(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     # re-aggregating the edge list per consumer (callers pass a
     # persisted edge list for the same reason — e itself is read by the
     # orientation join, the closing join and the edge count)
-    deg = (
+    deg = tracked_persist(
         e.select(F.col("ea").alias("node"))
         .union(e.select(F.col("eb").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
-        .persist()
     )
     # orientation key: lexicographic (deg, id); struct comparison gives
     # the total order directly in codegen
@@ -165,25 +166,32 @@ def khop_min_dist(edges: DataFrame, seeds: DataFrame, max_hops: int,
     because the anti-join makes each level's lineage reference every
     earlier level — unpersisted, level h would recompute level h-1's
     whole subtree twice (2^h total scans).  Persisted, each level scans
-    the cached |V|-bounded state plus the edge list once.  At
-    billion-vertex scale the same loop holds with the frontier
-    broadcast while small (expansion phase) and checkpointing every few
-    levels to truncate lineage; early exit on an empty frontier is a
-    driver-side count on metadata-sized state.
+    the cached |V|-bounded state plus the edge list once.  The per-level
+    caches are session-tracked (``operators/cache.py``): the registry
+    releases them when the next catalog query is built, and direct
+    callers free them with ``release_tracked(spark)`` after their
+    action.  At billion-vertex scale the same loop holds with the
+    frontier broadcast while small (expansion phase) and checkpointing
+    every few levels to truncate lineage; early exit on an empty
+    frontier is a driver-side count on metadata-sized state.
+
+    Duplicate seed rows are deduped up front (``distinct``) so each
+    reachable node appears exactly once in the output.
     """
-    visited = seeds.select(F.col(node).alias("node"), F.lit(0).alias("dist"))
-    visited = visited.persist()
+    visited = tracked_persist(
+        seeds.select(F.col(node).alias("node")).distinct()
+        .select("node", F.lit(0).alias("dist"))
+    )
     frontier = visited
     for h in range(1, max_hops + 1):
-        nxt = (
+        nxt = tracked_persist(
             frontier.join(edges, frontier["node"] == edges[src])
             .select(F.col(dst).alias("node"))
             .distinct()
             .join(visited, "node", "left_anti")
             .select("node", F.lit(h).alias("dist"))
-            .persist()
         )
-        visited = visited.union(nxt).persist()
+        visited = tracked_persist(visited.union(nxt))
         frontier = nxt
     return visited
 
@@ -196,8 +204,13 @@ def pagerank_fixed(edges: DataFrame, iterations: int = 3,
     directed edge list (one row per edge, no duplicates).
 
     Every node must appear as a source at least once (true for symmetric
-    edge lists, e.g. co-occurrence graphs) — dangling-mass redistribution
-    is deliberately out of scope for the relational tier.  Returns
+    edge lists, e.g. co-occurrence graphs) — dangling-node (no out-edge)
+    mass redistribution is deliberately out of scope for the relational
+    tier.  Nodes with no IN-edges are handled: each iteration rebuilds
+    the rank vector over the full node set with the ``(1-d)/n`` baseline
+    (left join against the by-dst contributions), so a pure-source
+    vertex keeps its baseline rank and keeps emitting mass instead of
+    silently vanishing after iteration 1 (ADVICE r4).  Returns
     ``(node, rank)`` with ranks summing to ~1.
 
     Two physical strategies, same recurrence and identical output:
@@ -234,7 +247,9 @@ def pagerank_fixed(edges: DataFrame, iterations: int = 3,
     # derive from it — without the cache each broadcast subtree would
     # re-shuffle the full edge list per iteration (measured: ~6 extra
     # |E|-row exchanges for 3 iterations at sf0.1)
-    deg = edges.groupBy(src).agg(F.count("*").alias("_outdeg")).persist()
+    deg = tracked_persist(
+        edges.groupBy(src).agg(F.count("*").alias("_outdeg"))
+    )
     return _pagerank_iterate(edges, deg, iterations, damping, src, dst,
                              broadcast_msg=True)
 
@@ -248,8 +263,8 @@ def _pagerank_copartition(edges: DataFrame, iterations: int,
     # cached InMemoryRelation advertises this partitioning, so the
     # per-iteration message join shuffles ONLY the |V|-row message side
     # to match; the |E| side is never exchanged again
-    e = edges.repartition(n_part, F.col(src)).persist()
-    deg = e.groupBy(src).agg(F.count("*").alias("_outdeg")).persist()
+    e = tracked_persist(edges.repartition(n_part, F.col(src)))
+    deg = tracked_persist(e.groupBy(src).agg(F.count("*").alias("_outdeg")))
     return _pagerank_iterate(e, deg, iterations, damping, src, dst,
                              broadcast_msg=False)
 
@@ -281,11 +296,21 @@ def _pagerank_iterate(edges: DataFrame, deg: DataFrame, iterations: int,
             edges.join(msg_side, F.col(src) == F.col("_msrc"))
             .groupBy(dst)
             .agg(F.sum("_m").alias("_in"))
+            .select(F.col(dst).alias("_cdst"), "_in")
         )
-        ranks = contribs.crossJoin(F.broadcast(n)).select(
-            F.col(dst).alias("node"),
-            (
-                (1.0 - damping) / F.col("_n") + F.lit(damping) * F.col("_in")
-            ).alias("rank"),
+        # rebuild over the FULL node set, not just nodes that received
+        # mass: a vertex with no in-edges keeps the (1-d)/n baseline and
+        # keeps emitting, instead of vanishing after iteration 1
+        # (ADVICE r4).  |V| ⋈ |V| hash join — never data-sized.
+        ranks = (
+            nodes.join(contribs, nodes["node"] == F.col("_cdst"), "left")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "node",
+                (
+                    (1.0 - damping) / F.col("_n")
+                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
+                ).alias("rank"),
+            )
         )
     return ranks

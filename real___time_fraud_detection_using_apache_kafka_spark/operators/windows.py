@@ -113,17 +113,28 @@ def _plan_side_offsets(totals: DataFrame, bucket_col: str,
 
     merge = _COMBINE_MERGE[combine]
 
+    def elem_of(c, zero):
+        # A bucket whose rows are all NULL in c yields a NULL _tot_ that
+        # would poison every later offset through `acc + NULL` — coalesce
+        # each element to the monoid identity for "sum" (least/greatest
+        # already skip NULLs, so min/max need no guard).
+        if combine == "sum":
+            return lambda x: F.coalesce(x[f"_tot_{c}"], zero)
+        return lambda x: x[f"_tot_{c}"]
+
     def prefix_of(c):
         zero = _combine_identity(combine, types[f"_tot_{c}"])
+        elem = elem_of(c, zero)
         return lambda s, i: F.aggregate(
             F.slice(F.col("_a"), F.lit(1), i), zero,
-            lambda acc, x: merge(acc, x[f"_tot_{c}"]),
+            lambda acc, x: merge(acc, elem(x)),
         )
 
     def grand_of(c):
         zero = _combine_identity(combine, types[f"_tot_{c}"])
+        elem = elem_of(c, zero)
         return F.aggregate(
-            F.col("_a"), zero, lambda acc, x: merge(acc, x[f"_tot_{c}"])
+            F.col("_a"), zero, lambda acc, x: merge(acc, elem(x))
         )
 
     def entry(s, i):

@@ -54,19 +54,21 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~3.6k edges at sf0.1), and every graph query consumes that list
     # 2-5 times (degrees, orientation, per-BFS-level joins) — without
     # the cache each consumer replays the pair build, which measured
-    # 3-9 s/query at sf0.1 vs sub-second cached.  The bench/driver
-    # clear the cache between queries; long-lived callers own
-    # unpersist, as with pagerank_fixed's degree cache.
+    # 3-9 s/query at sf0.1 vs sub-second cached.  The cache is
+    # session-tracked (operators/cache.py): the registry releases it
+    # when the NEXT catalog query is built, so long-lived sessions hold
+    # at most one query's internal caches; direct callers use
+    # release_tracked(spark) after their action.
+    from ..operators.cache import tracked_persist
     from ..operators.graph import basket_pairs
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    return (
+    return tracked_persist(
         basket_pairs(li, "l_orderkey", "l_partkey")
         .groupBy("a", "b")
         .agg(F.count("*").alias("_support"))
         .filter(F.col("_support") >= MIN_SHARED_ORDERS)
         .select("a", "b")
-        .persist()
     )
 
 

@@ -307,7 +307,11 @@ OVERLAP_K = 256
     ), per_src AS (
         SELECT source,
                count(*) AS n_toks,
-               list_sort(list(h))[1:{OVERLAP_K}] AS sk
+               -- list_distinct: d is distinct over (source, tok, h), so two
+               -- toks whose poly-hashes collide would leave a duplicate h in
+               -- the sketch; Spark's collect_set(h) dedups hash VALUES —
+               -- both sides must sketch distinct hashes (ADVICE r4)
+               list_sort(list_distinct(list(h)))[1:{OVERLAP_K}] AS sk
         FROM d GROUP BY source
     ), inter AS (
         SELECT x.source AS source_a, y.source AS source_b,

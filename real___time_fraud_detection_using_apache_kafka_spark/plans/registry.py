@@ -66,6 +66,13 @@ def _stable_types(fn: QueryFn) -> QueryFn:
         from pyspark.sql import functions as F
         from pyspark.sql.types import DecimalType, DoubleType, FloatType
 
+        from ..operators.cache import release_tracked
+
+        # One cache-lifecycle policy (VERDICT r4 item 3): building a
+        # catalog query releases the PREVIOUS query's operator-internal
+        # tracked persists, so a long-lived build→collect→build loop
+        # (the driver, bench.py) caches at most one query's state.
+        release_tracked(spark)
         df = fn(spark, sf_dir)
         if any(
             isinstance(f.dataType, (DecimalType, DoubleType, FloatType))
@@ -90,62 +97,55 @@ def _stable_types(fn: QueryFn) -> QueryFn:
 
 # The driver's correctness gate checks the FIRST 50 catalog entries, so
 # the head is COMPOSED each round, not left to registration order.
-# Round-4 composition rule (VERDICT.md r3 item 1): maximize cumulative
-# driver coverage — 86 of 140 names already recorded hash-true in
-# r01/r02/r03, so this head is (a) the 43 never-driver-graded queries
-# that have oracles, (b) q12_shipping_lateness (its round-2 hash fix was
-# rotated out before the driver ever re-confirmed it), (c) minhash_neardup
-# (rows-only probabilistic check — the one LLM-dedup family member with
-# zero driver signal), and (d) the 5 queries whose plans or oracle SQL
-# were REWRITTEN this round (scale-safe distributed-rank defaults in
-# lift_gain_deciles / shuffle_training_order, bucketed prefix sum in
-# ks_drift_stat, broadcast-total npos in pr_curve_threshold, null-text
-# guard in corpus_segment_dedup) — same lesson as q12: a changed plan is
-# ungraded until the driver says otherwise.  44/50 entries have never
-# been driver-graded.  Everything rotated out stays in the catalog right
-# after the head and is green in r3's driver gate and in every local
-# full-catalog oracle run (tools/check_oracle.py, 140/140).
-#
-# Round-5 head plan (do NOT reshuffle mid-round-4 — the 23 queries ADDED
-# during round 4 (graph census / BFS / time-series / KMV / fuzzy-join /
-# pivot / unpivot / rollup / interval-union / weighted-reservoir ...)
-# are local-oracle + nulled-sweep + vanilla green but deliberately NOT
-# in this head; displacing the r3-item-1 never-graded set or the
-# rewritten-plan confirmations would trade one coverage debt for
-# another): compose round 5 from those 23 + the remaining never-graded
-# tail, completing cumulative driver coverage of the whole catalog.
+# Round-5 composition (executes the written round-5 plan from round 4,
+# now confirmed by VERDICT.md r4 item 1): cumulative driver coverage
+# after r1-r4 is 129 hash-green names; this head is
+#   (a) the 33 oracle-able catalog queries that have NEVER been
+#       driver-graded — the round-4 graph / time-series / sketch /
+#       pivot / sampling additions,
+#   (b) new round-5 oracle-able queries (each a changed-or-new plan,
+#       ungraded until the driver says otherwise — q12 lesson), led by
+#       minhash_signatures (VERDICT r4 item 5: hash-level driver signal
+#       for the MinHash family, whose LSH retrieval tier is permanently
+#       rows-only),
+#   (c) remaining slots spent on never-graded rows-only entries so every
+#       catalog family has at least weak driver signal.
+# Everything rotated out stays in the catalog right after the head and
+# is hash-green in an earlier driver round AND in every local
+# full-catalog oracle run (tools/check_oracle.py).
 _GRADED_FIRST = [
-    # round-2 fix needing driver confirmation + this round's rewrites
-    "q12_shipping_lateness",
-    "lift_gain_deciles", "ks_drift_stat", "shuffle_training_order",
-    "pr_curve_threshold", "corpus_segment_dedup",
-    # ML metric battery members never graded (incl. the streaming dual)
-    "per_class_report", "pr_threshold_binned", "calibration_curve",
-    # relational / scalar / semi-structured never graded
-    "customer_order_digest", "bag_set_ops_nations",
-    "fuzzy_category_recovery", "bool_agg_events", "scalar_date_arithmetic",
-    "kv_map_roundtrip", "wire_formats_roundtrip",
-    "log_parse_roundtrip", "log_line_filters",
-    # text-analysis family never graded
-    "doc_token_stats", "bpe_token_stats", "doc_quality", "doc_fingerprint",
-    "simhash_fingerprints", "doc_repetition", "corpus_top_tokens",
-    "unigram_logprob", "corpus_mix_report",
-    # curation / sampling / packing never graded
-    "sample_documents_stratified", "sample_per_group",
-    "embedding_gated_curation", "benchmark_contamination",
-    "pack_training_sequences", "doc_chunks_overlap",
-    "mix_sources_token_budget", "dq_constraint_report",
-    "profile_orders_columns",
-    # embedding / multimodal never graded
-    "embedding_array_stats", "embedding_quantize_stats",
-    "embedding_salient_dims", "multimodal_binary", "multimodal_decode_meta",
-    "blob_dedup_md5",
-    # dedup clustering + the rows-only LSH tier
-    "neardup_clusters", "minhash_neardup",
-    # temporal / funnel / distribution never graded
-    "tumbling_event_windows", "clicks_before_purchase", "purchase_funnel",
-    "order_value_percentiles", "event_value_histogram",
-    "daily_gapfill_forward",
+    # --- (a) never-driver-graded oracle-able queries (33) ---
+    # pivot / unpivot / rollup trio
+    "user_event_pivot", "priority_metrics_unpivot", "revenue_time_rollup",
+    # graph family (census, BFS, PageRank both tiers, lift)
+    "copurchase_triangles", "copurchase_khop_reach",
+    "copurchase_degree_stats", "part_copurchase_pagerank",
+    "part_copurchase_pagerank_copart", "copurchase_lift",
+    # similarity / embedding
+    "knn_graph", "label_centroid_similarity",
+    # text / sketch
+    "bm25_top_terms", "fuzzy_vocab_correction", "source_lang_entropy",
+    "bigram_collocations_pmi", "source_vocab_overlap",
+    "kmv_distinct_users", "order_value_equidepth_hist",
+    # sampling / ordering / distribution
+    "quality_weighted_sample", "weighted_reservoir_sample",
+    "skyline_orders", "orders_trimmed_stats", "part_revenue_abc",
+    # stats / experiments
+    "ab_test_zstat", "user_growth_curve", "interval_union_coverage",
+    # time-series (incl. the streaming-dual anchors ewma/kmv)
+    "ewma_user_value", "autocorr_daily_revenue", "cusum_changepoint",
+    "daily_anomaly_zscore", "holt_revenue_forecast",
+    "session_survival_km", "theil_sen_revenue_trend",
+    # --- (b) new round-5 oracle-able queries ---
+    "minhash_signatures",
+    "cohort_retention", "spearman_corr_value_qty", "linreg_daily_revenue",
+    "benford_first_digit", "gini_customer_revenue", "adamic_adar_parts",
+    "lead_lag_revenue_delta", "grouping_sets_revenue",
+    "inter_purchase_gaps", "levenshtein_clerk_pairs", "chi2_priority_status",
+    "mad_outlier_orders", "wow_revenue_growth", "common_neighbors_parts",
+    "cume_dist_order_values",
+    # --- (c) never-graded rows-only entries (weak signal > none) ---
+    "als_part_recommendations",
 ]
 
 

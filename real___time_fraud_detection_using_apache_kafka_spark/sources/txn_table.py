@@ -128,16 +128,20 @@ class TxnTable:
         none) — the read side of the exactly-once sink ledger.
 
         Scans the log NEWEST-FIRST and stops at the first entry carrying
-        ``app_id``: a streaming sink commits batch ids monotonically, so
-        the most recent matching entry is the high-water mark.  Per-call
-        cost is O(entries since that app's last commit), not O(total log
-        length) — a stream's own ledger probe reads one entry, however
-        long-lived the table (sinks additionally cache the result in
-        their closure, see ``rule_alert_sink``)."""
+        ``app_id`` AND a recorded ``batch_id``: a streaming sink commits
+        batch ids monotonically, so the most recent matching entry is
+        the high-water mark — and an app_id-stamped entry WITHOUT a
+        batch_id (e.g. a maintenance overwrite tagged with the app) must
+        not mask an older committed mark, which would silently disable
+        replay dedup (ADVICE r4).  Per-call cost is O(entries since
+        that app's last batch commit), not O(total log length) — a
+        stream's own ledger probe reads one entry, however long-lived
+        the table (sinks additionally cache the result in their
+        closure, see ``rule_alert_sink``)."""
         for v in reversed(self.versions()):
             m = self._entry(v).get("meta") or {}
-            if m.get("app_id") == app_id:
-                return int(m.get("batch_id", -1))
+            if m.get("app_id") == app_id and "batch_id" in m:
+                return int(m["batch_id"])
         return -1
 
     # ------------------------------------------------------------ read --
