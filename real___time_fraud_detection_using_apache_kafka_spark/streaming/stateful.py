@@ -366,10 +366,10 @@ def ewma_stream(events: DataFrame, alpha: float = 0.3) -> DataFrame:
     at any stream length.  Rows are folded in (ts, event_id) order
     WITHIN each micro-batch (sorted in the Arrow batch, vectorized-
     cheap); cross-batch order is the source's append order, which holds
-    for replayed logs and time-ordered topics — out-of-order streams
-    need the watermark-buffered variant (sort in an event-time window
-    before folding), the standard trade documented here rather than
-    silently absorbed.
+    for replayed logs and time-ordered topics — for out-of-order
+    streams use :func:`ewma_stream_ordered`, the watermark-buffered
+    variant that folds only below-watermark rows in event-time order
+    and therefore needs no ingest-order assumption at all.
 
     Input columns: ``user_id`` (long), ``ts``, ``event_id``, ``value``.
     """
@@ -404,6 +404,120 @@ def ewma_stream(events: DataFrame, alpha: float = 0.3) -> DataFrame:
             stateStructType=EWMA_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ordered-variant state: the fold scalars plus the not-yet-folded buffer
+# (parallel arrays — applyInPandasWithState state rows support arrays,
+# as the KMV sketch below already relies on)
+EWMA_ORDERED_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+        T.StructField("pend_ts", T.ArrayType(T.LongType())),
+        T.StructField("pend_eid", T.ArrayType(T.LongType())),
+        T.StructField("pend_val", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+EWMA_ORDERED_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+        T.StructField("n_pending", T.LongType()),
+    ]
+)
+
+
+def ewma_stream_ordered(events: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Per-user EWMA for OUT-OF-ORDER sources: the watermark-buffered
+    ordered fold that ``ewma_stream``'s contract defers to.
+
+    ``ewma_stream`` folds in (ts, event_id) order within a micro-batch
+    and trusts the source for cross-batch order — correct for replayed
+    logs and time-ordered topics, wrong the moment a file lands late or
+    a topic interleaves.  This variant removes the assumption: each
+    micro-batch's rows are BUFFERED in the state store, and only rows at
+    or below the current WATERMARK are folded (in (ts, event_id) order)
+    — by watermark contract no earlier event can still arrive, so the
+    fold order equals global event-time order regardless of how rows
+    shard into micro-batches.  The buffer holds exactly the
+    watermark-delay window per key (late-bounded by construction:
+    anything older is dropped by Spark's watermark filter upstream), so
+    state stays O(events within delay) per key, not O(stream).
+
+    Callers MUST set ``withWatermark("ts", delay)`` on ``events``; with
+    no watermark nothing ever folds (n_pending just grows), which is
+    loud rather than silently order-dependent.  Keys with buffered rows
+    but NO new data still fold on time: each key arms an
+    EVENT-TIME TIMEOUT at its earliest pending timestamp, so the
+    watermark advancing (including Spark's no-data batches) re-invokes
+    the key and drains everything the watermark has passed — without
+    this, ``applyInPandasWithState`` only visits keys present in the
+    current micro-batch and a quiet key's buffer would never flush.
+    Emits one row per visited key per micro-batch: folded
+    ``n_events``/``ewma`` plus ``n_pending`` still buffered.  The
+    recurrence and float-op sequence match the batch ``ewma_user_value``
+    fold bit-for-bit (parity-tested across reversed micro-batch
+    sharding).
+    """
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, ewma, pend_ts, pend_eid, pend_val = state.get
+            pend = [list(pend_ts), list(pend_eid), list(pend_val)]
+        else:
+            n, ewma, pend = 0, 0.0, [[], [], []]
+        if not state.hasTimedOut:
+            pdf = pd.concat(list(pdfs), ignore_index=True)
+            if len(pdf):
+                ts_ms = pdf["ts"].astype("datetime64[ms]").astype("int64")
+                pend[0].extend(int(t) for t in ts_ms)
+                pend[1].extend(int(e) for e in pdf["event_id"])
+                pend[2].extend(float(v) for v in pdf["value"])
+        wm = state.getCurrentWatermarkMs()
+        rows = sorted(zip(*pend))
+        ready = [r for r in rows if r[0] <= wm]
+        hold = rows[len(ready):]  # sorted, so the split is a prefix
+        for _, _, x in ready:
+            ewma = x if n == 0 else (1.0 - alpha) * ewma + alpha * x
+            n += 1
+        state.update(
+            (
+                n,
+                ewma,
+                [r[0] for r in hold],
+                [r[1] for r in hold],
+                [r[2] for r in hold],
+            )
+        )
+        if hold:
+            # every hold ts is > wm (ready split is exact), so this is a
+            # legal future timeout: fires when the watermark passes the
+            # earliest still-buffered event
+            state.setTimeoutTimestamp(hold[0][0])
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "ewma": [ewma],
+                "n_pending": [len(hold)],
+            }
+        )
+
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=EWMA_ORDERED_OUTPUT_SCHEMA,
+            stateStructType=EWMA_ORDERED_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 

@@ -164,6 +164,40 @@ class TestKmvSketch:
                 assert r.rel_err <= 5.0 / math.sqrt(KMV_K - 2)
 
 
+def _atomic_batch_writer(tmp_path, src):
+    """One logical batch -> ONE file, made visible atomically.
+
+    ``df.write.mode("append")`` lands part files one by one as tasks
+    commit, and the already-running stream triggers continuously — under
+    load a trigger can grab a SUBSET of a logical batch, splitting it
+    across micro-batches in file order, not time order (the round-4
+    flake).  Stage to a scratch dir with coalesce(1), then os.rename the
+    single part file into the source dir: POSIX rename is atomic, so
+    the file source sees the whole batch or nothing.
+    """
+    import itertools
+    import os
+    import shutil
+
+    counter = itertools.count()
+
+    def write_batch(df):
+        i = next(counter)
+        stage = f"{tmp_path}/stage{i}"
+        df.coalesce(1).select(
+            F.to_json(F.struct(*df.columns)).alias("v")
+        ).write.text(stage)
+        part = next(
+            p for p in os.listdir(stage)
+            if p.startswith("part-") and p.endswith(".txt")
+        )
+        os.makedirs(src, exist_ok=True)
+        os.rename(f"{stage}/{part}", f"{src}/batch{i}.txt")
+        shutil.rmtree(stage, ignore_errors=True)
+
+    return write_batch
+
+
 class TestEwmaStreamParity:
     def test_stream_state_matches_batch_fold(self, spark, tmp_path):
         """The streaming EWMA (two scalars of state per user) replayed
@@ -200,10 +234,7 @@ class TestEwmaStreamParity:
         early = spark.createDataFrame(pdf[pdf.event_id < 30])
         late = spark.createDataFrame(pdf[pdf.event_id >= 30])
 
-        def write_batch(df):
-            df.select(
-                F.to_json(F.struct(*df.columns)).alias("v")
-            ).write.mode("append").text(src)
+        write_batch = _atomic_batch_writer(tmp_path, src)
 
         schema = ("event_id long, ts timestamp, user_id long, "
                   "event_type string, value double, props string")
@@ -236,6 +267,98 @@ class TestEwmaStreamParity:
             }
         finally:
             q.stop()
+        assert latest == expected, {"stream": latest, "batch": expected}
+
+    def test_ordered_variant_matches_batch_under_shuffled_batches(
+        self, spark, tmp_path
+    ):
+        """The watermark-buffered variant must land on the batch fold
+        even when micro-batches arrive in REVERSED time order — the
+        exact failure mode of the in-order operator.  Late rows stay
+        inside the watermark allowance, and far-future sentinel events
+        advance the watermark past all real data so everything folds."""
+        import pandas as pd
+
+        from real___time_fraud_detection_using_apache_kafka_spark.plans.queries_timeseries import (
+            ewma_user_value,
+        )
+        from real___time_fraud_detection_using_apache_kafka_spark.streaming.stateful import (
+            ewma_stream_ordered,
+        )
+
+        rng = pd.date_range("2024-05-01", periods=60, freq="h")
+        pdf = pd.DataFrame(
+            {
+                "event_id": range(60),
+                "ts": rng,
+                "user_id": [i % 5 + 1 for i in range(60)],
+                "event_type": ["view"] * 60,
+                "value": [float((i * 37) % 101) + 0.25 for i in range(60)],
+                "props": ["{}"] * 60,
+            }
+        )
+        sf = tmp_path / "sf"
+        spark.createDataFrame(pdf).write.parquet(f"{sf}/events.parquet")
+        expected = {
+            r.user_id: (r.n_events, round(r.ewma, 6))
+            for r in ewma_user_value(spark, str(sf)).collect()
+        }
+
+        src, ckpt = f"{tmp_path}/src", f"{tmp_path}/ckpt"
+        write_batch = _atomic_batch_writer(tmp_path, src)
+
+        def sentinel(ts):
+            return spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "event_id": [10_000],
+                        "ts": [pd.Timestamp(ts)],
+                        "user_id": [999],
+                        "event_type": ["view"],
+                        "value": [0.0],
+                        "props": ["{}"],
+                    }
+                )
+            )
+
+        # LATE half first, early half second — reversed cross-batch order
+        write_batch(spark.createDataFrame(pdf[pdf.event_id >= 30]))
+        schema = ("event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string")
+        stream = (
+            spark.readStream.schema("v string").text(src)
+            .select(F.from_json(F.col("v"), schema).alias("e"))
+            .select("e.*")
+            .withWatermark("ts", "10 days")
+        )
+        q = (
+            ewma_stream_ordered(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("ewma_ord_t")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            write_batch(spark.createDataFrame(pdf[pdf.event_id < 30]))
+            q.processAllAvailable()
+            # two sentinel batches: batch N folds with the watermark
+            # computed from batch N-1's max event time
+            write_batch(sentinel("2024-07-01"))
+            q.processAllAvailable()
+            write_batch(sentinel("2024-07-02"))
+            q.processAllAvailable()
+            rows = spark.sql(
+                "SELECT user_id, n_events, ewma, n_pending FROM ("
+                " SELECT *, row_number() OVER ("
+                "   PARTITION BY user_id ORDER BY n_events DESC, n_pending ASC) rk"
+                " FROM ewma_ord_t) WHERE rk = 1 AND user_id <> 999"
+            ).collect()
+        finally:
+            q.stop()
+        latest = {r.user_id: (r.n_events, round(r.ewma, 6)) for r in rows}
+        assert all(r.n_pending == 0 for r in rows), rows
         assert latest == expected, {"stream": latest, "batch": expected}
 
 
