@@ -13,5 +13,6 @@ from . import queries_quality  # noqa: E402,F401
 from . import queries_fraud  # noqa: E402,F401
 from . import queries_graph  # noqa: E402,F401
 from . import queries_timeseries  # noqa: E402,F401
+from . import queries_stats  # noqa: E402,F401
 
 __all__ = ["QUERIES", "queries", "oracle_sql", "register"]

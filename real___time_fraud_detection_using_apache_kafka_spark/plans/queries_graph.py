@@ -203,3 +203,123 @@ def copurchase_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("d").alias("min_degree"),
         F.max("d").alias("max_degree"),
     )
+
+
+@register(
+    "adamic_adar_parts",
+    oracle=f"""
+    WITH {_EDGES_CTE}, sym AS (
+        SELECT a AS src, b AS dst FROM edges
+        UNION ALL SELECT b, a FROM edges
+    ), deg AS (
+        SELECT src AS node, count(*) AS d FROM sym GROUP BY src
+    ), wedge AS (
+        SELECT s1.dst AS x, s2.dst AS y, s1.src AS z
+        FROM sym s1 JOIN sym s2
+          ON s1.src = s2.src AND s1.dst < s2.dst
+    ), scored AS (
+        SELECT w.x AS a, w.y AS b,
+               count(*) AS n_common,
+               round(sum(1.0 / ln(d.d)), 6) AS aa_score
+        FROM wedge w JOIN deg d ON w.z = d.node
+        GROUP BY 1, 2
+    )
+    SELECT s.a, s.b, s.n_common, s.aa_score
+    FROM scored s JOIN edges e ON s.a = e.a AND s.b = e.b
+    ORDER BY s.aa_score DESC, s.a, s.b
+    LIMIT 20
+    """,
+)
+def adamic_adar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar triangle-closing strength of existing co-purchase
+    edges: for each edge (a,b), Σ_z 1/ln(deg(z)) over their COMMON
+    neighbors z — the classic link-analysis weight that discounts
+    promiscuous hubs (a shared neighbor of degree 200 says little; one
+    of degree 3 says a lot).  Top-20 strongest edges, ordered by the
+    ROUNDED score then ids so a last-ulp ln() divergence cannot flip
+    the cut.
+
+    Scale: wedges enumerate via one equi-self-join of the symmetrized
+    edge list on the CENTER vertex (each unordered neighbor pair once,
+    ``dst < dst``), joined to the broadcastable degree table, then a
+    hash aggregate on the pair key and a semi-join back to the
+    canonical edges.  All equi-joins on the support-pruned edge list;
+    a hub-heavy graph would cap the wedge fan-out with the same
+    degree-orientation trick as ``triangle_stats``.
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+    sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+    s1 = sym.select(F.col("src").alias("z"), F.col("dst").alias("x"))
+    s2 = sym.select(F.col("src").alias("z"), F.col("dst").alias("y"))
+    wedge = s1.join(s2, "z").filter(F.col("x") < F.col("y"))
+    scored = (
+        wedge.join(F.broadcast(deg), wedge.z == deg.node)
+        .groupBy(F.col("x").alias("a"), F.col("y").alias("b"))
+        .agg(
+            F.count("*").alias("n_common"),
+            F.round(F.sum(1.0 / F.log(F.col("d").cast("double"))), 6).alias(
+                "aa_score"
+            ),
+        )
+    )
+    return (
+        scored.join(edges, ["a", "b"])
+        .orderBy(F.col("aa_score").desc(), "a", "b")
+        .limit(20)
+    )
+
+
+@register(
+    "common_neighbors_parts",
+    oracle=f"""
+    WITH {_EDGES_CTE}, sym AS (
+        SELECT a AS src, b AS dst FROM edges
+        UNION ALL SELECT b, a FROM edges
+    ), wedge AS (
+        SELECT s1.dst AS x, s2.dst AS y
+        FROM sym s1 JOIN sym s2
+          ON s1.src = s2.src AND s1.dst < s2.dst
+    ), cand AS (
+        SELECT x AS a, y AS b, count(*) AS n_common
+        FROM wedge GROUP BY 1, 2
+    )
+    SELECT c.a, c.b, c.n_common
+    FROM cand c LEFT JOIN edges e ON c.a = e.a AND c.b = e.b
+    WHERE e.a IS NULL AND c.n_common >= 2
+    ORDER BY c.n_common DESC, c.a, c.b
+    LIMIT 20
+    """,
+)
+def common_neighbors_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by common-neighbor count: the top-20 part pairs
+    that are NOT co-purchase edges yet but share >= 2 graph neighbors —
+    the candidate set a recommender would surface ("bought together
+    with both X and Y, never with each other").  Integer scores, so
+    the top-k cut is exact; ties broken by ids.
+
+    Scale: same one-equi-self-join wedge enumeration as
+    ``adamic_adar_parts``, a pair-key hash aggregate, then a LEFT ANTI
+    join against the edges to keep non-edges only — no cross product
+    anywhere.
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+    sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    s1 = sym.select(F.col("src").alias("z"), F.col("dst").alias("x"))
+    s2 = sym.select(F.col("src").alias("z"), F.col("dst").alias("y"))
+    cand = (
+        s1.join(s2, "z")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy(F.col("x").alias("a"), F.col("y").alias("b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        cand.join(edges, ["a", "b"], "left_anti")
+        .filter(F.col("n_common") >= 2)
+        .orderBy(F.col("n_common").desc(), "a", "b")
+        .limit(20)
+    )

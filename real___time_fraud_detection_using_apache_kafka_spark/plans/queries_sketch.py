@@ -417,3 +417,80 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("jaccard_exact"),
         F.round(num / k_eff.cast("double"), 6).alias("jaccard_kmv"),
     )
+
+
+# Deterministic MinHash signature surface (VERDICT r4 item 5): the LSH
+# RETRIEVAL tier stays rows-only (banding recall is probabilistic), but
+# the signature MATH is exact — so it gets hash-level driver signal via
+# the engine-portable polynomial hash + the shared affine permutations.
+_MINHASH_K = 8
+
+
+def _minhash_oracle() -> str:
+    from ..functions.hashing import MINHASH_PERMS, MOD
+    from .queries_text import NGRAM_SQL
+
+    hash_of_gram = poly_hash_duckdb("g")
+    mh_cols = ",\n           ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + b_{k}) % {MOD})) AS mh{k}"
+        for k, (a, _b) in enumerate(MINHASH_PERMS[:_MINHASH_K])
+    )
+    # DuckDB lambda cannot reference outer aliases per-perm; inline b
+    mh_cols = ",\n           ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {MOD})) AS mh{k}"
+        for k, (a, b) in enumerate(MINHASH_PERMS[:_MINHASH_K])
+    )
+    return f"""
+    WITH grams AS (
+        SELECT doc_id, {NGRAM_SQL} AS gs
+        FROM documents WHERE text IS NOT NULL
+    ), hashed AS (
+        SELECT doc_id,
+               list_transform(gs, g -> {hash_of_gram}) AS hs
+        FROM grams WHERE len(gs) > 0
+    )
+    SELECT doc_id,
+           {mh_cols}
+    FROM hashed
+    """
+
+
+@register("minhash_signatures", oracle=_minhash_oracle())
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-wide MinHash signature per document over word-3-gram shingles,
+    on the ENGINE-PORTABLE polynomial hash — every signature component
+    is an exact integer the DuckDB oracle reproduces bit-for-bit, so
+    the MinHash math itself is hash-verified even though the LSH
+    banding/retrieval tier above it can only ever be checked rows-only
+    (``minhash_neardup``; banding recall is probabilistic by design).
+
+    Plan: shingle -> hash -> K affine-permutation minima, ALL inside
+    higher-order array expressions on the row — zero explode, zero
+    shuffle, one narrow projection over the documents scan.  The
+    Spark-only production tier (``operators/dedup.py``) swaps the
+    portable hash for xxhash64 (≈3× cheaper); the math is identical.
+    """
+    from ..functions.hashing import MINHASH_PERMS, MOD, MULT
+    from ..operators.text import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    grams = docs.select(
+        "doc_id", word_ngrams(F.col("text"), 3).alias("gs")
+    ).filter(F.size("gs") > 0)
+    hashed = grams.select(
+        "doc_id",
+        F.expr(
+            f"transform(gs, g -> aggregate(sequence(1, length(g)), "
+            f"cast(0 as bigint), "
+            f"(h, i) -> (h * {MULT} + ascii(substring(g, i, 1))) % {MOD}))"
+        ).alias("hs"),
+    )
+    mh = [
+        F.array_min(
+            F.expr(f"transform(hs, h -> (h * {a} + {b}) % {MOD})")
+        ).alias(f"mh{k}")
+        for k, (a, b) in enumerate(MINHASH_PERMS[:_MINHASH_K])
+    ]
+    return hashed.select("doc_id", *mh)

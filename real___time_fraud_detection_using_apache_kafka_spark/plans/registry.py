@@ -138,10 +138,10 @@ _GRADED_FIRST = [
     "session_survival_km", "theil_sen_revenue_trend",
     # --- (b) new round-5 oracle-able queries ---
     "minhash_signatures",
-    "cohort_retention", "spearman_corr_value_qty", "linreg_daily_revenue",
-    "benford_first_digit", "gini_customer_revenue", "adamic_adar_parts",
+    "purchase_streaks", "spearman_corr_value_qty", "linreg_daily_revenue",
+    "user_rfm_segments", "gini_customer_revenue", "adamic_adar_parts",
     "lead_lag_revenue_delta", "grouping_sets_revenue",
-    "inter_purchase_gaps", "levenshtein_clerk_pairs", "chi2_priority_status",
+    "inter_purchase_gaps", "mktsegment_hhi", "chi2_priority_status",
     "mad_outlier_orders", "wow_revenue_growth", "common_neighbors_parts",
     "cume_dist_order_values",
     # --- (c) never-graded rows-only entries (weak signal > none) ---

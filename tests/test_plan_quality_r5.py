@@ -1,0 +1,97 @@
+"""Physical-plan pins for the round-5 catalog batch: the scale
+properties the docstrings promise — distributed ranks instead of
+single-partition windows (spearman, gini, RFM default), zero-exchange
+narrow minhash signatures, Expand-based grouping sets, equi-join-only
+wedge enumeration in the link-prediction pair, and partitioned windows
+for the sequence queries."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from real___time_fraud_detection_using_apache_kafka_spark import plans
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(spark, name: str) -> str:
+    df = plans.queries()[name](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _unpartitioned_windows(plan: str) -> list[str]:
+    # formatted-plan Window details: "Arguments: [..], [part spec], [order]"
+    return [
+        m
+        for m in re.findall(r"\(\d+\) Window\n[^(]*", plan)
+        if ", [], " in m.replace("\n", " ") or "[] ," in m
+    ]
+
+
+def test_spearman_uses_bucketed_prefix_not_global_window(spark):
+    plan = plan_of(spark, "spearman_corr_value_qty")
+    assert "_bucket" in plan
+    assert _unpartitioned_windows(plan) == []
+
+
+def test_gini_uses_bucketed_rank_not_global_window(spark):
+    plan = plan_of(spark, "gini_customer_revenue")
+    assert "_bkt" in plan
+    assert _unpartitioned_windows(plan) == []
+
+
+def test_rfm_default_is_bucketed_rank(spark):
+    """VERDICT r4 item 7: the catalog default must carry the
+    distributed-rank machinery — no data-sized unpartitioned ntile."""
+    plan = plan_of(spark, "user_rfm_segments")
+    assert "_bkt" in plan
+    assert "ntile" not in plan.lower()
+    assert _unpartitioned_windows(plan) == []
+
+
+def test_minhash_signatures_is_narrow(spark):
+    """Shingle -> hash -> K permutation minima all ride higher-order
+    array expressions on the row: the plan must contain NO exchange at
+    all (and no Python UDF — the hash is a codegen expression)."""
+    plan = plan_of(spark, "minhash_signatures")
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_grouping_sets_is_expand_single_scan(spark):
+    plan = plan_of(spark, "grouping_sets_revenue")
+    assert "Expand" in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_link_prediction_wedges_are_equi_joins(spark):
+    for name in ("adamic_adar_parts", "common_neighbors_parts"):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_sequence_windows_are_partitioned(spark):
+    """Per-entity sequence queries: every window partitions by the
+    entity key (custkey / priority / year)."""
+    for name in (
+        "inter_purchase_gaps",
+        "purchase_streaks",
+        "cume_dist_order_values",
+        "lead_lag_revenue_delta",
+    ):
+        plan = plan_of(spark, name)
+        assert _unpartitioned_windows(plan) == [], name
+
+
+def test_mad_outliers_broadcasts_group_medians(spark):
+    """The per-priority median/MAD tables are <=5 rows — they must come
+    back as broadcasts, never a shuffle join of the fact side."""
+    plan = plan_of(spark, "mad_outlier_orders")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan

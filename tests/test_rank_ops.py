@@ -101,17 +101,25 @@ def test_ntile_from_rank_matches_sql_ntile(spark, n):
     assert got == want
 
 
-def test_rfm_exact_scale_tier_matches_entity_ntile(spark, sf_dir):
-    """SCALE.md's documented 1e8+-entity path for user_rfm_segments —
-    bucketed_global_rank + ntile_from_rank per metric — must reproduce
-    the entity-table ntile quartiles bit-for-bit, so swapping tiers at
-    scale never changes feature values."""
+def test_rfm_bucketed_default_matches_entity_ntile(spark, sf_dir):
+    """user_rfm_segments now DEFAULTS to the distributed-rank tier
+    (bucketed_global_rank + ntile_from_rank, VERDICT r4 item 7); the
+    entity-table ntile formulation — which the DuckDB oracle still
+    states — is reproduced here as the reference, and the quartile
+    features must match bit-for-bit, so the tier swap never changes
+    feature values."""
+    from pyspark.sql import Window
+
+    from real___time_fraud_detection_using_apache_kafka_spark.operators.cache import (
+        release_tracked,
+    )
     from real___time_fraud_detection_using_apache_kafka_spark.plans import QUERIES
 
-    want = {
+    got = {
         r["user_id"]: (r["r_score"], r["f_score"], r["m_score"])
         for r in QUERIES["user_rfm_segments"].fn(spark, sf_dir).collect()
     }
+    release_tracked(spark)
 
     e = (
         spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -123,36 +131,20 @@ def test_rfm_exact_scale_tier_matches_entity_ntile(spark, sf_dir):
             F.round(F.sum("value"), 2).alias("monetary"),
         )
     )
-    micros = F.unix_micros(F.col("last_ts").cast("timestamp"))
-
-    def quartile(df, bucket, order, name):
-        ranked = bucketed_global_rank(
-            df, bucket, order, rank_col="_r", total_col="_n"
-        )
-        return ranked.select(
-            "user_id", ntile_from_rank(F.col("_r"), F.col("_n"), 4).alias(name)
-        )
-
-    r = quartile(
-        e,
-        # last_ts DESC total order -> negated day number is a monotone
-        # ASC bucket (negative bucket values sort fine)
-        -F.floor(micros / F.lit(86_400_000_000)),
-        [F.desc("last_ts"), F.asc("user_id")],
-        "r_score",
-    )
-    f = quartile(
-        e, F.least(F.col("frequency"), F.lit(255)),
-        [F.asc("frequency"), F.asc("user_id")], "f_score",
-    )
-    m = quartile(
-        e,
-        F.least(F.greatest(F.floor(F.col("monetary") / 100), F.lit(0)), F.lit(255)),
-        [F.asc("monetary"), F.asc("user_id")], "m_score",
-    )
-    got = {
+    want = {
         row["user_id"]: (row["r_score"], row["f_score"], row["m_score"])
-        for row in r.join(f, "user_id").join(m, "user_id").collect()
+        for row in e.select(
+            "user_id",
+            F.ntile(4)
+            .over(Window.orderBy(F.desc("last_ts"), F.asc("user_id")))
+            .alias("r_score"),
+            F.ntile(4)
+            .over(Window.orderBy(F.asc("frequency"), F.asc("user_id")))
+            .alias("f_score"),
+            F.ntile(4)
+            .over(Window.orderBy(F.asc("monetary"), F.asc("user_id")))
+            .alias("m_score"),
+        ).collect()
     }
     assert got == want
 
