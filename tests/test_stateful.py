@@ -21,6 +21,7 @@ from real___time_fraud_detection_using_apache_kafka_spark.streaming.stateful imp
     account_running_stats,
     txn_event_interval_join,
 )
+from stream_io import atomic_json_append
 
 
 @pytest.fixture()
@@ -31,9 +32,7 @@ def tmpdir():
 
 
 def _write_json_batch(spark, df, path):
-    df.select(F.to_json(F.struct(*df.columns)).alias("v")).write.mode(
-        "append"
-    ).text(path)
+    atomic_json_append(df, path)
 
 
 def _txn_stream(spark, src_dir):
@@ -244,9 +243,7 @@ def test_rapid_repeat_alerts_match_batch_rule(spark, tmpdir):
 
     def write_chunk(chunk):
         df = spark.createDataFrame(chunk, "user_id long, ts timestamp, event_id long")
-        df.select(F.to_json(F.struct(*df.columns)).alias("v")).write.mode(
-            "append"
-        ).text(src_dir)
+        atomic_json_append(df, src_dir)
 
     write_chunk(chunks[0])
     stream = (
@@ -313,9 +310,7 @@ def test_rapid_repeat_alerts_survive_restart_exactly_once(spark, tmpdir):
 
     def write_chunk(chunk):
         df = spark.createDataFrame(chunk, "user_id long, ts timestamp, event_id long")
-        df.select(F.to_json(F.struct(*df.columns)).alias("v")).write.mode(
-            "append"
-        ).text(src_dir)
+        atomic_json_append(df, src_dir)
 
     out_dir = f"{tmpdir}/out"
 
@@ -425,9 +420,7 @@ def test_interval_join_left_outer_emits_unmatched_on_watermark(spark, tmpdir):
     e_schema = "customer_id string, event_ts timestamp, event_type string"
 
     def jwrite(df, path):
-        df.select(F.to_json(F.struct(*df.columns)).alias("v")).write.mode(
-            "append"
-        ).text(path)
+        atomic_json_append(df, path)
 
     base = 1_700_000_000  # fixed epoch anchor
     t0 = spark.createDataFrame(
