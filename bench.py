@@ -106,6 +106,22 @@ HEADLINE = [
     "holt_revenue_forecast",
     "session_survival_km",
     "theil_sen_revenue_trend",
+    # round-5 additions: stats/BI batch, link prediction, portable MinHash
+    "minhash_signatures",
+    "purchase_streaks",
+    "spearman_corr_value_qty",
+    "linreg_daily_revenue",
+    "gini_customer_revenue",
+    "mktsegment_hhi",
+    "chi2_priority_status",
+    "mad_outlier_orders",
+    "wow_revenue_growth",
+    "lead_lag_revenue_delta",
+    "grouping_sets_revenue",
+    "inter_purchase_gaps",
+    "cume_dist_order_values",
+    "adamic_adar_parts",
+    "common_neighbors_parts",
 ]
 
 

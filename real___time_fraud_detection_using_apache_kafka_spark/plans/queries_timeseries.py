@@ -503,7 +503,7 @@ def session_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM base a JOIN base b ON a.x < b.x
     ), fit AS (
         SELECT quantile_cont(s, 0.5) AS slope,
-               (SELECT count(*) FROM slopes) AS n_pairs
+               count(*) AS n_pairs
         FROM slopes
     )
     SELECT (SELECT count(*) FROM base)        AS n_days,
