@@ -122,6 +122,10 @@ HEADLINE = [
     "cume_dist_order_values",
     "adamic_adar_parts",
     "common_neighbors_parts",
+    # round-5 batch 2: attribution + forecast backtest + seasonality
+    "purchase_attribution",
+    "holt_backtest_accuracy",
+    "dow_seasonality",
 ]
 
 

@@ -239,25 +239,33 @@ def adamic_adar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROUNDED score then ids so a last-ulp ln() divergence cannot flip
     the cut.
 
-    Scale: wedges enumerate via one equi-self-join of the symmetrized
-    edge list on the CENTER vertex (each unordered neighbor pair once,
-    ``dst < dst``), joined to the broadcastable degree table, then a
-    hash aggregate on the pair key and a semi-join back to the
-    canonical edges.  All equi-joins on the support-pruned edge list;
-    a hub-heavy graph would cap the wedge fan-out with the same
-    degree-orientation trick as ``triangle_stats``.
+    Scale: because only EXISTING edges are scored, common neighbors
+    enumerate as triangles through each edge — candidates are the
+    neighbors z of endpoint a (one equi-join, sum-of-degree rows, NOT
+    the sum-of-degree-squared wedge set the non-edge predictor
+    ``common_neighbors_parts`` inherently needs), kept when (z, b) is
+    also an edge (one semi-join on the symmetrized list), then a
+    broadcast degree lookup and a pair-key hash aggregate.  All
+    equi-joins on the support-pruned edge list; a hub-heavy graph
+    would orient the candidate side to the lower-degree endpoint like
+    ``triangle_stats``.
     """
     edges = _copurchase_edges(spark, sf_dir)
     sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
         edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
     deg = sym.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
-    s1 = sym.select(F.col("src").alias("z"), F.col("dst").alias("x"))
-    s2 = sym.select(F.col("src").alias("z"), F.col("dst").alias("y"))
-    wedge = s1.join(s2, "z").filter(F.col("x") < F.col("y"))
+    cand = edges.join(sym, edges.a == sym.src).select(
+        "a", "b", F.col("dst").alias("z")
+    )
+    tri = cand.join(
+        sym.select(F.col("src").alias("z"), F.col("dst").alias("b")),
+        ["z", "b"],
+        "left_semi",
+    )
     scored = (
-        wedge.join(F.broadcast(deg), wedge.z == deg.node)
-        .groupBy(F.col("x").alias("a"), F.col("y").alias("b"))
+        tri.join(F.broadcast(deg), tri.z == deg.node)
+        .groupBy("a", "b")
         .agg(
             F.count("*").alias("n_common"),
             F.round(F.sum(1.0 / F.log(F.col("d").cast("double"))), 6).alias(
@@ -265,11 +273,7 @@ def adamic_adar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return (
-        scored.join(edges, ["a", "b"])
-        .orderBy(F.col("aa_score").desc(), "a", "b")
-        .limit(20)
-    )
+    return scored.orderBy(F.col("aa_score").desc(), "a", "b").limit(20)
 
 
 @register(

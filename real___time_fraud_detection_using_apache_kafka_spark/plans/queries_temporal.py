@@ -488,3 +488,166 @@ def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("end_us") - F.col("start_us")) / 1_000_000
         ).cast("long").alias("covered_sec"),
     )
+
+
+@register(
+    "purchase_attribution",
+    oracle="""
+    WITH pur AS (
+        SELECT event_id AS pid, user_id, ts AS pts,
+               CAST(value AS DECIMAL(18, 2)) AS val
+        FROM events
+        WHERE event_type = 'purchase' AND user_id IS NOT NULL
+          AND ts IS NOT NULL AND value IS NOT NULL
+    ), tou AS (
+        SELECT event_id AS tid, user_id, ts AS tts, event_type AS channel
+        FROM events
+        WHERE event_type IN ('view', 'click') AND user_id IS NOT NULL
+          AND ts IS NOT NULL
+    ), matched AS (
+        SELECT p.pid, p.val, t.channel, t.tts, t.tid
+        FROM pur p JOIN tou t
+          ON p.user_id = t.user_id
+         AND t.tts < p.pts
+         AND t.tts >= p.pts - INTERVAL 7 DAY
+    ), ranked AS (
+        SELECT pid, val, channel,
+               row_number() OVER (PARTITION BY pid ORDER BY tts, tid) AS rn,
+               count(*)     OVER (PARTITION BY pid)                   AS n
+        FROM matched
+    ), firsts AS (
+        SELECT channel, count(*) AS n_first, sum(val) AS credit_first
+        FROM ranked WHERE rn = 1 GROUP BY channel
+    ), lasts AS (
+        SELECT channel, count(*) AS n_last, sum(val) AS credit_last
+        FROM ranked WHERE rn = n GROUP BY channel
+    ), linear AS (
+        SELECT channel,
+               sum(CAST(round(CAST(val AS DOUBLE) * cnt / n, 6)
+                        AS DECIMAL(28, 6))) AS credit_linear
+        FROM (
+            SELECT pid, channel, val, count(*) AS cnt, max(n) AS n
+            FROM ranked GROUP BY pid, channel, val
+        ) GROUP BY channel
+    ), direct AS (
+        SELECT 'direct' AS channel,
+               count(*)  AS n_first,
+               sum(val)  AS credit_first,
+               count(*)  AS n_last,
+               sum(val)  AS credit_last,
+               CAST(sum(val) AS DECIMAL(28, 6)) AS credit_linear
+        FROM pur p
+        WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.pid = p.pid)
+    )
+    SELECT f.channel, f.n_first, f.credit_first,
+           l.n_last, l.credit_last, li.credit_linear
+    FROM firsts f
+    JOIN lasts  l  ON f.channel = l.channel
+    JOIN linear li ON f.channel = li.channel
+    UNION ALL
+    SELECT * FROM direct WHERE n_first > 0
+    """,
+)
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch revenue attribution: every purchase's value credited
+    to the view/click touches by the same user in the 7 days before it,
+    under the three standard models at once — first-touch, last-touch,
+    and linear (equal split across the purchase's touches); purchases
+    with no preceding touch fall into the ``direct`` channel with full
+    credit in all three models.
+
+    Determinism: purchase values accumulate in DECIMAL (exact under any
+    partitioning); the linear share ``value * cnt / n`` is one double
+    multiply+divide spelled identically in the oracle, rounded to 6 dp,
+    then DECIMAL-summed — so no order-dependent float sum feeds a
+    published number.  Touch order ties break on (ts, event_id).
+
+    Scale: the touch-to-purchase match is a user-keyed equi-join with a
+    range residual (never a cross product; per-user frames are bounded
+    by 7 days of that user's activity).  Both ranking windows partition
+    by purchase id — data-parallel at any |purchases|.  A hot user
+    (celebrity skew) would ride the salted-join tier from
+    ``operators/relational.py``; at TPC-H-ish uniformity the plain
+    equi-join wins.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    pur = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.col("value").cast("decimal(18,2)").alias("val"),
+    )
+    tou = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("tid"),
+        "user_id",
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("channel"),
+    )
+    p, t = pur.alias("p"), tou.alias("t")
+    matched = p.join(
+        t,
+        (F.col("p.user_id") == F.col("t.user_id"))
+        & (F.col("t.tts") < F.col("p.pts"))
+        & (F.col("t.tts") >= F.col("p.pts") - F.expr("INTERVAL 7 DAYS")),
+    ).select("pid", "val", "channel", "tts", "tid")
+
+    from pyspark.sql import Window
+
+    per_pid = Window.partitionBy("pid")
+    ranked = matched.select(
+        "pid",
+        "val",
+        "channel",
+        F.row_number()
+        .over(per_pid.orderBy("tts", "tid"))
+        .alias("rn"),
+        F.count("*").over(per_pid).alias("n"),
+    )
+    firsts = (
+        ranked.filter(F.col("rn") == 1)
+        .groupBy("channel")
+        .agg(F.count("*").alias("n_first"), F.sum("val").alias("credit_first"))
+    )
+    lasts = (
+        ranked.filter(F.col("rn") == F.col("n"))
+        .groupBy("channel")
+        .agg(F.count("*").alias("n_last"), F.sum("val").alias("credit_last"))
+    )
+    linear = (
+        ranked.groupBy("pid", "channel", "val")
+        .agg(F.count("*").alias("cnt"), F.max("n").alias("n"))
+        .select(
+            "channel",
+            F.round(
+                F.col("val").cast("double") * F.col("cnt") / F.col("n"), 6
+            )
+            .cast("decimal(28,6)")
+            .alias("share"),
+        )
+        .groupBy("channel")
+        .agg(F.sum("share").alias("credit_linear"))
+    )
+    attributed = (
+        firsts.join(lasts, "channel").join(linear, "channel")
+    )
+    direct = (
+        pur.join(matched.select("pid").distinct(), "pid", "left_anti")
+        .agg(
+            F.count("*").alias("n_first"),
+            F.sum("val").alias("credit_first"),
+        )
+        .select(
+            F.lit("direct").alias("channel"),
+            "n_first",
+            "credit_first",
+            F.col("n_first").alias("n_last"),
+            F.col("credit_first").alias("credit_last"),
+            F.col("credit_first").cast("decimal(28,6)").alias("credit_linear"),
+        )
+        .filter(F.col("n_first") > 0)
+    )
+    return attributed.unionByName(direct)

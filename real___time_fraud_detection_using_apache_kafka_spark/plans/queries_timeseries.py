@@ -570,3 +570,189 @@ def theil_sen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("slope", 6).alias("slope_per_day"),
         F.round("intercept", 6).alias("intercept"),
     )
+
+
+@register(
+    "holt_backtest_accuracy",
+    oracle="""
+    WITH per_day AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               round(sum(o_totalprice), 2) AS rev
+        FROM orders GROUP BY day
+    ), series AS (
+        SELECT list(CAST(rev AS DOUBLE) ORDER BY day) AS xs,
+               count(*) AS n_days
+        FROM per_day
+    ), fitted AS (
+        SELECT n_days,
+               CASE WHEN n_days >= 3 THEN
+                   list_reduce(
+                       list_prepend(
+                           [xs[2], xs[2] - xs[1], 0.0, 0.0, 0.0, 0.0],
+                           list_transform(xs[3:len(xs)],
+                                          v -> [v, 0.0, 0.0, 0.0, 0.0, 0.0])),
+                       (acc, x) -> [
+                           0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
+                           0.3 * (0.5 * x[1] + 0.5 * (acc[1] + acc[2])
+                                  - acc[1]) + 0.7 * acc[2],
+                           acc[3] + abs(x[1] - (acc[1] + acc[2])),
+                           acc[4] + (x[1] - (acc[1] + acc[2]))
+                                  * (x[1] - (acc[1] + acc[2])),
+                           acc[5] + CASE WHEN x[1] <> 0.0
+                                    THEN abs(x[1] - (acc[1] + acc[2]))
+                                         / abs(x[1]) ELSE 0.0 END,
+                           acc[6] + CASE WHEN x[1] <> 0.0
+                                    THEN 1.0 ELSE 0.0 END
+                       ])
+               END AS a
+        FROM series
+    )
+    SELECT n_days,
+           n_days - 2                                        AS n_forecasts,
+           round(a[3] / (n_days - 2), 6)                     AS mae,
+           round(sqrt(a[4] / (n_days - 2)), 6)               AS rmse,
+           round(CASE WHEN a[6] > 0.0
+                 THEN 100.0 * a[5] / a[6] END, 6)            AS mape_pct
+    FROM fitted
+    WHERE n_days >= 3
+    """,
+)
+def holt_backtest_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin (one-step-ahead) backtest of the Holt forecaster:
+    at every day t >= 3 the model state fitted through day t-1 issues
+    the forecast ``level + trend``, scored against the realized revenue
+    BEFORE the state folds that day in — the walk-forward evaluation a
+    forecast monitor runs, reported as MAE / RMSE / MAPE.
+
+    Because one-step-ahead backtesting over an expanding window is
+    exactly the intermediate states of the single Holt fold, the whole
+    backtest is ONE pass: the `holt_revenue_forecast` accumulator grows
+    four error cells ([level, trend, sum|e|, sum e^2, sum |e|/|x|,
+    n_pct]) and the IDENTICAL fold runs on DuckDB ``list_reduce`` (list
+    elements lifted to the 6-wide shape), so every error term matches
+    bit-for-bit before the 6-dp round.  Scale: fact table collapses to
+    per-day rows first; the fold touches only the calendar-bounded
+    series.
+    """
+    per_day = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    series = per_day.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, rev))), "
+            "s -> cast(s.rev as double))"
+        ).alias("xs"),
+        F.count("*").alias("n_days"),
+    )
+    fold = F.expr(
+        "CASE WHEN size(xs) >= 3 THEN "
+        "aggregate(slice(xs, 3, greatest(size(xs) - 2, 0)), "
+        "array(xs[1], xs[1] - xs[0], 0.0D, 0.0D, 0.0D, 0.0D), "
+        "(acc, x) -> array("
+        "0.5 * x + 0.5 * (acc[0] + acc[1]), "
+        "0.3 * (0.5 * x + 0.5 * (acc[0] + acc[1]) - acc[0]) + 0.7 * acc[1], "
+        "acc[2] + abs(x - (acc[0] + acc[1])), "
+        "acc[3] + (x - (acc[0] + acc[1])) * (x - (acc[0] + acc[1])), "
+        "acc[4] + CASE WHEN x <> 0.0D THEN abs(x - (acc[0] + acc[1])) / abs(x) "
+        "ELSE 0.0D END, "
+        "acc[5] + CASE WHEN x <> 0.0D THEN 1.0D ELSE 0.0D END"
+        ")) END"
+    )
+    fitted = series.select("n_days", fold.alias("a")).filter(
+        F.col("n_days") >= 3
+    )
+    n_fc = F.col("n_days") - F.lit(2)
+    return fitted.select(
+        "n_days",
+        n_fc.alias("n_forecasts"),
+        F.round(F.expr("a[2]") / n_fc, 6).alias("mae"),
+        F.round(F.sqrt(F.expr("a[3]") / n_fc), 6).alias("rmse"),
+        F.round(
+            F.when(F.expr("a[5]") > 0.0, F.lit(100.0) * F.expr("a[4]") / F.expr("a[5]")),
+            6,
+        ).alias("mape_pct"),
+    )
+
+
+@register(
+    "dow_seasonality",
+    oracle="""
+    WITH per_day AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               sum(CAST(o_totalprice AS DECIMAL(18, 2))) AS rev
+        FROM orders GROUP BY day
+    ), keyed AS (
+        -- engine-neutral weekday: days since epoch Monday 1970-01-05,
+        -- mod 7 (0 = Monday) — no dayofweek() convention mismatch
+        SELECT ((date_diff('day', DATE '1970-01-05', day) % 7) + 7) % 7
+                   AS dow,
+               rev
+        FROM per_day
+    ), by_dow AS (
+        SELECT dow, count(*) AS n_days, sum(rev) AS tot
+        FROM keyed GROUP BY dow
+    ), grand AS (
+        SELECT sum(n_days) AS g_days, sum(tot) AS g_tot FROM by_dow
+    )
+    SELECT dow, n_days,
+           round(CAST(tot AS DOUBLE) / n_days, 2)     AS avg_daily_rev,
+           round((CAST(tot AS DOUBLE) / n_days)
+                 / (CAST(g_tot AS DOUBLE) / g_days), 6) AS seasonal_index
+    FROM by_dow, grand
+    """,
+)
+def dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal indices of revenue: the mean daily revenue
+    of each weekday relative to the overall mean daily revenue — the
+    multiplicative seasonal profile a naive seasonal forecaster or a
+    staffing dashboard starts from.
+
+    Determinism: daily revenue accumulates in DECIMAL (exact under any
+    partitioning); the weekday key is computed arithmetically (days
+    since an epoch Monday, mod 7) so no engine dayofweek() convention
+    is involved; the only doubles are the final two divisions, spelled
+    identically in the oracle.  Scale: fact scan -> per-day hash
+    aggregate -> 7-row aggregate; the grand totals ride an audited
+    ``bounded_seq_window`` full-frame sum over the 7-row table
+    (plan-pinned single scan — a crossJoin of the grand aggregate
+    would recompute the fact aggregate from a second scan).
+    """
+    per_day = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    by_dow = (
+        per_day.select(
+            F.pmod(
+                F.datediff("day", F.lit("1970-01-05").cast("date")), F.lit(7)
+            ).alias("dow"),
+            "rev",
+        )
+        .groupBy("dow")
+        .agg(F.count("*").alias("n_days"), F.sum("rev").alias("tot"))
+    )
+    across = bounded_seq_window(F.col("dow")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    grand = by_dow.select(
+        "dow",
+        "n_days",
+        "tot",
+        F.sum("n_days").over(across).alias("g_days"),
+        F.sum("tot").over(across).alias("g_tot"),
+    )
+    return grand.select(
+        "dow",
+        "n_days",
+        F.round(F.col("tot").cast("double") / F.col("n_days"), 2).alias(
+            "avg_daily_rev"
+        ),
+        F.round(
+            (F.col("tot").cast("double") / F.col("n_days"))
+            / (F.col("g_tot").cast("double") / F.col("g_days")),
+            6,
+        ).alias("seasonal_index"),
+    )

@@ -95,3 +95,33 @@ def test_mad_outliers_broadcasts_group_medians(spark):
     plan = plan_of(spark, "mad_outlier_orders")
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_attribution_join_is_equi_on_user(spark):
+    """The touch-to-purchase match must be an equi-join on user_id with
+    the 7-day range as a residual filter — a cross product would mean
+    the self-join aliases regressed; both ranking windows partition by
+    the purchase id."""
+    plan = plan_of(spark, "purchase_attribution")
+    assert "CartesianProduct" not in plan
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan)
+    assert _unpartitioned_windows(plan) == []
+
+
+def test_adamic_adar_has_no_wedge_blowup(spark):
+    """Triangle-plan pin: candidates come from ONE endpoint's adjacency
+    (sum-of-degrees rows) and a LeftSemi adjacency probe — the plan
+    must carry a LeftSemi join; the wedge self-join shape (all neighbor
+    pairs, sum-of-degrees-SQUARED) would show none."""
+    plan = plan_of(spark, "adamic_adar_parts")
+    assert "LeftSemi" in plan, "adjacency probe must be a semi join"
+
+
+def test_backtest_and_seasonality_are_single_scan_jvm(spark):
+    """Both collapse the fact table once and stay in JVM expressions —
+    one parquet scan, no Python evaluation anywhere."""
+    for name in ("holt_backtest_accuracy", "dow_seasonality"):
+        plan = plan_of(spark, name)
+        scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+        assert scans == 1, (name, scans)
+        assert "EvalPython" not in plan, name
