@@ -126,6 +126,8 @@ HEADLINE = [
     "purchase_attribution",
     "holt_backtest_accuracy",
     "dow_seasonality",
+    "price_elasticity_by_brand",
+    "rolling_7d_active_users",
 ]
 
 

@@ -788,3 +788,134 @@ def cume_dist_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("pr", 6).alias("pct_rank"),
         F.round("cd", 6).alias("cume"),
     )
+
+
+# ------------------------------------------------- grouped price elasticity --
+@register(
+    "price_elasticity_by_brand",
+    oracle="""
+    WITH pts AS (
+        SELECT p.p_brand AS brand,
+               CAST(round(ln(l.l_extendedprice / l.l_quantity), 9)
+                    AS DECIMAL(18, 9)) AS x,
+               CAST(round(ln(l.l_quantity), 9)
+                    AS DECIMAL(18, 9)) AS y
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
+    ), sums AS (
+        SELECT brand, count(*) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM pts GROUP BY brand
+    )
+    SELECT brand, n,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                 6) AS elasticity
+    FROM sums
+    WHERE n >= 30
+      AND n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0
+    """,
+)
+def price_elasticity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand price elasticity of demand: the grouped-OLS slope of
+    ln(quantity) on ln(unit price) — one regression per brand in a
+    single aggregate pass, the canonical retail-analytics estimate of
+    how demand responds to price.
+
+    Determinism pattern for IRRATIONAL features (new in the catalog):
+    the regression sums Σx, Σy, Σxy, Σx² over ln() values cannot ride
+    float sums (order-dependent merge) and cannot stay exact as raw
+    doubles — so each ln() is computed once (shared-libm bit parity,
+    the ``copurchase_degree_stats`` assumption), rounded to 9 dp, and
+    CAST to DECIMAL(18,9): from there every sum and product is exact
+    decimal arithmetic, order-independent under any partitioning, and
+    only the final closed-form slope returns to double (same
+    expression tree in the oracle).  Scale: one fact-dim equi-join
+    (part broadcastable), one hash aggregate keyed by brand with
+    map-side partials — no window, no self-join; |brands| output rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    x = F.round(
+        F.log(F.col("l_extendedprice") / F.col("l_quantity")), 9
+    ).cast("decimal(18,9)")
+    y = F.round(F.log("l_quantity"), 9).cast("decimal(18,9)")
+    sums = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("p_brand").alias("brand"), x.alias("x"), y.alias("y"))
+        .groupBy("brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    denom = n * sxx - sx * sx
+    return sums.filter((n >= 30) & (denom != 0.0)).select(
+        "brand",
+        "n",
+        F.round((n * sxy - sx * sy) / denom, 6).alias("elasticity"),
+    )
+
+
+# ------------------------------------------------ rolling 7d active users --
+@register(
+    "rolling_7d_active_users",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), days AS (
+        SELECT DISTINCT day FROM ud
+    )
+    SELECT d.day, count(DISTINCT u.user_id) AS active_7d
+    FROM days d JOIN ud u
+      ON u.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    """,
+)
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the DAU/WAU
+    denominator every growth dashboard carries, and the textbook case
+    where a naive window fails: COUNT(DISTINCT) over a sliding RANGE
+    frame is unsupported, and a per-day self-join against raw events
+    rescans the fact 7x.
+
+    Plan: dedup to (user, day) once (hash aggregate), then each
+    activity day EXPANDS to the <=7 report days it is visible from
+    (``sequence`` + ``explode`` — bounded x7 blowup of the already
+    tiny per-user-day table), a semi-join keeps report days that
+    exist in the data, and one count-distinct aggregate per report
+    day finishes.  Every step is a key-partitioned hash operation —
+    no window at all, no fact rescan; the same shape handles any
+    window length W at xW cost.  The DuckDB oracle states the
+    semantics as the range join it is.
+    """
+    ud = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    days = ud.select("day").distinct()
+    expanded = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+    )
+    return (
+        expanded.join(days, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("active_7d"))
+    )

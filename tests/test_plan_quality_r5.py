@@ -125,3 +125,23 @@ def test_backtest_and_seasonality_are_single_scan_jvm(spark):
         scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
         assert scans == 1, (name, scans)
         assert "EvalPython" not in plan, name
+
+
+def test_elasticity_is_broadcast_join_single_agg(spark):
+    """Part is a dim — the fact-dim match must broadcast; the grouped
+    regression is windows-free (all sums ride one brand-keyed hash
+    aggregate)."""
+    plan = plan_of(spark, "price_elasticity_by_brand")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rolling_active_users_has_no_window_or_rescan(spark):
+    """Sliding count-distinct rides the bounded day expansion — no
+    window operator, no cartesian, and exactly one events scan."""
+    plan = plan_of(spark, "rolling_7d_active_users")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert scans <= 2, scans  # ud + days branches of one dedup tree
