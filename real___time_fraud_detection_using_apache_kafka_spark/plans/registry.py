@@ -113,6 +113,15 @@ def _stable_types(fn: QueryFn) -> QueryFn:
 # Everything rotated out stays in the catalog right after the head and
 # is hash-green in an earlier driver round AND in every local
 # full-catalog oracle run (tools/check_oracle.py).
+#
+# ROUND-6 HEAD PLAN (written mid-round-5): after this round's gate the
+# never-driver-graded oracle-able remainder is the round-5 batch-2/3
+# set — purchase_attribution, holt_backtest_accuracy, dow_seasonality,
+# price_elasticity_by_brand, rolling_7d_active_users (all local-oracle
+# green at sf0.001+sf0.01, null-swept, empty-checked) — plus whatever
+# round 6 adds.  Compose the next head from those first, then rotate
+# re-verification slots across the oldest r1/r2 greens so driver signal
+# stays fresh end-to-end.
 _GRADED_FIRST = [
     # --- (a) never-driver-graded oracle-able queries (33) ---
     # pivot / unpivot / rollup trio
