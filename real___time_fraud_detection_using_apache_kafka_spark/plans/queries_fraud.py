@@ -423,7 +423,38 @@ def session_conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("frequent_event_itemsets")  # rows-only: FPGrowth is not ANSI-SQL
+@register(
+    "frequent_event_itemsets",
+    oracle="""
+    WITH RECURSIVE baskets AS (
+        SELECT user_id,
+               coalesce(list_sort(list(DISTINCT event_type)
+                                  FILTER (event_type IS NOT NULL)),
+                        []) AS items
+        FROM events GROUP BY user_id
+    ), n AS (
+        SELECT count(*) AS total FROM baskets
+    ), ordered AS (
+        SELECT event_type AS it,
+               row_number() OVER (ORDER BY event_type) AS idx
+        FROM (SELECT DISTINCT event_type FROM events
+              WHERE event_type IS NOT NULL)
+    ), subsets(sub, last_idx) AS (
+        SELECT [it], idx FROM ordered
+        UNION ALL
+        SELECT list_append(s.sub, o.it), o.idx
+        FROM subsets s JOIN ordered o ON o.idx > s.last_idx
+    ), counts AS (
+        SELECT array_to_string(s.sub, ',') AS itemset, count(*) AS freq
+        FROM subsets s JOIN baskets b ON list_has_all(b.items, s.sub)
+        GROUP BY 1
+    )
+    SELECT itemset, freq
+    FROM counts, n
+    WHERE freq >= ceil(0.3 * total)
+    ORDER BY freq DESC, itemset
+    """,
+)
 def frequent_event_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent event-type itemsets per user via MLlib FPGrowth — market-
     basket mining of which behaviors co-occur in the same account, the
@@ -432,8 +463,18 @@ def frequent_event_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Baskets are per-user DISTINCT event-type sets (one shuffle to build);
     FPGrowth's distributed FP-tree (PFP, Li et al. 2008) partitions
     conditional trees by item so no single worker holds the global tree.
-    Output is canonicalized (sorted items, then sorted rows) so the
-    rows-only driver check is stable.
+
+    ORACLE-ABLE SINCE ROUND 5: FP-Growth is an algorithm, not a
+    semantics — over a BOUNDED item domain (|event types| = 5, so 31
+    candidate itemsets) the frequent-itemset RESULT is plain SQL: a
+    recursive-CTE enumeration of the non-empty item subsets, a
+    containment join against the baskets, and the ceil(minSupport·N)
+    cut MLlib applies (`minCount = ceil(minSupport * count)`).  The
+    declared rows-only status was a conflation of the two; the driver
+    now hash-checks the exact counts.  (This oracle strategy is
+    domain-bounded by construction — a 10⁴-item vocabulary would be
+    2^10⁴ subsets; there the rows-only check would genuinely be the
+    ceiling.)
     """
     from pyspark.ml.fpm import FPGrowth
 
