@@ -128,6 +128,7 @@ HEADLINE = [
     "dow_seasonality",
     "price_elasticity_by_brand",
     "rolling_7d_active_users",
+    "zipf_fit_tokens",
 ]
 
 

@@ -2427,3 +2427,100 @@ def bigram_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
         .limit(20)
     )
+
+
+@register(
+    "zipf_fit_tokens",
+    oracle=f"""
+    WITH freq AS (
+        SELECT tok, count(*) AS cnt
+        FROM (SELECT unnest({TOKS}) AS tok FROM documents
+              WHERE text IS NOT NULL) t
+        GROUP BY tok
+    ), head AS (
+        SELECT cnt,
+               row_number() OVER (ORDER BY cnt DESC, tok) AS rnk
+        FROM freq
+        ORDER BY cnt DESC, tok
+        LIMIT 1000
+    ), pts AS (
+        SELECT CAST(round(ln(CAST(rnk AS DOUBLE)), 9) AS DECIMAL(18, 9)) AS x,
+               CAST(round(ln(CAST(cnt AS DOUBLE)), 9) AS DECIMAL(18, 9)) AS y
+        FROM head
+    ), sums AS (
+        SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM pts
+    )
+    SELECT n AS n_tokens,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                 6) AS zipf_slope,
+           round((CAST(sy AS DOUBLE) - CAST(sx AS DOUBLE)
+                  * ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))))
+                 / n, 6) AS ln_intercept
+    FROM sums
+    WHERE n >= 2
+    """,
+)
+def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token distribution: the log-log OLS
+    slope of frequency against rank over the top-1000 tokens — the
+    corpus-health diagnostic a tokenizer-training pass checks (natural
+    text fits slope ≈ −1; template/boilerplate corpora flatten, spam
+    steepens).
+
+    Scale: token frequencies are a vocab-sized hash aggregate; the
+    top-1000 cut is TakeOrdered (distributed, ordered by (cnt DESC,
+    tok) so ties cannot flip membership), and only the 1000-row head
+    sees a ranking window (``bounded_seq_window`` — metadata-sized by
+    construction at ANY corpus size).  Determinism: both ln() features
+    are quantized once to DECIMAL(18,9) (the
+    ``price_elasticity_by_brand`` pattern), so the regression sums are
+    exact decimal under any partitioning; the closed-form slope and
+    intercept are the only doubles, spelled identically in the oracle.
+    """
+    from ..operators.windows import bounded_seq_window
+
+    freq = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    head = (
+        freq.orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(1000)
+        .select(
+            "cnt",
+            F.row_number()
+            .over(bounded_seq_window(F.desc("cnt"), F.asc("tok")))
+            .alias("rnk"),
+        )
+    )
+    pts = head.select(
+        F.round(F.log(F.col("rnk").cast("double")), 9)
+        .cast("decimal(18,9)")
+        .alias("x"),
+        F.round(F.log(F.col("cnt").cast("double")), 9)
+        .cast("decimal(18,9)")
+        .alias("y"),
+    )
+    sums = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return sums.filter(n >= 2).select(
+        n.alias("n_tokens"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - sx * slope) / n, 6).alias("ln_intercept"),
+    )

@@ -145,3 +145,16 @@ def test_rolling_active_users_has_no_window_or_rescan(spark):
     assert "CartesianProduct" not in plan
     scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
     assert scans <= 2, scans  # ud + days branches of one dedup tree
+
+
+def test_zipf_window_sits_above_the_top1000_cut(spark):
+    """The ranking window must see only the TakeOrdered 1000-row head —
+    never the vocab-sized frequency table."""
+    plan = plan_of(spark, "zipf_fit_tokens")
+    w = re.search(r"\((\d+)\) Window", plan)
+    t = re.search(r"\((\d+)\) TakeOrderedAndProject", plan)
+    assert w and t
+    # formatted-plan node ids grow bottom-up: the cut must be the
+    # window's CHILD (lower id), i.e. the window sees 1000 rows
+    assert int(t.group(1)) < int(w.group(1))
+    assert "CartesianProduct" not in plan
