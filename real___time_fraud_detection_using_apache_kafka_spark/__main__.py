@@ -87,6 +87,45 @@ def cmd_train(args: argparse.Namespace) -> int:
         with open(args.metrics_out, "w") as fh:
             json.dump(metrics, fh)
         print(f"metrics written to {args.metrics_out}")
+    if args.report_dir:
+        # the reference's Model Reports/ artifacts (FD/model.py:150-198):
+        # confusion heatmap + metrics bars + importance bars + text report
+        import os
+
+        from .sources.report import (
+            classification_report_txt,
+            confusion_matrix_png,
+            feature_importance_png,
+            metrics_bar_png,
+        )
+
+        os.makedirs(args.report_dir, exist_ok=True)
+        c = cells.first()
+        cm = {(1, 1): c["tp"], (0, 1): c["fp"], (1, 0): c["fn"], (0, 0): c["tn"]}
+        confusion_matrix_png(cm, f"{args.report_dir}/confusion_matrix.png")
+        ratio_metrics = {
+            k: v for k, v in metrics.items()
+            if isinstance(v, float) and 0.0 <= v <= 1.0
+        }
+        metrics_bar_png(ratio_metrics, f"{args.report_dir}/metrics_report.png")
+        feature_importance_png(
+            feature_importances(model, top_k=10),
+            f"{args.report_dir}/feature_importance.png",
+        )
+
+        def _cls(tp, fp, fn, label):
+            prec = tp / (tp + fp) if tp + fp else 0.0
+            rec = tp / (tp + fn) if tp + fn else 0.0
+            f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+            return {"label": label, "precision": prec, "recall": rec,
+                    "f1": f1, "support": tp + fn}
+
+        classification_report_txt(
+            [_cls(c["tn"], c["fn"], c["fp"], 0),
+             _cls(c["tp"], c["fp"], c["fn"], 1)],
+            f"{args.report_dir}/classification_report.txt",
+        )
+        print(f"report artifacts written to {args.report_dir}")
     return 0
 
 
@@ -288,6 +327,9 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["lr", "rf", "gbt"])
     tp.add_argument("--model-dir", default=None)
     tp.add_argument("--metrics-out", default=None)
+    tp.add_argument("--report-dir", default=None,
+                    help="write the reference's Model Reports/ artifacts "
+                         "(confusion/metrics/importance PNGs + txt report)")
     tp.add_argument("--top-k", type=int, default=10)
     tp.set_defaults(fn=cmd_train)
 

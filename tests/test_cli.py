@@ -118,3 +118,28 @@ def test_cli_ingest_then_compact(spark, tmp_path):
 
     assert main(["compact", curated]) == 0
     assert spark.read.parquet(curated).count() == n
+
+
+def test_cli_train_report_dir_writes_reference_artifacts(tmp_path, capsys):
+    """--report-dir reproduces the reference's Model Reports/ folder
+    (FD/model.py:150-198): three PNG charts + the text classification
+    report, all valid files."""
+    rdir = str(tmp_path / "reports")
+    assert main([
+        "train", "--n", "800", "--classifier", "lr",
+        "--report-dir", rdir,
+    ]) == 0
+    import os
+
+    names = set(os.listdir(rdir))
+    assert names == {
+        "confusion_matrix.png", "metrics_report.png",
+        "feature_importance.png", "classification_report.txt",
+    }
+    for n in names:
+        blob = open(f"{rdir}/{n}", "rb").read()
+        assert len(blob) > 50
+        if n.endswith(".png"):
+            assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+    text = open(f"{rdir}/classification_report.txt").read()
+    assert "precision" in text and text.count("\n") == 3  # header + 2 classes
