@@ -349,8 +349,13 @@ def pr_curve_best_threshold(df: DataFrame, label: Column, proba: Column) -> Data
 
     Cumulative TP/FP come from a running sum over scores sorted descending —
     the same computation sklearn's ``precision_recall_curve`` does, on one
-    row per distinct score.  Ties in F1 break toward the higher threshold
-    (deterministic for the oracle comparison).
+    row per distinct score.  The argmax orders by the 6-dp ROUNDED F1 with
+    ties toward the higher threshold — the engine-wide rounded-cut doctrine:
+    two thresholds whose F1 differs only past 6 dp are a semantic tie, and
+    ordering by the raw double let a last-ulp cross-engine divergence flip
+    the pick (surfaced by the sf0.01 null-injection sweep, where SQL's
+    output-alias scoping made the oracle's ORDER BY f1 the rounded value
+    while Spark ordered raw).
     """
     scored = df.select(label.cast("long").alias("y"), proba.alias("p"))
     # one row per DISTINCT score; not persisted (see roc_auc — recompute
@@ -384,7 +389,9 @@ def pr_curve_best_threshold(df: DataFrame, label: Column, proba: Column) -> Data
             / (F.col("precision") + F.col("recall")),
         ).otherwise(F.lit(0.0)),
     )
-    best = curve.orderBy(F.desc("f1"), F.desc("threshold")).limit(1)
+    best = curve.orderBy(
+        F.round("f1", 6).desc(), F.desc("threshold")
+    ).limit(1)
     return best.select(
         F.col("threshold"),
         F.round("precision", 6).alias("precision"),

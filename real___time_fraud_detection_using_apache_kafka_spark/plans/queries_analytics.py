@@ -88,12 +88,16 @@ def month_spine_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     "daily_gapfill_forward",
     oracle="""
     WITH daily AS (
-        -- DECIMAL sum / exact count, not avg(): accumulation-order ulps in a
-        -- double avg can flip the 2-dp rounding between engines
+        -- DECIMAL sum, then floor-based half-up on the double quotient:
+        -- engine round() disagrees on means whose shortest repr is
+        -- x.xx5 (sf0.01 nulled sweep: 157.855 flipped), and DuckDB's
+        -- DECIMAL / count quotient is itself a DOUBLE while Spark's
+        -- stays exact decimal — so the ONLY cross-engine-stable form
+        -- is identical IEEE ops on the identical double
         SELECT event_type, CAST(ts AS DATE) AS day,
                count(*) AS n_events,
-               round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-                     / count(*), 2) AS day_avg
+               floor(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(*) * 100 + 0.5) / 100.0 AS day_avg
         FROM events WHERE value >= 90
         GROUP BY 1, 2
     ), bounds AS (
@@ -136,10 +140,12 @@ def daily_gapfill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", F.col("ts").cast("date").alias("day"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(
-                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
-                / F.count("*"),
-                2,
+            # floor-based half-up on the double quotient (oracle comment)
+            (
+                F.floor(
+                    F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                    / F.count("*") * 100 + F.lit(0.5)
+                ) / 100.0
             ).alias("day_avg"),
         )
     )

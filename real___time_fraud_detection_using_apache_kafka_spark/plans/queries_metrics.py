@@ -70,8 +70,12 @@ def scored_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH susp AS (
         SELECT * FROM events WHERE value >= 75
     ), counts AS (
+        -- NULL is not a category: a null event_type row counts toward
+        -- the entity's totals but can never be its mode (matches the
+        -- reference's pandas mode(), which drops NaN)
         SELECT user_id, event_type, count(*) AS _cnt
-        FROM susp GROUP BY user_id, event_type
+        FROM susp WHERE event_type IS NOT NULL
+        GROUP BY user_id, event_type
     ), modes AS (
         SELECT user_id, event_type AS top_event_type,
                row_number() OVER (PARTITION BY user_id
@@ -79,17 +83,22 @@ def scored_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM counts
     ), agg AS (
         SELECT user_id, count(*) AS suspicious_count,
-               -- DECIMAL end-to-end: a double mean whose shortest repr
-               -- is x.xx5 rounds differently across engines (DuckDB
-               -- rounds the repr, Spark the binary value); the decimal
-               -- quotient is exact and rounds identically everywhere
-               round(sum(CAST(value AS DECIMAL(18,6))) / count(*), 2)
-                   AS avg_value,
+               -- DECIMAL sum, floor-based half-up on the double
+               -- quotient: DuckDB's DECIMAL / count is a DOUBLE (its
+               -- round sees the binary value) while Spark's stays
+               -- exact decimal (half-up on the true midpoint) — the
+               -- gapfill twin of this construct flipped at x.xx5 in
+               -- the sf0.01 nulled sweep, so both sides now share one
+               -- IEEE op sequence
+               floor(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(*) * 100 + 0.5) / 100.0 AS avg_value,
                max(ts) AS last_ts
         FROM susp GROUP BY user_id
     )
     SELECT a.user_id, a.suspicious_count, a.avg_value, a.last_ts, m.top_event_type
-    FROM agg a JOIN modes m ON a.user_id = m.user_id AND m.rn = 1
+    -- LEFT: an entity whose suspicious rows are ALL null-typed still
+    -- appears, with a NULL mode (mirrors min_by skipping null orderings)
+    FROM agg a LEFT JOIN modes m ON a.user_id = m.user_id AND m.rn = 1
     ORDER BY a.suspicious_count DESC, a.user_id ASC
     LIMIT 10
     """,
@@ -117,13 +126,25 @@ def fraud_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_user = pair.groupBy("user_id").agg(
         F.sum("cnt").alias("suspicious_count"),
-        # decimal quotient rounded as DECIMAL (registry casts to double):
-        # rounding the double instead diverges across engines whenever the
-        # mean's shortest repr is x.xx5
-        F.round(F.sum("vsum") / F.sum("cnt"), 2).alias("avg_value"),
+        # floor-based half-up on the double quotient (see oracle comment)
+        (
+            F.floor(
+                F.sum("vsum").cast("double") / F.sum("cnt") * 100
+                + F.lit(0.5)
+            ) / 100.0
+        ).alias("avg_value"),
         F.max("mts").alias("last_ts"),
+        # NULL is not a category: min_by skips rows whose ORDERING is
+        # null, so null-typed groups fund the counts above but never the
+        # mode (Spark struct comparison would otherwise sort the NULL
+        # field FIRST while the oracle's ORDER BY ... ASC sorts it LAST —
+        # the cross-engine divergence the sf0.01 nulled sweep caught)
         F.min_by(
-            "event_type", F.struct((-F.col("cnt")).alias("neg"), F.col("event_type"))
+            "event_type",
+            F.when(
+                F.col("event_type").isNotNull(),
+                F.struct((-F.col("cnt")).alias("neg"), F.col("event_type")),
+            ),
         ).alias("top_event_type"),
     )
     return topk(
@@ -362,9 +383,9 @@ def pr_curve_threshold_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                       THEN 2 * precision * recall / (precision + recall)
                       ELSE 0.0 END, 6) AS f1
     FROM f
-    ORDER BY CASE WHEN precision + recall > 0
-                  THEN 2 * precision * recall / (precision + recall)
-                  ELSE 0.0 END DESC, threshold DESC
+    -- output-alias scoping: this f1 is the ROUNDED one (rounded-cut
+    -- doctrine, same as the Spark side's argmax)
+    ORDER BY f1 DESC, threshold DESC
     LIMIT 1
     """,
 )

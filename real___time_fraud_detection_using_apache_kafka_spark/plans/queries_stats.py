@@ -455,20 +455,25 @@ def chi2_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mad_outlier_orders",
     oracle="""
     WITH base AS (
-        SELECT o_orderpriority AS pri, o_totalprice AS p FROM orders
+        -- integer CENTS: interpolated medians of ints land on the
+        -- .5/.25 grid, exactly representable in binary, so the two
+        -- engines' different interpolation op orders cannot diverge
+        SELECT o_orderpriority AS pri,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+        FROM orders
         WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
     ), med AS (
-        SELECT pri, quantile_cont(p, 0.5) AS med FROM base GROUP BY pri
+        SELECT pri, quantile_cont(pc, 0.5) AS med FROM base GROUP BY pri
     ), dev AS (
-        SELECT b.pri, b.p, m.med, abs(b.p - m.med) AS ad
+        SELECT b.pri, b.pc, m.med, abs(b.pc - m.med) AS ad
         FROM base b JOIN med m ON b.pri = m.pri
     ), mad AS (
         SELECT pri, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY pri
     )
     SELECT d.pri AS o_orderpriority,
            count(*) AS n,
-           round(max(d.med), 2) AS median_price,
-           round(max(m.mad), 2) AS mad,
+           round(max(d.med) / 100.0, 2) AS median_price,
+           round(max(m.mad) / 100.0, 2) AS mad,
            CAST(sum(CASE WHEN d.ad > 3 * m.mad THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_outliers
     FROM dev d JOIN mad m ON d.pri = m.pri
@@ -480,10 +485,14 @@ def mad_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     absolute deviation (MAD), and how many orders sit beyond 3·MAD —
     the estimator that (unlike mean±3σ) a few mega-orders cannot drag.
 
-    Cross-engine exactness: ``percentile``/``quantile_cont`` share
-    linear-interpolation semantics over the same sorted doubles, so
-    median, MAD, and every ``|p−med| > 3·MAD`` comparison are
-    bit-identical — the outlier COUNT needs no rounding tolerance.
+    Cross-engine exactness: prices quantize to integer CENTS before
+    the percentiles, so every interpolated midpoint lands on the
+    .5-cent grid (exactly representable in binary) and every deviation
+    / MAD stays on a .25-cent grid — median, MAD, and each
+    ``|p−med| > 3·MAD`` comparison are bit-identical BY EXACTNESS,
+    not by hoping the engines share an interpolation op order (they
+    don't: the sf0.01 null-injection sweep caught the raw-double
+    formulation flipping a 2-dp round on a midpoint).
 
     Scale: exact within-group percentiles merge each group into one
     aggregation buffer — fine for the bounded priority domain; an
@@ -497,11 +506,14 @@ def mad_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").isNotNull()
             & F.col("o_totalprice").isNotNull()
         )
-        .select(F.col("o_orderpriority").alias("pri"), F.col("o_totalprice").alias("p"))
+        .select(
+            F.col("o_orderpriority").alias("pri"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("pc"),
+        )
     )
-    med = base.groupBy("pri").agg(F.percentile("p", F.lit(0.5)).alias("med"))
+    med = base.groupBy("pri").agg(F.percentile("pc", F.lit(0.5)).alias("med"))
     dev = base.join(F.broadcast(med), "pri").withColumn(
-        "ad", F.abs(F.col("p") - F.col("med"))
+        "ad", F.abs(F.col("pc") - F.col("med"))
     )
     mad = dev.groupBy("pri").agg(F.percentile("ad", F.lit(0.5)).alias("mad"))
     return (
@@ -509,8 +521,8 @@ def mad_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("pri").alias("o_orderpriority"))
         .agg(
             F.count("*").alias("n"),
-            F.round(F.max("med"), 2).alias("median_price"),
-            F.round(F.max("mad"), 2).alias("mad"),
+            F.round(F.max("med") / 100.0, 2).alias("median_price"),
+            F.round(F.max("mad") / 100.0, 2).alias("mad"),
             F.sum(
                 F.when(F.col("ad") > 3 * F.col("mad"), 1).otherwise(0)
             ).cast("bigint").alias("n_outliers"),

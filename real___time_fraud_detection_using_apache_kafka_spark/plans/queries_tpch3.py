@@ -82,7 +82,12 @@ def _derived_psupp(li: DataFrame) -> DataFrame:
     )
     SELECT p_partkey AS partkey, p_name AS part_name, s_name AS supp_name,
            n_name AS nation, round(s_acctbal, 2) AS acctbal,
-           round(supplycost, 4) AS min_cost
+           -- floor-based half-up: supplycost is a derived rational
+           -- (price/qty), and engine round() disagrees on doubles whose
+           -- shortest repr sits on the x.xxx5 boundary (DuckDB rounds
+           -- the repr, Spark the binary value); floor(x*1e4 + 0.5)/1e4
+           -- is pure shared-IEEE arithmetic on the identical double
+           floor(supplycost * 10000 + 0.5) / 10000.0 AS min_cost
     FROM cand WHERE supplycost = best_cost
     ORDER BY acctbal DESC, supp_name ASC, partkey ASC LIMIT 100
     """,
@@ -130,7 +135,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_name").alias("supp_name"),
             F.col("n_name").alias("nation"),
             F.round("s_acctbal", 2).alias("acctbal"),
-            F.round("supplycost", 4).alias("min_cost"),
+            # floor-based half-up (see oracle comment): shared-IEEE
+            # rounding of the derived rational, repr-independent
+            (F.floor(F.col("supplycost") * 10000 + 0.5) / 10000.0).alias(
+                "min_cost"
+            ),
         )
         .orderBy(F.desc("acctbal"), F.asc("supp_name"), F.asc("partkey"))
         .limit(100)

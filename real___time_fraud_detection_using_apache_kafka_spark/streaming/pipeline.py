@@ -243,7 +243,9 @@ def threshold_from_bins(bins: DataFrame, n_bins: int = 1000) -> DataFrame:
         )
     )
     return (
-        curve.orderBy(F.desc("f1"), F.desc("threshold"))
+        # rounded-cut doctrine (see pr_curve_best_threshold): argmax on
+        # the 6-dp F1 so a past-6-dp tie cannot flip the pick cross-engine
+        curve.orderBy(F.round("f1", 6).desc(), F.desc("threshold"))
         .limit(1)
         .select(
             "threshold",
