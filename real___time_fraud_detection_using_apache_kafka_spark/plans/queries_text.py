@@ -1331,10 +1331,13 @@ def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mix_sources_token_budget",
     oracle=f"""
     WITH t AS (
+      -- a NULL-text doc cannot be packed, and its NULL hash would sort
+      -- NULLS FIRST on Spark vs NULLS LAST here — exclude it outright
       SELECT source, doc_id,
              CASE WHEN trim(text) = '' THEN 0 ELSE len({TOKS}) END AS n_tok,
              {poly_hash_duckdb('text')} AS hv
       FROM documents
+      WHERE text IS NOT NULL
     ),
     o AS (
       SELECT source, doc_id, n_tok,
@@ -1363,7 +1366,11 @@ def mix_sources_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.hashing import poly_hash_expr
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        # NULL text is unpackable, and its NULL hash would sort NULLS
+        # FIRST here vs NULLS LAST in the oracle's window
+        F.col("text").isNotNull()
+    )
     t = docs.select(
         "source",
         "doc_id",

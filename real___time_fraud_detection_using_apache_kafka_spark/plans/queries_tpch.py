@@ -168,7 +168,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_product_profit",
     oracle="""
     SELECT sn.n_name AS nation, year(o.o_orderdate) AS o_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS profit
+           -- DECIMAL accumulation: 2dp x 2dp terms are exact at 4dp, so
+           -- the sum is order-independent (the raw double sum flipped a
+           -- 2-dp round at a x.xx5 boundary in the one_in=3 nulled sweep)
+           round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2)
+               AS profit
     FROM lineitem l
     JOIN part     p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%red%'
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -207,8 +212,13 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
         .agg(
+            # DECIMAL accumulation (see oracle comment): exact 4dp terms
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (1 - F.col("l_discount").cast("decimal(18,2)"))
+                ),
+                2,
             ).alias("profit")
         )
     )

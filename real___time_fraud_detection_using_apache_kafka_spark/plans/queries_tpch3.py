@@ -151,15 +151,25 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_PSUPP_CTE},
     val AS (
-      SELECT ps.partkey, sum(ps.supplycost * ps.availqty) AS value
+      -- micro-unit quantization: supplycost is a derived RATIONAL
+      -- double (price/qty), so summing the raw products is
+      -- order-dependent; each term quantizes to integer micro-units
+      -- via shared-IEEE floor, then the sums and the 0.1% threshold
+      -- comparison are exact integer arithmetic
+      SELECT ps.partkey,
+             sum(CAST(floor(ps.supplycost * ps.availqty * 1000000 + 0.5)
+                      AS BIGINT)) AS value_micros
       FROM psupp ps
       JOIN supplier s ON s.s_suppkey = ps.suppkey
       JOIN nation n ON n.n_nationkey = s.s_nationkey
       WHERE n.n_regionkey = 2
       GROUP BY ps.partkey
     )
-    SELECT partkey, round(value, 2) AS part_value
-    FROM val WHERE value > (SELECT sum(value) * 0.001 FROM val)
+    SELECT partkey,
+           ((CAST(value_micros AS BIGINT) + 5000) // 10000) / 100.0
+               AS part_value
+    FROM val
+    WHERE 1000 * value_micros > (SELECT sum(value_micros) FROM val)
     """,
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -183,14 +193,25 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").join(
         F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
     )
+    # micro-unit quantization (see oracle comment): exact integer sums,
+    # exact threshold compare; DECIMAL(38,0) accumulator so the grand
+    # total cannot overflow a long at extreme scale
+    term = F.floor(
+        F.col("supplycost") * F.col("availqty") * 1000000 + F.lit(0.5)
+    ).cast("decimal(38,0)")
     val = _derived_psupp(li).groupBy("partkey").agg(
-        F.sum(F.col("supplycost") * F.col("availqty")).alias("value")
+        F.sum(term).alias("value_micros")
     )
-    total = val.agg((F.sum("value") * 0.001).alias("threshold"))
+    total = val.agg(F.sum("value_micros").alias("total_micros"))
     return (
         val.join(F.broadcast(total))
-        .filter(F.col("value") > F.col("threshold"))
-        .select("partkey", F.round("value", 2).alias("part_value"))
+        .filter(1000 * F.col("value_micros") > F.col("total_micros"))
+        .select(
+            "partkey",
+            F.expr(
+                "((CAST(value_micros AS BIGINT) + 5000) DIV 10000) / 100.0"
+            ).alias("part_value"),
+        )
     )
 
 
