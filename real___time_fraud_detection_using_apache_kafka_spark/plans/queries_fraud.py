@@ -249,7 +249,12 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
            monetary,
            ntile(4) OVER (ORDER BY last_ts DESC, user_id)  AS r_score,
            ntile(4) OVER (ORDER BY frequency, user_id)     AS f_score,
-           ntile(4) OVER (ORDER BY monetary, user_id)      AS m_score
+           -- coalesce: a user whose every purchase value is NULL has
+           -- unknown spend and ranks as zero on BOTH engines (raw NULL
+           -- ordering diverges: Spark ranks NULLS FIRST, this window
+           -- NULLS LAST)
+           ntile(4) OVER (ORDER BY coalesce(monetary, 0), user_id)
+               AS m_score
     FROM p CROSS JOIN g
     """,
 )
@@ -309,10 +314,10 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.asc("frequency"), F.asc("user_id")],
         "f_score",
     )
+    mon0 = F.coalesce(F.col("monetary"), F.lit(0.0))  # see oracle comment
     m = quartile(
-        F.least(F.greatest(F.floor(F.col("monetary") / 100), F.lit(0)),
-                F.lit(255)),
-        [F.asc("monetary"), F.asc("user_id")],
+        F.least(F.greatest(F.floor(mon0 / 100), F.lit(0)), F.lit(255)),
+        [mon0.asc(), F.asc("user_id")],
         "m_score",
     )
     now = p.agg(F.max("last_ts").alias("_now"))

@@ -345,8 +345,15 @@ def customer_order_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(
                 ",", F.sort_array(F.collect_list("o_orderkey"))
             ).alias("orderkeys_csv"),
-            F.concat_ws(
-                "|", F.sort_array(F.collect_set("o_orderpriority"))
+            # nullif: with every priority NULL in the group, collect_set
+            # is empty and concat_ws yields '' while string_agg yields
+            # NULL — emit NULL on both engines ('' is unreachable
+            # otherwise: priorities are non-empty literals)
+            F.nullif(
+                F.concat_ws(
+                    "|", F.sort_array(F.collect_set("o_orderpriority"))
+                ),
+                F.lit(""),
             ).alias("priorities"),
         )
     )
