@@ -38,7 +38,9 @@ _PSUPP_CTE = """
       SELECT l_partkey AS partkey, l_suppkey AS suppkey,
              min(l_extendedprice / l_quantity) AS supplycost,
              sum(l_quantity) AS availqty
-      FROM lineitem GROUP BY 1, 2
+      FROM lineitem
+      WHERE l_quantity > 0
+      GROUP BY 1, 2
     )
 """
 
@@ -51,8 +53,13 @@ def _derived_psupp(li: DataFrame) -> DataFrame:
     equality-join and threshold-compare against the DuckDB oracle.
     Filter lineitem BEFORE calling this: the groupBy is the dominant
     shuffle and prunes with its input.
+
+    A line with zero (or NULL) quantity has no unit cost — the guard is
+    a semantic requirement, not defensive noise: under ANSI mode the
+    unguarded division is a job-killing DIVIDE_BY_ZERO on dirty data
+    (the tie-injection sweep crashed exactly there).
     """
-    return li.groupBy(
+    return li.filter(F.col("l_quantity") > 0).groupBy(
         F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
     ).agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost"),
