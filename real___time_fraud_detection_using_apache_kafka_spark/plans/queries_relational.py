@@ -771,6 +771,13 @@ def fuzzy_category_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance (``levenshtein``), with a deterministic (distance, label)
     tie-break via ``min_by``.
 
+    Engine caveat: DuckDB's ``levenshtein`` counts BYTES while Spark's
+    counts codepoints — identical only over single-byte (ASCII) label
+    domains like this one.  A multibyte label domain would need the
+    positional delete-variant predicate ``fuzzy_vocab_correction`` uses
+    (that query publishes no raw distance, so it eliminated levenshtein
+    entirely after the pathological-text sweep caught the divergence).
+
     Scale shape: both sides first collapse to DISTINCT labels —
     categorical domains are tiny regardless of corpus size, so the cross
     join is |domains|² on aggregated rows, never a row-level product.

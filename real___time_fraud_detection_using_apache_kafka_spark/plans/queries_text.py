@@ -2172,13 +2172,28 @@ def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the longer side; substitution shares the both-sides delete) — so the
 # candidate join is a plain EQUI-join on the variant key, never a
 # quadratic levenshtein cross join.
+# Each variant carries its deletion POSITION (pos=0 marks the identity
+# entry).  That makes the edit-distance<=1 verify an exact structural
+# predicate on the shared variant: ipos=0 (insert), jpos=0 (delete), or
+# ipos=jpos (substitution at that position — both sides deleted the same
+# index, so they agree everywhere else).  NO levenshtein call anywhere:
+# DuckDB's levenshtein counts BYTES (distance('日本語','本語') = 3) while
+# Spark's counts codepoints (= 1), a divergence the pathological-text
+# sweep caught; substr/length are codepoint-based on BOTH engines, so
+# the positional predicate is multibyte-safe.  Positions must NOT be
+# deduplicated per variant string: in a repeated-letter run the
+# substitution witness can be any shared index ("aab"/"abb" match only
+# at pos 2).
 _DELETE_VARIANTS_SPARK = (
-    "array_union(array(tok), transform(sequence(1, length(tok)), "
-    "i -> concat(substr(tok, 1, i - 1), substr(tok, i + 1, length(tok)))))"
+    "concat(array(struct(tok AS v, 0 AS pos)), "
+    "transform(sequence(1, length(tok)), "
+    "i -> struct(concat(substr(tok, 1, i - 1), "
+    "substr(tok, i + 1, length(tok))) AS v, i AS pos)))"
 )
 _DELETE_VARIANTS_DUCK = (
-    "list_distinct(list_append(list_transform(range(1, length(tok) + 1), "
-    "i -> substr(tok, 1, i - 1) || substr(tok, i + 1, length(tok))), tok))"
+    "list_append(list_transform(range(1, length(tok) + 1), "
+    "i -> {'v': substr(tok, 1, i - 1) || substr(tok, i + 1, length(tok)), "
+    "'pos': i}), {'v': tok, 'pos': CAST(0 AS BIGINT)})"
 )
 
 
@@ -2196,15 +2211,21 @@ _DELETE_VARIANTS_DUCK = (
         FROM freq WHERE length(tok) >= 3
           AND substr(tok, 2, length(tok)) NOT IN (SELECT tok FROM freq)
     ), vvar AS (
-        SELECT tok AS sugg, cnt AS sugg_cnt, unnest({_DELETE_VARIANTS_DUCK}) AS v
-        FROM freq
+        SELECT sugg, sugg_cnt, u.v AS v, u.pos AS jpos
+        FROM (SELECT tok AS sugg, cnt AS sugg_cnt,
+                     unnest({_DELETE_VARIANTS_DUCK}) AS u
+              FROM freq)
     ), rvar AS (
-        SELECT tok AS noisy_token, unnest({_DELETE_VARIANTS_DUCK}) AS v
-        FROM noisy
+        SELECT noisy_token, u.v AS v, u.pos AS ipos
+        FROM (SELECT tok AS noisy_token,
+                     unnest({_DELETE_VARIANTS_DUCK}) AS u
+              FROM noisy)
     ), cand AS (
+        -- positional edit-distance<=1 predicate (codepoint-exact on
+        -- both engines; see _DELETE_VARIANTS comment)
         SELECT DISTINCT noisy_token, sugg, sugg_cnt
         FROM rvar JOIN vvar USING (v)
-        WHERE levenshtein(noisy_token, sugg) <= 1
+        WHERE ipos = 0 OR jpos = 0 OR ipos = jpos
     ), best AS (
         SELECT noisy_token, sugg AS suggestion, sugg_cnt AS suggestion_cnt,
                row_number() OVER (PARTITION BY noisy_token
@@ -2228,9 +2249,12 @@ def fuzzy_vocab_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale design — the symmetric-delete trick: candidates come from an
     EQUI-join on the delete-one-char neighborhood (each token emits
     length+1 variant keys), so the work is O(tokens x length), not the
-    O(|noisy| x |vocab|) levenshtein cross join; ``levenshtein`` runs
-    only on the few candidates sharing a variant (it must — a shared
-    variant admits distance-2 pairs like ab/ba).  Every side is
+    O(|noisy| x |vocab|) levenshtein cross join; candidates sharing a
+    variant are verified by the POSITIONAL predicate (ipos=0 / jpos=0 /
+    ipos=jpos — exact d<=1, rejects distance-2 pairs like ab/ba that a
+    bare shared variant admits) with no levenshtein call at all, since
+    DuckDB's levenshtein counts bytes vs Spark's codepoints (multibyte
+    divergence caught by the pathological-text sweep).  Every side is
     VOCABULARY-sized (distinct tokens), never corpus-sized: the only
     corpus-scale operations are the explode and the frequency
     aggregate, both map-side combined; the variant join is
@@ -2253,11 +2277,16 @@ def fuzzy_vocab_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .join(freq.select("tok"), "tok", "left_anti")
     )
-    variants = F.explode(F.expr(_DELETE_VARIANTS_SPARK)).alias("v")
+    variants = F.explode(F.expr(_DELETE_VARIANTS_SPARK)).alias("u")
     vvar = freq.select(
         F.col("tok").alias("sugg"), F.col("cnt").alias("sugg_cnt"), variants
+    ).select(
+        "sugg", "sugg_cnt",
+        F.col("u.v").alias("v"), F.col("u.pos").alias("jpos"),
     )
-    rvar = noisy.select(F.col("tok").alias("noisy_token"), variants)
+    rvar = noisy.select(F.col("tok").alias("noisy_token"), variants).select(
+        "noisy_token", F.col("u.v").alias("v"), F.col("u.pos").alias("ipos")
+    )
     # NO broadcast hint on the variant join: both sides are
     # vocabulary-sized, which is small for word vocabularies but NOT
     # bounded (a 10M-token vocab × ~9 deletion variants each is past
@@ -2266,9 +2295,14 @@ def fuzzy_vocab_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # actually small, instead of a forced hint that OOMs at scale
     cand = (
         rvar.join(vvar, "v")
+        # positional edit-distance<=1 predicate — multibyte-safe on both
+        # engines (see _DELETE_VARIANTS comment), no levenshtein call
+        .filter(
+            (F.col("ipos") == 0) | (F.col("jpos") == 0)
+            | (F.col("ipos") == F.col("jpos"))
+        )
         .select("noisy_token", "sugg", "sugg_cnt")
         .distinct()
-        .filter(F.levenshtein("noisy_token", "sugg") <= 1)
     )
     return topk_per_group(
         cand, ["noisy_token"], [F.desc("sugg_cnt"), F.asc("sugg")], 1,
