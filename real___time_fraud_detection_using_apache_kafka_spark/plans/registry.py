@@ -117,8 +117,10 @@ def _stable_types(fn: QueryFn) -> QueryFn:
 # ROUND-6 HEAD PLAN (written mid-round-5): after this round's gate the
 # never-driver-graded oracle-able remainder is the round-5 batch-2/3
 # set — purchase_attribution, holt_backtest_accuracy, dow_seasonality,
-# price_elasticity_by_brand, rolling_7d_active_users (all local-oracle
-# green at sf0.001+sf0.01, null-swept, empty-checked) — plus whatever
+# price_elasticity_by_brand, rolling_7d_active_users, zipf_fit_tokens,
+# plus frequent_event_itemsets (rows-only -> full oracle in round 5, so
+# hash-grading it is fresh signal) — all local-oracle green at
+# sf0.001+sf0.01 and on all five adversarial variants — plus whatever
 # round 6 adds.  Compose the next head from those first, then rotate
 # re-verification slots across the oldest r1/r2 greens so driver signal
 # stays fresh end-to-end.
