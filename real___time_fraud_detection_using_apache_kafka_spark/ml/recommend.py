@@ -50,6 +50,105 @@ def fit_als(ratings: DataFrame, rank: int = 8, max_iter: int = 8,
     return als.fit(ratings)
 
 
+def deterministic_item_factors(items: DataFrame, key: str = "p_partkey") -> DataFrame:
+    """Rank-2 item factors derived in closed form from the item key —
+    exact DECIMAL(18,6) values any engine reproduces bit-identically
+    (multiplicative-hash residue scaled by an exact decimal literal,
+    integer arithmetic only until the final exact decimal multiply).
+
+    This is the fixed Y of :func:`als_half_step_users`: with Y pinned,
+    one ALS half-step has a closed form, which is what makes the
+    factorization family driver-gradable at hash level
+    (``als_half_step_factors`` in the catalog)."""
+    from decimal import Decimal
+
+    def yfac(mult: int):
+        m = F.pmod(F.col(key).cast("long") * F.lit(mult), F.lit(1_000_000)) + 1
+        return (
+            m.cast("decimal(18,0)") * F.lit(Decimal("0.000001"))
+        ).cast("decimal(7,6)")
+
+    return items.select(
+        F.col(key).alias("partkey"),
+        yfac(2654435761).alias("y1"),
+        yfac(1597334677).alias("y2"),
+    )
+
+
+def als_half_step_users(
+    ratings: DataFrame,
+    item_factors: DataFrame,
+    alpha: int = 10,
+    lam: str = "0.1",
+) -> DataFrame:
+    """One exact implicit-ALS half-step: solve the rank-2 user factors
+    X given fixed item factors Y (Hu-Koren-Volinsky, "Collaborative
+    Filtering for Implicit Feedback Datasets", ICDM'08 eq. 4):
+
+        x_u = (YᵀY + Yᵀ(C_u − I)Y + λI)⁻¹ Yᵀ C_u p(u)
+
+    with C_u = diag(1 + α·r_ui) and p_ui = 1 on observed pairs.  YᵀY
+    is a global 3-number aggregate over the item dimension (broadcast
+    as a 1-row frame — never a fact rescan); the user-specific terms
+    are one hash aggregate over the ratings keyed by user; the 2×2
+    solve is Cramer's rule.
+
+    Determinism contract (the catalog's irrational-feature recipe, cf.
+    ``price_elasticity_by_brand``): Y is exact DECIMAL(7,6), α and r
+    are integers, so every matrix/vector entry is an exact decimal sum
+    — order-independent under any partitioning.  Operand precisions
+    are kept small (y: 7, α·r: 8, matrix entries: 18) so every product
+    in the normal equations and Cramer's rule stays ≤ DECIMAL(37,·),
+    i.e. exact on Spark and DuckDB alike; only the final quotient
+    returns to double (one shared-IEEE division of bit-identical
+    inputs).
+    """
+    from decimal import Decimal
+
+    y1, y2 = F.col("y1"), F.col("y2")
+    yty = item_factors.agg(
+        F.sum(y1 * y1).cast("decimal(18,12)").alias("g11"),
+        F.sum(y1 * y2).cast("decimal(18,12)").alias("g12"),
+        F.sum(y2 * y2).cast("decimal(18,12)").alias("g22"),
+    )
+    ar = (F.lit(alpha) * F.col("n")).cast("decimal(8,0)")
+    per_user = (
+        ratings.join(item_factors, "partkey")
+        .groupBy("custkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(ar * (y1 * y1)).cast("decimal(18,12)").alias("s11"),
+            F.sum(ar * (y1 * y2)).cast("decimal(18,12)").alias("s12"),
+            F.sum(ar * (y2 * y2)).cast("decimal(18,12)").alias("s22"),
+            F.sum((F.lit(1) + ar) * y1).cast("decimal(18,6)").alias("b1"),
+            F.sum((F.lit(1) + ar) * y2).cast("decimal(18,6)").alias("b2"),
+        )
+    )
+    lam_d = F.lit(Decimal(lam))
+    a11 = (F.col("g11") + F.col("s11") + lam_d).cast("decimal(18,12)")
+    a12 = (F.col("g12") + F.col("s12")).cast("decimal(18,12)")
+    a22 = (F.col("g22") + F.col("s22") + lam_d).cast("decimal(18,12)")
+    det = (a11 * a22 - a12 * a12).cast("double")
+    num1 = (F.col("b1") * a22 - F.col("b2") * a12).cast("double")
+    num2 = (F.col("b2") * a11 - F.col("b1") * a12).cast("double")
+    def round6(q):
+        # floor(q*1e6 + 0.5)/1e6: the shared-IEEE rounding recipe — the
+        # same op sequence on identical doubles on both engines, immune
+        # to engine-round() half-way-formatting splits.
+        return F.floor(q * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+    return (
+        per_user.crossJoin(F.broadcast(yty))
+        .filter(det != 0.0)
+        .select(
+            "custkey",
+            "n_items",
+            round6(num1 / det).alias("x1"),
+            round6(num2 / det).alias("x2"),
+        )
+    )
+
+
 def recommend_parts(model: ALSModel, k: int = 5) -> DataFrame:
     """Top-k part recommendations per customer, flattened to
     (custkey, rank, partkey, score) rows — ``recommendForAllUsers`` is

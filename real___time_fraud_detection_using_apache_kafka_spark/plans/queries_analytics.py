@@ -1106,6 +1106,92 @@ def part_copurchase_pagerank_copart(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@register(
+    "als_half_step_factors",
+    oracle="""
+    WITH r AS (
+        SELECT o.o_custkey AS custkey, l.l_partkey AS partkey,
+               count(*) AS n
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ), yf AS (
+        SELECT p_partkey AS partkey,
+               CAST(((p_partkey * 2654435761) % 1000000 + 1)
+                    * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(7,6)) AS y1,
+               CAST(((p_partkey * 1597334677) % 1000000 + 1)
+                    * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(7,6)) AS y2
+        FROM part
+    ), g AS (
+        SELECT CAST(sum(y1 * y1) AS DECIMAL(18,12)) AS g11,
+               CAST(sum(y1 * y2) AS DECIMAL(18,12)) AS g12,
+               CAST(sum(y2 * y2) AS DECIMAL(18,12)) AS g22
+        FROM yf
+    ), u AS (
+        SELECT r.custkey, count(*) AS n_items,
+               CAST(sum(CAST(10 * r.n AS DECIMAL(8,0)) * (y1 * y1))
+                    AS DECIMAL(18,12)) AS s11,
+               CAST(sum(CAST(10 * r.n AS DECIMAL(8,0)) * (y1 * y2))
+                    AS DECIMAL(18,12)) AS s12,
+               CAST(sum(CAST(10 * r.n AS DECIMAL(8,0)) * (y2 * y2))
+                    AS DECIMAL(18,12)) AS s22,
+               CAST(sum((1 + CAST(10 * r.n AS DECIMAL(8,0))) * y1)
+                    AS DECIMAL(18,6)) AS b1,
+               CAST(sum((1 + CAST(10 * r.n AS DECIMAL(8,0))) * y2)
+                    AS DECIMAL(18,6)) AS b2
+        FROM r JOIN yf ON r.partkey = yf.partkey
+        GROUP BY r.custkey
+    ), m AS (
+        SELECT custkey, n_items,
+               CAST(g11 + s11 + CAST(0.1 AS DECIMAL(2,1))
+                    AS DECIMAL(18,12)) AS a11,
+               CAST(g12 + s12 AS DECIMAL(18,12)) AS a12,
+               CAST(g22 + s22 + CAST(0.1 AS DECIMAL(2,1))
+                    AS DECIMAL(18,12)) AS a22,
+               b1, b2
+        FROM u CROSS JOIN g
+    )
+    SELECT custkey, n_items,
+           floor(CAST(b1 * a22 - b2 * a12 AS DOUBLE)
+                 / CAST(a11 * a22 - a12 * a12 AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS x1,
+           floor(CAST(b2 * a11 - b1 * a12 AS DOUBLE)
+                 / CAST(a11 * a22 - a12 * a12 AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS x2
+    FROM m
+    WHERE CAST(a11 * a22 - a12 * a12 AS DOUBLE) <> 0.0
+    """,
+)
+def als_half_step_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver-gradable verification tier for the ALS family
+    (VERDICT r5 item 2): one EXACT implicit-feedback ALS half-step —
+    rank-2 user factors solved in closed form (Cramer) against fixed,
+    key-derived item factors, over the same (customer, part,
+    purchase-count) matrix ``als_part_recommendations`` factorizes
+    with MLlib.  The recurrence, weighting (C_u = 1 + α·r), and ridge
+    term are exactly Hu-Koren-Volinsky eq. 4, so a hash match here
+    pins the family's math end-to-end; the MLlib entry remains the
+    full alternating loop (rows-only by necessity).
+
+    Scale: one fact join + one user-keyed hash aggregate + a 1-row
+    YᵀY broadcast — identical shape at any rank r (r² sum columns),
+    no windows, no item-dimension rescans per user.
+    """
+    from ..ml.recommend import (
+        als_half_step_users,
+        deterministic_item_factors,
+        purchase_counts,
+    )
+
+    ratings = purchase_counts(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+    )
+    items = deterministic_item_factors(
+        load_table(spark, sf_dir, "part").select("p_partkey")
+    )
+    return als_half_step_users(ratings, items, alpha=10, lam="0.1")
+
+
 @register("als_part_recommendations")  # rows-only: factorization has no SQL oracle
 def als_part_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collaborative-filtering recommendations: implicit-feedback ALS

@@ -97,66 +97,55 @@ def _stable_types(fn: QueryFn) -> QueryFn:
 
 # The driver's correctness gate checks the FIRST 50 catalog entries, so
 # the head is COMPOSED each round, not left to registration order.
-# Round-5 composition (executes the written round-5 plan from round 4,
-# now confirmed by VERDICT.md r4 item 1): cumulative driver coverage
-# after r1-r4 is 129 hash-green names; this head is
-#   (a) the 33 oracle-able catalog queries that have NEVER been
-#       driver-graded — the round-4 graph / time-series / sketch /
-#       pivot / sampling additions,
-#   (b) new round-5 oracle-able queries (each a changed-or-new plan,
-#       ungraded until the driver says otherwise — q12 lesson), led by
-#       minhash_signatures (VERDICT r4 item 5: hash-level driver signal
-#       for the MinHash family, whose LSH retrieval tier is permanently
-#       rows-only),
-#   (c) remaining slots spent on never-graded rows-only entries so every
-#       catalog family has at least weak driver signal.
+# Round-6 composition (executes the plan written mid-round-5 and
+# confirmed by VERDICT.md r5 item 1): after the r5 gate the cumulative
+# driver-graded set is 179 names; this head is
+#   (a) the 7 oracle-able queries that have NEVER been driver-graded —
+#       the round-5 batch-2/3 additions (frequent_event_itemsets was
+#       rows-only until its round-5 oracle upgrade, so hash-grading it
+#       is fresh signal),
+#   (b) new round-6 queries (each a changed-or-new plan, ungraded until
+#       the driver says otherwise — the q12 lesson), led by
+#       als_part_recommendations now that it has a deterministic
+#       fixed-seed oracle (VERDICT r5 item 2) instead of its r5
+#       `no_oracle` slot,
+#   (c) re-verification slots: first the four r1/r2 FAILURES fixed in
+#       r3 (confusion_matrix, classification_metrics,
+#       grouping_sets_orders, q12_shipping_lateness — their green is
+#       the oldest *post-fix* signal in the catalog), then the 35
+#       queries whose latest driver grade is r1/r2, oldest families
+#       first.
 # Everything rotated out stays in the catalog right after the head and
 # is hash-green in an earlier driver round AND in every local
 # full-catalog oracle run (tools/check_oracle.py).
-#
-# ROUND-6 HEAD PLAN (written mid-round-5): after this round's gate the
-# never-driver-graded oracle-able remainder is the round-5 batch-2/3
-# set — purchase_attribution, holt_backtest_accuracy, dow_seasonality,
-# price_elasticity_by_brand, rolling_7d_active_users, zipf_fit_tokens,
-# plus frequent_event_itemsets (rows-only -> full oracle in round 5, so
-# hash-grading it is fresh signal) — all local-oracle green at
-# sf0.001+sf0.01 and on all five adversarial variants — plus whatever
-# round 6 adds.  Compose the next head from those first, then rotate
-# re-verification slots across the oldest r1/r2 greens so driver signal
-# stays fresh end-to-end.
 _GRADED_FIRST = [
-    # --- (a) never-driver-graded oracle-able queries (33) ---
-    # pivot / unpivot / rollup trio
-    "user_event_pivot", "priority_metrics_unpivot", "revenue_time_rollup",
-    # graph family (census, BFS, PageRank both tiers, lift)
-    "copurchase_triangles", "copurchase_khop_reach",
-    "copurchase_degree_stats", "part_copurchase_pagerank",
-    "part_copurchase_pagerank_copart", "copurchase_lift",
-    # similarity / embedding
-    "knn_graph", "label_centroid_similarity",
-    # text / sketch
-    "bm25_top_terms", "fuzzy_vocab_correction", "source_lang_entropy",
-    "bigram_collocations_pmi", "source_vocab_overlap",
-    "kmv_distinct_users", "order_value_equidepth_hist",
-    # sampling / ordering / distribution
-    "quality_weighted_sample", "weighted_reservoir_sample",
-    "skyline_orders", "orders_trimmed_stats", "part_revenue_abc",
-    # stats / experiments
-    "ab_test_zstat", "user_growth_curve", "interval_union_coverage",
-    # time-series (incl. the streaming-dual anchors ewma/kmv)
-    "ewma_user_value", "autocorr_daily_revenue", "cusum_changepoint",
-    "daily_anomaly_zscore", "holt_revenue_forecast",
-    "session_survival_km", "theil_sen_revenue_trend",
-    # --- (b) new round-5 oracle-able queries ---
-    "minhash_signatures",
-    "purchase_streaks", "spearman_corr_value_qty", "linreg_daily_revenue",
-    "user_rfm_segments", "gini_customer_revenue", "adamic_adar_parts",
-    "lead_lag_revenue_delta", "grouping_sets_revenue",
-    "inter_purchase_gaps", "mktsegment_hhi", "chi2_priority_status",
-    "mad_outlier_orders", "wow_revenue_growth", "common_neighbors_parts",
-    "cume_dist_order_values",
-    # --- (c) never-graded rows-only entries (weak signal > none) ---
-    "als_part_recommendations",
+    # --- (a) never-driver-graded oracle-able queries (7) ---
+    "purchase_attribution", "holt_backtest_accuracy", "dow_seasonality",
+    "price_elasticity_by_brand", "rolling_7d_active_users",
+    "zipf_fit_tokens", "frequent_event_itemsets",
+    # --- (b) new/changed round-6 plans (fresh signal) ---
+    "als_half_step_factors", "als_part_recommendations",
+    # --- (c1) r1/r2 failures fixed in r3: freshen first ---
+    "confusion_matrix", "classification_metrics", "grouping_sets_orders",
+    "q12_shipping_lateness",
+    # --- (c2) oldest greens (latest grade r1/r2) ---
+    # TPC-H suite rotated back in (graded r1/r2, never since)
+    "q3_shipping_priority", "q4_order_priority", "q6_forecast_revenue",
+    "q7_volume_shipping", "q8_market_share", "q10_returned_items",
+    "q11_important_parts", "q13_customer_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q16_part_supplier_counts",
+    "q17_small_quantity_revenue", "q18_large_volume_customers",
+    "q19_disjunctive_revenue", "q20_promotion_suppliers",
+    "q22_dormant_customers",
+    # relational / scalar / window r1 greens
+    "projection_filter", "null_handling", "scalar_datetime_parts",
+    "scalar_string_funcs", "currency_roundtrip", "json_extract_props",
+    "top_orders", "latest_event_per_user", "agg_stats_orders",
+    "mode_source_per_lang", "set_ops_nations",
+    "semi_join_customers_with_orders",
+    "anti_join_customers_without_orders", "customer_order_analytics",
+    "supplier_revenue_windows", "pivot_event_type_daily",
+    "unpivot_order_stats", "rollup_region_nation", "corpus_upsert_refresh",
 ]
 
 

@@ -89,3 +89,64 @@ class TestAlsRecommender:
         assert pc.columns == ["custkey", "partkey", "n"]
         row = pc.agg(F.min("n").alias("lo"), F.count("*").alias("k")).first()
         assert row.lo >= 1 and row.k > 0
+
+
+class TestAlsHalfStep:
+    """Exact HKV half-step vs an independent numpy solve of the same
+    normal equations — the closed form the ``als_half_step_factors``
+    oracle pins cross-engine must also agree with plain linear algebra."""
+
+    def test_matches_numpy_solve(self, spark):
+        import numpy as np
+
+        from real___time_fraud_detection_using_apache_kafka_spark.ml.recommend import (
+            als_half_step_users,
+            deterministic_item_factors,
+        )
+
+        items = spark.createDataFrame(
+            [(k,) for k in range(1, 21)], "p_partkey long"
+        )
+        ratings = spark.createDataFrame(
+            [(1, 2, 3), (1, 5, 1), (2, 7, 2), (2, 2, 4), (3, 19, 1)],
+            "custkey long, partkey long, n long",
+        )
+        yf = deterministic_item_factors(items)
+        got = {
+            r.custkey: (r.x1, r.x2, r.n_items)
+            for r in als_half_step_users(ratings, yf, alpha=10).collect()
+        }
+        y = {
+            r.partkey: np.array([float(r.y1), float(r.y2)])
+            for r in yf.collect()
+        }
+        yty = sum(np.outer(v, v) for v in y.values())
+        obs = {}
+        for u, i, n in [(1, 2, 3), (1, 5, 1), (2, 7, 2), (2, 2, 4), (3, 19, 1)]:
+            obs.setdefault(u, []).append((i, n))
+        for u, pairs in obs.items():
+            a = yty + 0.1 * np.eye(2)
+            b = np.zeros(2)
+            for i, n in pairs:
+                a += 10 * n * np.outer(y[i], y[i])
+                b += (1 + 10 * n) * y[i]
+            x = np.linalg.solve(a, b)
+            assert got[u][2] == len(pairs)
+            assert abs(got[u][0] - x[0]) < 1e-5, (u, got[u], x)
+            assert abs(got[u][1] - x[1]) < 1e-5, (u, got[u], x)
+
+    def test_item_factors_in_unit_interval(self, spark):
+        from real___time_fraud_detection_using_apache_kafka_spark.ml.recommend import (
+            deterministic_item_factors,
+        )
+
+        yf = deterministic_item_factors(
+            spark.range(1, 1000).withColumnRenamed("id", "p_partkey")
+        )
+        row = yf.agg(
+            F.min(F.least("y1", "y2")).alias("lo"),
+            F.max(F.greatest("y1", "y2")).alias("hi"),
+            F.countDistinct("y1").alias("d1"),
+        ).first()
+        assert float(row.lo) > 0.0 and float(row.hi) <= 1.0
+        assert row.d1 > 900  # hash spread: factors are not degenerate
