@@ -21,31 +21,55 @@ superset).
 
 Unpersisting a frame never invalidates it — a later action simply
 recomputes — so early release is always safe, only ever a cost.
+
+CONCURRENCY CONTRACT (ADVICE r5): because release happens at query
+BUILD time, the policy assumes the sequential build-then-collect loop
+above.  Interleaved builds on one session (build A, build B, then run
+A) release A's caches before A's action and A silently pays the
+recompute — correct, but the persists buy nothing.  Interleave-heavy
+callers should run each query's build+action back-to-back, or call
+``tracked_persist``/``release_tracked`` on sessions they don't share.
+The registry itself is per-session state, guarded by a lock so
+concurrent threads can't corrupt the tracking lists; the cost semantics
+above are per-session regardless.
 """
 
 from __future__ import annotations
 
+import threading
 import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
 # session -> list of persisted DataFrames; weak keys so a stopped
-# session's entry disappears with it
+# session's entry disappears with it.  All mutation happens under
+# _LOCK: WeakKeyDictionary setdefault/pop are not atomic across the
+# read-modify-write the track/release pair performs.
 _TRACKED: "weakref.WeakKeyDictionary[SparkSession, list[DataFrame]]" = (
     weakref.WeakKeyDictionary()
 )
+_LOCK = threading.Lock()
 
 
 def tracked_persist(df: DataFrame, storage_level=None) -> DataFrame:
-    """Persist ``df`` and register it for session-scoped release."""
+    """Persist ``df`` and register it for session-scoped release.
+
+    See the module docstring for the sequential build-then-collect
+    assumption that makes the registry's build-time release cheap."""
     df = df.persist(storage_level) if storage_level is not None else df.persist()
-    _TRACKED.setdefault(df.sparkSession, []).append(df)
+    with _LOCK:
+        _TRACKED.setdefault(df.sparkSession, []).append(df)
     return df
 
 
 def release_tracked(spark: SparkSession) -> int:
-    """Unpersist every tracked frame for ``spark``; returns the count."""
-    frames = _TRACKED.pop(spark, [])
+    """Unpersist every tracked frame for ``spark``; returns the count.
+
+    Always safe (lineage recomputes on the next action); only ever a
+    cost when a still-pending plan referenced the cache — see the
+    module docstring's concurrency contract."""
+    with _LOCK:
+        frames = _TRACKED.pop(spark, [])
     for df in frames:
         try:
             df.unpersist()

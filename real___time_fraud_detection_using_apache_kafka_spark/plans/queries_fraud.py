@@ -248,12 +248,21 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
            frequency,
            monetary,
            ntile(4) OVER (ORDER BY last_ts DESC, user_id)  AS r_score,
-           ntile(4) OVER (ORDER BY frequency, user_id)     AS f_score,
+           -- the user_id % 16 term after the capped value is the
+           -- BALANCE sub-bucket of the distributed-rank tier (ADVICE
+           -- r5): on a low-cardinality count domain it splits each hot
+           -- value across 16 bounded buckets; stated here so the ntile
+           -- order is identical on both engines
+           ntile(4) OVER (ORDER BY least(frequency, 255), user_id % 16,
+                          frequency, user_id)              AS f_score,
            -- coalesce: a user whose every purchase value is NULL has
            -- unknown spend and ranks as zero on BOTH engines (raw NULL
            -- ordering diverges: Spark ranks NULLS FIRST, this window
            -- NULLS LAST)
-           ntile(4) OVER (ORDER BY coalesce(monetary, 0), user_id)
+           ntile(4) OVER (ORDER BY
+                          least(greatest(floor(coalesce(monetary, 0) / 100),
+                                         0), 255),
+                          user_id % 16, coalesce(monetary, 0), user_id)
                AS m_score
     FROM p CROSS JOIN g
     """,
@@ -309,15 +318,26 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.desc("last_ts"), F.asc("user_id")],
         "r_score",
     )
+    # Balance sub-bucket (ADVICE r5): least(frequency, 255) alone has
+    # only as many buckets as distinct counts — on a small-integer
+    # purchase-count domain most entities land in 2-3 buckets and the
+    # per-bucket row_number degenerates toward a single-task sort.  The
+    # bucket is therefore the struct (capped value, user_id % 16): a
+    # bounded 16-way split of every hot value that stays a monotone
+    # prefix of the (capped value, h, raw value, user_id) total order
+    # the oracle states.
+    h16 = F.pmod(F.col("user_id"), F.lit(16))
+    fcap = F.least(F.col("frequency"), F.lit(255))
     f = quartile(
-        F.least(F.col("frequency"), F.lit(255)),
-        [F.asc("frequency"), F.asc("user_id")],
+        F.struct(fcap.alias("v"), h16.alias("h")),
+        [fcap.asc(), h16.asc(), F.asc("frequency"), F.asc("user_id")],
         "f_score",
     )
     mon0 = F.coalesce(F.col("monetary"), F.lit(0.0))  # see oracle comment
+    mcap = F.least(F.greatest(F.floor(mon0 / 100), F.lit(0)), F.lit(255))
     m = quartile(
-        F.least(F.greatest(F.floor(mon0 / 100), F.lit(0)), F.lit(255)),
-        [mon0.asc(), F.asc("user_id")],
+        F.struct(mcap.alias("v"), h16.alias("h")),
+        [mcap.asc(), h16.asc(), mon0.asc(), F.asc("user_id")],
         "m_score",
     )
     now = p.agg(F.max("last_ts").alias("_now"))

@@ -431,10 +431,6 @@ def _minhash_oracle() -> str:
     from .queries_text import NGRAM_SQL
 
     hash_of_gram = poly_hash_duckdb("g")
-    mh_cols = ",\n           ".join(
-        f"list_min(list_transform(hs, h -> (h * {a} + b_{k}) % {MOD})) AS mh{k}"
-        for k, (a, _b) in enumerate(MINHASH_PERMS[:_MINHASH_K])
-    )
     # DuckDB lambda cannot reference outer aliases per-perm; inline b
     mh_cols = ",\n           ".join(
         f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {MOD})) AS mh{k}"

@@ -481,7 +481,12 @@ def ewma_stream_ordered(events: DataFrame, alpha: float = 0.3) -> DataFrame:
                 pend[2].extend(float(v) for v in pdf["value"])
         wm = state.getCurrentWatermarkMs()
         rows = sorted(zip(*pend))
-        ready = [r for r in rows if r[0] <= wm]
+        # Fold STRICTLY below the watermark: Spark's late filter drops
+        # only rows with ts < watermark, so an event timestamped exactly
+        # AT the watermark can still arrive in a later micro-batch —
+        # folding ts == wm now could fold it after its equal-ts peers
+        # (ADVICE r5). Those rows drain one watermark advance later.
+        ready = [r for r in rows if r[0] < wm]
         hold = rows[len(ready):]  # sorted, so the split is a prefix
         for _, _, x in ready:
             ewma = x if n == 0 else (1.0 - alpha) * ewma + alpha * x
@@ -496,10 +501,11 @@ def ewma_stream_ordered(events: DataFrame, alpha: float = 0.3) -> DataFrame:
             )
         )
         if hold:
-            # every hold ts is > wm (ready split is exact), so this is a
-            # legal future timeout: fires when the watermark passes the
-            # earliest still-buffered event
-            state.setTimeoutTimestamp(hold[0][0])
+            # fires when the watermark passes the earliest still-buffered
+            # event; hold may now contain ts == wm rows, and the timeout
+            # must stay STRICTLY above the current watermark, hence the
+            # max with wm + 1
+            state.setTimeoutTimestamp(max(hold[0][0], wm + 1))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],

@@ -139,10 +139,32 @@ def test_rfm_bucketed_default_matches_entity_ntile(spark, sf_dir):
             .over(Window.orderBy(F.desc("last_ts"), F.asc("user_id")))
             .alias("r_score"),
             F.ntile(4)
-            .over(Window.orderBy(F.asc("frequency"), F.asc("user_id")))
+            .over(
+                Window.orderBy(
+                    F.least(F.col("frequency"), F.lit(255)).asc(),
+                    F.pmod(F.col("user_id"), F.lit(16)).asc(),
+                    F.asc("frequency"),
+                    F.asc("user_id"),
+                )
+            )
             .alias("f_score"),
             F.ntile(4)
-            .over(Window.orderBy(F.asc("monetary"), F.asc("user_id")))
+            .over(
+                Window.orderBy(
+                    F.least(
+                        F.greatest(
+                            F.floor(
+                                F.coalesce(F.col("monetary"), F.lit(0.0)) / 100
+                            ),
+                            F.lit(0),
+                        ),
+                        F.lit(255),
+                    ).asc(),
+                    F.pmod(F.col("user_id"), F.lit(16)).asc(),
+                    F.coalesce(F.col("monetary"), F.lit(0.0)).asc(),
+                    F.asc("user_id"),
+                )
+            )
             .alias("m_score"),
         ).collect()
     }
