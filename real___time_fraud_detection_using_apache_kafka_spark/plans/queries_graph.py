@@ -309,10 +309,53 @@ def common_neighbors_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     join against the edges to keep non-edges only — no cross product
     anywhere.
     """
-    edges = _copurchase_edges(spark, sf_dir)
+    return _common_neighbors_topk(spark, sf_dir, max_degree=None)
+
+
+def _common_neighbors_topk(
+    spark: SparkSession, sf_dir: str, max_degree: int | None
+) -> DataFrame:
+    return common_neighbors_from_edges(
+        _copurchase_edges(spark, sf_dir), max_degree
+    )
+
+
+def common_neighbors_from_edges(
+    edges: DataFrame, max_degree: int | None
+) -> DataFrame:
+    """Shared wedge plan for both common-neighbor tiers, over an
+    undirected edge list ``(a, b)`` with a < b.
+
+    ``max_degree=None`` is the EXACT tier: every vertex mediates
+    wedges, Σ deg² rows — the semantics ``common_neighbors_parts``
+    oracles, and the last quadratic-ish surface in the catalog on a
+    power-law graph.  ``max_degree=c`` is the SCALE tier: vertices with
+    degree > c mediate no wedges (an anti-join against the hub list —
+    metadata-sized at realistic caps, ≤ 2|E|/c rows by definition), so
+    the self-join input is Σ_{deg≤c} deg ≤ 2|E| rows producing at most
+    c·2|E| wedges — linear in |E| with the cap as the constant.  The
+    trade is explicit: common-neighbor evidence THROUGH a super-hub is
+    the weakest signal in link prediction (everyone shares the hub),
+    and the capped score only drops those terms; with c ≥ max degree
+    the tiers are bit-identical (pinned by
+    ``test_common_neighbors_capped_parity``).
+    """
     sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
         edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
+    if max_degree is not None:
+        from ..operators.cache import tracked_persist
+
+        hubs = (
+            sym.groupBy(F.col("src").alias("node"))
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") > max_degree)
+            .select("node")
+        )
+        # both wedge sides + their union branches consume this — persist
+        # or the degree aggregate and anti-join replay 4x (lifecycle:
+        # released by the registry on the next query build)
+        sym = tracked_persist(sym.join(hubs, sym.src == hubs.node, "left_anti"))
     s1 = sym.select(F.col("src").alias("z"), F.col("dst").alias("x"))
     s2 = sym.select(F.col("src").alias("z"), F.col("dst").alias("y"))
     cand = (
@@ -327,3 +370,45 @@ def common_neighbors_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_common").desc(), "a", "b")
         .limit(20)
     )
+
+
+@register(
+    "common_neighbors_capped",
+    oracle=f"""
+    WITH {_EDGES_CTE}, sym AS (
+        SELECT a AS src, b AS dst FROM edges
+        UNION ALL SELECT b, a FROM edges
+    ), deg AS (
+        SELECT src AS node, count(*) AS d FROM sym GROUP BY src
+    ), symf AS (
+        SELECT s.src, s.dst FROM sym s JOIN deg g ON s.src = g.node
+        WHERE g.d <= 16
+    ), wedge AS (
+        SELECT s1.dst AS x, s2.dst AS y
+        FROM symf s1 JOIN symf s2
+          ON s1.src = s2.src AND s1.dst < s2.dst
+    ), cand AS (
+        SELECT x AS a, y AS b, count(*) AS n_common
+        FROM wedge GROUP BY 1, 2
+    )
+    SELECT c.a, c.b, c.n_common
+    FROM cand c LEFT JOIN edges e ON c.a = e.a AND c.b = e.b
+    WHERE e.a IS NULL AND c.n_common >= 2
+    ORDER BY c.n_common DESC, c.a, c.b
+    LIMIT 20
+    """,
+)
+def common_neighbors_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB tier of ``common_neighbors_parts`` (VERDICT r5 item
+    3): non-edge link prediction where only vertices of degree ≤ 16
+    mediate common-neighbor evidence — hubs above the cap are removed
+    from the wedge self-join by an anti-join, bounding candidate rows
+    at cap·2|E| (linear in edges) instead of Σ deg² (quadratic in hub
+    degree).  Scores count low-degree common neighbors only — the
+    informative ones; a shared super-hub is near-zero evidence (the
+    same discounting Adamic-Adar applies smoothly, applied as a hard
+    candidate gate).  Exact-parity with the uncapped tier whenever the
+    cap exceeds the max degree; fully oracle-checked on its own capped
+    semantics (so the hub-skew sweep grades it cross-engine on 40%-hub
+    data)."""
+    return _common_neighbors_topk(spark, sf_dir, max_degree=16)

@@ -125,6 +125,7 @@ _GRADED_FIRST = [
     "zipf_fit_tokens", "frequent_event_itemsets",
     # --- (b) new/changed round-6 plans (fresh signal) ---
     "als_half_step_factors", "als_part_recommendations",
+    "common_neighbors_capped", "user_rfm_segments",
     # --- (c1) r1/r2 failures fixed in r3: freshen first ---
     "confusion_matrix", "classification_metrics", "grouping_sets_orders",
     "q12_shipping_lateness",

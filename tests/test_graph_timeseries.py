@@ -572,3 +572,75 @@ class TestRound5BatchInvariants:
         for b in base:
             # 9-dp ln quantization + 6-dp output round -> tiny slack
             assert abs(base[b] - scaled_r[b]) <= 2e-5, b
+
+
+class TestCommonNeighborsCapped:
+    """Degree-capped candidate tier (VERDICT r5 item 3): with the cap
+    above the max degree the tiers are bit-identical; with a binding
+    cap on a hub-skewed graph, scores never exceed the exact tier's
+    and the hub mediates nothing."""
+
+    def _hub_graph(self, spark):
+        # two hubs (0 and 200) so hub-only pairs reach n_common = 2; a
+        # clique of 1..6 plus two satellites (100, 101) attached to
+        # 1..5 provide genuine low-degree common neighbors
+        edges = [(0, i) for i in range(1, 40)]
+        edges += [(i, 200) for i in range(10, 40)]
+        edges += [(i, j) for i in range(1, 7) for j in range(i + 1, 7)]
+        edges += [(i, s) for i in range(1, 6) for s in (100, 101)]
+        return spark.createDataFrame(edges, "a long, b long")
+
+    def test_capped_parity_when_cap_exceeds_max_degree(self, spark):
+        from real___time_fraud_detection_using_apache_kafka_spark.plans.queries_graph import (
+            common_neighbors_from_edges,
+        )
+
+        edges = self._hub_graph(spark)
+        exact = sorted(
+            map(tuple, common_neighbors_from_edges(edges, None).collect())
+        )
+        capped = sorted(
+            map(tuple, common_neighbors_from_edges(edges, 1000).collect())
+        )
+        assert exact == capped and len(exact) == 20
+
+    def test_binding_cap_drops_hub_evidence_only(self, spark):
+        from real___time_fraud_detection_using_apache_kafka_spark.plans.queries_graph import (
+            common_neighbors_from_edges,
+        )
+
+        edges = self._hub_graph(spark)
+        exact = {
+            (r.a, r.b): r.n_common
+            for r in common_neighbors_from_edges(edges, None)
+            .limit(1000)
+            .collect()
+        }
+        capped = {
+            (r.a, r.b): r.n_common
+            for r in common_neighbors_from_edges(edges, 16).collect()
+        }
+        # capped scores are a subset with counts <= exact (hub terms
+        # dropped, nothing added)
+        for pair, n in capped.items():
+            assert pair in exact and n <= exact[pair], (pair, n)
+        # the hub (degree 39 > 16) mediates nothing: pairs whose ONLY
+        # common neighbor set was {hub} are gone entirely — e.g.
+        # (20, 21) share only node 0
+        assert all(
+            not ({a, b} <= set(range(10, 40))) for (a, b) in capped
+        )
+
+    def test_catalog_cap_matches_oracle_cap(self):
+        """The Spark tier and the SQL oracle must state the SAME cap —
+        a drifted constant would silently re-open the hub surface on
+        one side only."""
+        import inspect
+
+        from real___time_fraud_detection_using_apache_kafka_spark.plans import QUERIES
+        from real___time_fraud_detection_using_apache_kafka_spark.plans.queries_graph import (
+            common_neighbors_capped,
+        )
+
+        assert "max_degree=16" in inspect.getsource(common_neighbors_capped)
+        assert "g.d <= 16" in QUERIES["common_neighbors_capped"].oracle
