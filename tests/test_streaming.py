@@ -549,3 +549,84 @@ def test_windowed_counts_drop_late_data_after_watermark(spark, tmpdir):
         assert total_emitted == 73
     finally:
         q.stop()
+
+
+def test_dashboard_from_state_matches_batch_snapshot(spark):
+    """The streaming dashboard reader must reproduce the batch
+    dashboard_snapshot catalog query's full (metric, value) table from
+    the single state row.  Counts/ratios/decimal-average metrics are
+    exact; avg_probability rides a 12-dp decimal accumulator against
+    the batch double avg, so it gets a 1e-9 tolerance at the 6-dp
+    surface."""
+    from real___time_fraud_detection_using_apache_kafka_spark.plans import QUERIES
+    from real___time_fraud_detection_using_apache_kafka_spark.plans.queries_metrics import (
+        scored_events,
+    )
+    from real___time_fraud_detection_using_apache_kafka_spark.streaming.pipeline import (
+        dashboard_from_state,
+        dashboard_state,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        r["metric"]: r["value"]
+        for r in QUERIES["dashboard_snapshot"].fn(spark, sf).collect()
+    }
+    state = dashboard_state(
+        scored_events(spark, sf),
+        proba_col="score", pred_col="predicted",
+        label_col="actual", value_col="value",
+    )
+    got = {
+        r["metric"]: r["value"] for r in dashboard_from_state(state).collect()
+    }
+    assert set(got) == set(batch)
+    for k in batch:
+        if k == "avg_probability":
+            assert got[k] == pytest.approx(batch[k], abs=1e-9), k
+        else:
+            assert got[k] == batch[k], k
+
+
+def test_dashboard_state_is_shard_order_independent(spark, tmpdir):
+    """Run dashboard_state as a REAL streaming query over two atomic
+    micro-batches; the folded state must equal the batch aggregate over
+    the union — the O(delta) merge loses nothing and the decimal
+    accumulators make the fold independent of sharding."""
+    from real___time_fraud_detection_using_apache_kafka_spark.streaming.pipeline import (
+        dashboard_state,
+    )
+    from tests.stream_io import atomic_json_append
+
+    src_dir = f"{tmpdir}/src"
+    ckpt = f"{tmpdir}/ckpt"
+    b1 = batch_transactions(spark, 120)
+    b2 = batch_transactions(spark, 80, seed=9)
+    atomic_json_append(score_stream(b1), src_dir)
+
+    stream = (
+        spark.readStream.schema("v string").text(src_dir)
+        .select(F.from_json(F.col("v"), score_stream(
+            spark.createDataFrame([], TXN_SCHEMA)).schema.simpleString()
+        ).alias("t"))
+        .select("t.*")
+    )
+    q = (
+        dashboard_state(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("dash_t")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        atomic_json_append(score_stream(b2), src_dir)
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM dash_t").first().asDict()
+    finally:
+        q.stop()
+    want = dashboard_state(
+        score_stream(b1).unionByName(score_stream(b2))
+    ).first().asDict()
+    assert got == want
