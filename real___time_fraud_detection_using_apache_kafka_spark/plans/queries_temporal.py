@@ -562,13 +562,19 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     then DECIMAL-summed — so no order-dependent float sum feeds a
     published number.  Touch order ties break on (ts, event_id).
 
-    Scale: the touch-to-purchase match is a user-keyed equi-join with a
-    range residual (never a cross product; per-user frames are bounded
-    by 7 days of that user's activity).  Both ranking windows partition
-    by purchase id — data-parallel at any |purchases|.  A hot user
-    (celebrity skew) would ride the salted-join tier from
-    ``operators/relational.py``; at TPC-H-ish uniformity the plain
-    equi-join wins.
+    Scale: the touch-to-purchase match is the BANDED interval join
+    (same shape as ``operators/temporal.py:interval_join``): purchases
+    explode to their own and the previous 7-day bucket, the join is an
+    EQUI-join on (user, bucket) with the range as an in-bucket
+    residual — so each purchase meets at most 14 days of its user's
+    touches, independent of history length.  The plain
+    user-equi-join-with-residual formulation materializes every
+    (purchase, touch) pair per user before filtering — measured 422 s
+    at 100M rows / 1k events/user vs 36 s banded
+    (tools/scaling_smoke_r5batch.py); on multi-year 100 TB history the
+    gap is unbounded.  Both ranking windows partition by purchase id —
+    data-parallel at any |purchases|.  A hot user (celebrity skew)
+    would ride the salted-join tier from ``operators/relational.py``.
     """
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull() & F.col("ts").isNotNull()
@@ -587,39 +593,61 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("tts"),
         F.col("event_type").alias("channel"),
     )
-    p, t = pur.alias("p"), tou.alias("t")
-    matched = p.join(
-        t,
+    from ..operators.temporal import _micros
+
+    bucket_us = 7 * 86_400_000_000
+    pb = F.floor(_micros(F.col("pts")) / F.lit(bucket_us)).cast("long")
+    tb = F.floor(_micros(F.col("tts")) / F.lit(bucket_us)).cast("long")
+    # tts in [pts-7d, pts) implies floor(tts/7d) in {B, B-1} for
+    # B = floor(pts/7d) — two probe rows per purchase cover the window
+    # exactly, and the join becomes an equi-join on (user, bucket)
+    probe = pur.withColumn("_bucket", F.explode(F.array(pb, pb - 1)))
+    build = tou.withColumn("_bucket", tb)
+    matched = probe.alias("p").join(
+        build.alias("t"),
         (F.col("p.user_id") == F.col("t.user_id"))
+        & (F.col("p._bucket") == F.col("t._bucket"))
         & (F.col("t.tts") < F.col("p.pts"))
         & (F.col("t.tts") >= F.col("p.pts") - F.expr("INTERVAL 7 DAYS")),
     ).select("pid", "val", "channel", "tts", "tid")
 
-    from pyspark.sql import Window
+    from ..operators.cache import tracked_persist
 
-    per_pid = Window.partitionBy("pid")
-    ranked = matched.select(
-        "pid",
-        "val",
-        "channel",
-        F.row_number()
-        .over(per_pid.orderBy("tts", "tid"))
-        .alias("rn"),
-        F.count("*").over(per_pid).alias("n"),
+    # The matched pairs fold to (pid, channel) sufficient statistics in
+    # ONE map-side-combinable hash aggregate — the windowed (row_number
+    # + count-over) formulation this replaces sorted every per-purchase
+    # frame AND recomputed the interval join three times (firsts /
+    # lasts / linear each re-derived `ranked`); measured 293 s -> 36 s
+    # at 100M rows.  min/max of (tts, tid) structs pick the first/last
+    # touch associatively (no nulls by the source filters), so the
+    # whole attribution needs no window at all.
+    pc = tracked_persist(
+        matched.groupBy("pid", "val", "channel").agg(
+            F.count("*").alias("cnt"),
+            F.min(F.struct("tts", "tid")).alias("m1"),
+            F.max(F.struct("tts", "tid")).alias("m2"),
+        )
     )
+    per_pid = pc.groupBy("pid", "val").agg(
+        F.sum("cnt").alias("n"),
+        F.min(
+            F.struct(F.col("m1.tts"), F.col("m1.tid"), F.col("channel"))
+        ).alias("first"),
+        F.max(
+            F.struct(F.col("m2.tts"), F.col("m2.tid"), F.col("channel"))
+        ).alias("last"),
+    )
+    per_pid = tracked_persist(per_pid)
     firsts = (
-        ranked.filter(F.col("rn") == 1)
-        .groupBy("channel")
+        per_pid.groupBy(F.col("first.channel").alias("channel"))
         .agg(F.count("*").alias("n_first"), F.sum("val").alias("credit_first"))
     )
     lasts = (
-        ranked.filter(F.col("rn") == F.col("n"))
-        .groupBy("channel")
+        per_pid.groupBy(F.col("last.channel").alias("channel"))
         .agg(F.count("*").alias("n_last"), F.sum("val").alias("credit_last"))
     )
     linear = (
-        ranked.groupBy("pid", "channel", "val")
-        .agg(F.count("*").alias("cnt"), F.max("n").alias("n"))
+        pc.join(per_pid.select("pid", "n"), "pid")
         .select(
             "channel",
             F.round(
@@ -635,7 +663,7 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         firsts.join(lasts, "channel").join(linear, "channel")
     )
     direct = (
-        pur.join(matched.select("pid").distinct(), "pid", "left_anti")
+        pur.join(per_pid.select("pid"), "pid", "left_anti")
         .agg(
             F.count("*").alias("n_first"),
             F.sum("val").alias("credit_first"),
