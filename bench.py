@@ -135,6 +135,8 @@ HEADLINE = [
     "als_half_step_factors",
     "common_neighbors_capped",
     "hll_distinct_users",
+    "cms_heavy_hitters",
+    "bloom_semijoin_prune",
 ]
 
 

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
-from ..functions.hashing import poly_hash_duckdb
+from ..functions.hashing import poly_hash_duckdb, poly_hash_expr
 from .registry import register
 
 
@@ -629,3 +629,336 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k, (a, b) in enumerate(MINHASH_PERMS[:_MINHASH_K])
     ]
     return hashed.select("doc_id", *mh)
+
+
+# --- count-min sketch / Bloom filter (round-6 additions) ---------------
+#
+# Both reuse the HLL mixer: the portable polynomial hash pushed through
+# two quadratic scrambles mod p=1e9+7 (see hll_distinct_users for the
+# measured lattice-failure story), then per-structure affine maps pick
+# the d sketch rows / k filter bits.  Everything is exact integer
+# arithmetic both engines share, so both sketches are HASH-graded.
+
+_MIX_SCRAMBLES = ((1000003, 12345), (999983, 7))
+_MIX_P = 1_000_000_007
+
+CMS_W = 64  # buckets per row: deliberately tiny so collisions exist at
+CMS_D = 4   # test SF and the overestimate column is a live audit signal
+_CMS_ROWS = ((1000003, 12345), (999983, 54321), (756839, 192837), (524287, 918273))
+
+BLOOM_BITS_PER_KEY = 8  # m = 8 bits/key, k=3 -> fp ~= 3.9% at any scale
+_BLOOM_KS = ((1000003, 12345), (999983, 54321), (756839, 192837))
+
+
+def _mixed_hash(df: DataFrame, col_sql: str, out: str = "g") -> DataFrame:
+    """Append the scrambled portable hash as column ``out`` (staged via
+    withColumn so each scramble evaluates once per row)."""
+    df = df.withColumn(out, poly_hash_expr(col_sql))
+    for a, b in _MIX_SCRAMBLES:
+        g = F.col(out)
+        df = df.withColumn(
+            out, F.pmod(g * g + F.lit(a) * g + F.lit(b), F.lit(_MIX_P))
+        )
+    return df
+
+
+def _mixed_cte(src: str, key_sql: str, cols: str, tag: str) -> str:
+    """DuckDB CTE chain computing the same mixed hash: returns the SQL
+    text of three chained CTE bodies; final relation is ``{tag}2`` with
+    columns ``{cols}, g``."""
+    (a1, b1), (a2, b2) = _MIX_SCRAMBLES
+    return f"""
+    {tag}0 AS (
+        SELECT {cols}, {poly_hash_duckdb(key_sql)} AS g FROM {src}
+    ), {tag}1 AS (
+        SELECT {cols}, (g * g + {a1} * g + {b1}) % {_MIX_P} AS g FROM {tag}0
+    ), {tag}2 AS (
+        SELECT {cols}, (g * g + {a2} * g + {b2}) % {_MIX_P} AS g FROM {tag}1
+    )"""
+
+
+def _cms_bucket_case(param_idx: int) -> str:
+    """DuckDB CASE expression mapping row index j to its affine bucket."""
+    consts = [p[param_idx] for p in _CMS_ROWS]
+    arms = " ".join(f"WHEN {j} THEN {c}" for j, c in enumerate(consts))
+    return f"(CASE j {arms} END)"
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH src AS (
+        SELECT user_id FROM events WHERE user_id IS NOT NULL
+    ), {_mixed_cte("src", "cast(user_id AS VARCHAR)", "user_id", "m")},
+    buckets AS (
+        SELECT j,
+               ({_cms_bucket_case(0)} * g + {_cms_bucket_case(1)})
+                   % {_MIX_P} % {CMS_W} AS b
+        FROM m2, (SELECT unnest(range({CMS_D})) AS j)
+    ), sketch AS (
+        SELECT j, b, count(*) AS c FROM buckets GROUP BY 1, 2
+    ), exact AS (
+        SELECT user_id, count(*) AS exact_cnt FROM src GROUP BY 1
+    ), top AS (
+        SELECT user_id, exact_cnt FROM exact
+        ORDER BY exact_cnt DESC, user_id LIMIT 20
+    ), {_mixed_cte("top", "cast(user_id AS VARCHAR)",
+                   "user_id, exact_cnt", "t")},
+    probe AS (
+        SELECT user_id, exact_cnt, j,
+               ({_cms_bucket_case(0)} * g + {_cms_bucket_case(1)})
+                   % {_MIX_P} % {CMS_W} AS b
+        FROM t2, (SELECT unnest(range({CMS_D})) AS j)
+    )
+    SELECT p.user_id, p.exact_cnt, min(s.c) AS cms_estimate,
+           min(s.c) - p.exact_cnt AS overestimate
+    FROM probe p JOIN sketch s ON s.j = p.j AND s.b = p.b
+    GROUP BY 1, 2
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (d=4 x w=64) frequency estimates for the top-20
+    exact heavy hitters, with the overestimate surfaced as an audit
+    column (CMS never underestimates; ``overestimate >= 0`` is the
+    sketch invariant, and w is deliberately tiny so collisions are live
+    at test SF).  Every counter is an exact integer — the whole query
+    is HASH-graded, no floats anywhere.
+
+    Scale: the sketch is the point.  Exact per-key counts need a
+    |keys|-sized shuffle; the CMS is a fixed (d x w)-cell mergeable
+    state built by ONE map-side-combinable hash aggregate over the
+    exploded (j, bucket) pairs — constant memory per partition at any
+    row count, mergeable across partitions/days/tables by cell-wise
+    sum.  The probe side touches only the top-k keys (d rows each)
+    against the broadcast sketch.  The exact counts here ride along
+    purely to surface the error column; a production deployment keeps
+    only the sketch.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    keyed = _mixed_hash(e.select("user_id"), "cast(user_id as string)")
+
+    def buckets(j: int) -> F.Column:
+        a, b = _CMS_ROWS[j]
+        return F.pmod(
+            F.pmod(F.lit(a) * F.col("g") + F.lit(b), F.lit(_MIX_P)),
+            F.lit(CMS_W),
+        )
+
+    pairs = keyed.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), buckets(j).alias("b")
+                    )
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("jb")
+    ).select("jb.j", "jb.b")
+    sketch = pairs.groupBy("j", "b").agg(F.count("*").alias("c"))
+
+    top = (
+        e.groupBy("user_id")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "user_id")
+        .limit(20)
+    )
+    probe = _mixed_hash(top, "cast(user_id as string)").select(
+        "user_id",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), buckets(j).alias("b")
+                    )
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("jb"),
+    ).select("user_id", "exact_cnt", "jb.j", "jb.b")
+    return (
+        probe.join(F.broadcast(sketch), ["j", "b"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("c").alias("cms_estimate"))
+        .select(
+            "user_id",
+            "exact_cnt",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_cnt")).alias(
+                "overestimate"
+            ),
+        )
+    )
+
+
+@register(
+    "bloom_semijoin_prune",
+    oracle=f"""
+    WITH build AS (
+        SELECT user_id FROM events
+        WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        GROUP BY 1 HAVING count(*) >= 15
+    ), {_mixed_cte("build", "cast(user_id AS VARCHAR)", "user_id", "b")},
+    msel AS (
+        SELECT greatest(64, {BLOOM_BITS_PER_KEY} * count(*)) AS m
+        FROM build
+    ), bits AS (
+        SELECT DISTINCT
+               ((CASE j WHEN 0 THEN 1000003 WHEN 1 THEN 999983
+                        ELSE 756839 END) * g
+              + (CASE j WHEN 0 THEN 12345 WHEN 1 THEN 54321
+                        ELSE 192837 END)) % {_MIX_P} % m AS bit
+        FROM b2, msel, (SELECT unnest(range(3)) AS j)
+    ), probe AS (
+        SELECT event_id, user_id FROM events WHERE user_id IS NOT NULL
+    ), {_mixed_cte("probe", "cast(user_id AS VARCHAR)",
+                   "event_id, user_id", "p")},
+    pbits AS (
+        SELECT event_id, user_id,
+               ((CASE j WHEN 0 THEN 1000003 WHEN 1 THEN 999983
+                        ELSE 756839 END) * g
+              + (CASE j WHEN 0 THEN 12345 WHEN 1 THEN 54321
+                        ELSE 192837 END)) % {_MIX_P} % m AS bit
+        FROM p2, msel, (SELECT unnest(range(3)) AS j)
+    ), checked AS (
+        SELECT pb.event_id, pb.user_id,
+               CASE WHEN count(bs.bit) = 3 THEN 1 ELSE 0 END AS bloom_hit
+        FROM pbits pb LEFT JOIN bits bs ON pb.bit = bs.bit
+        GROUP BY 1, 2
+    ), flagged AS (
+        SELECT c.bloom_hit,
+               CASE WHEN bu.user_id IS NOT NULL THEN 1 ELSE 0 END
+                   AS is_member
+        FROM checked c LEFT JOIN build bu ON c.user_id = bu.user_id
+    )
+    SELECT (SELECT count(*) FROM build) AS n_build,
+           count(*) AS n_probe,
+           coalesce(sum(is_member), 0) AS exact_pass,
+           coalesce(sum(bloom_hit), 0) AS bloom_pass,
+           coalesce(sum(CASE WHEN bloom_hit = 1 AND is_member = 0
+                             THEN 1 ELSE 0 END), 0) AS false_pos,
+           floor(coalesce(sum(CASE WHEN bloom_hit = 1 AND is_member = 0
+                                   THEN 1 ELSE 0 END), 0)
+                 / CAST(nullif(count(*) - coalesce(sum(is_member), 0), 0)
+                        AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000.0 AS fp_rate
+    FROM flagged
+    """,
+)
+def bloom_semijoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning audit: a k=3 filter sized at 8
+    bits per build key (fp ~= 3.9% at any build cardinality, floor 64)
+    is built over the 'frequent purchaser' user set, every event row is
+    probed through it, and the result row reports exact-semi-join pass
+    count vs bloom pass count, false positives, and the realized FP
+    rate (``floor(x*1e6+0.5)`` shared-IEEE rounding on the one float).
+    No false negatives is the filter invariant: ``bloom_pass >=
+    exact_pass`` always.
+
+    Scale: this is THE join-pruning primitive at 100 TB — the filter is
+    m BITS (not rows), so it broadcasts where the build table itself
+    cannot; rows failing the filter never reach
+    the join shuffle (Spark's own runtime row-level filtering,
+    ``spark.sql.optimizer.runtime.bloomFilter.enabled``, is this exact
+    plan made automatic — here it is explicit and cross-engine
+    auditable).  The bit set rides ONE broadcast row (a sorted int
+    array); the probe is a narrow projection + 3 array_contains, no
+    shuffle before the final scalar aggregate.  The exact semi-join
+    runs here only to measure the FP rate.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    build = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 15)
+        .select("user_id")
+    )
+
+    def bit(j: int) -> F.Column:
+        a, b = _BLOOM_KS[j]
+        return F.pmod(
+            F.pmod(F.lit(a) * F.col("g") + F.lit(b), F.lit(_MIX_P)),
+            F.col("m"),
+        )
+
+    # filter sized from the build side — m = 8 bits/key (fp ≈ 3.9% at
+    # k=3 for ANY build cardinality), floor 64; carried as a broadcast
+    # scalar column so the whole sizing stays declarative (no driver
+    # collect to pick m)
+    msel = build.agg(
+        F.greatest(
+            F.lit(64), F.lit(BLOOM_BITS_PER_KEY) * F.count("*")
+        ).alias("m")
+    )
+    bkeyed = _mixed_hash(build, "cast(user_id as string)")
+    bits_arr = (
+        bkeyed.crossJoin(F.broadcast(msel))
+        .select(
+            F.explode(F.array(*[bit(j) for j in range(3)])).alias("bit")
+        )
+        .agg(F.sort_array(F.collect_set("bit")).alias("bits"))
+    )
+    n_build = build.agg(F.count("*").alias("n_build"))
+
+    probe = _mixed_hash(
+        e.select("event_id", "user_id"), "cast(user_id as string)"
+    )
+    flagged = (
+        probe.join(
+            F.broadcast(build.withColumn("_m", F.lit(1))), "user_id", "left"
+        )
+        .crossJoin(F.broadcast(bits_arr))
+        .crossJoin(F.broadcast(msel))
+        .select(
+            F.when(F.col("_m").isNotNull(), 1).otherwise(0).alias(
+                "is_member"
+            ),
+            F.when(
+                F.array_contains("bits", bit(0))
+                & F.array_contains("bits", bit(1))
+                & F.array_contains("bits", bit(2)),
+                1,
+            )
+            .otherwise(0)
+            .alias("bloom_hit"),
+        )
+    )
+    agg = flagged.agg(
+        F.count("*").alias("n_probe"),
+        F.coalesce(F.sum("is_member"), F.lit(0)).alias("exact_pass"),
+        F.coalesce(F.sum("bloom_hit"), F.lit(0)).alias("bloom_pass"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("bloom_hit") == 1) & (F.col("is_member") == 0), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("false_pos"),
+    )
+    return n_build.crossJoin(agg).select(
+        "n_build",
+        "n_probe",
+        "exact_pass",
+        "bloom_pass",
+        "false_pos",
+        (
+            F.floor(
+                F.col("false_pos")
+                / F.nullif(
+                    (F.col("n_probe") - F.col("exact_pass")).cast("double"),
+                    F.lit(0.0),
+                )
+                * 1000000
+                + 0.5
+            )
+            / 1000000.0
+        ).alias("fp_rate"),
+    )

@@ -567,14 +567,21 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode to their own and the previous 7-day bucket, the join is an
     EQUI-join on (user, bucket) with the range as an in-bucket
     residual — so each purchase meets at most 14 days of its user's
-    touches, independent of history length.  The plain
-    user-equi-join-with-residual formulation materializes every
-    (purchase, touch) pair per user before filtering — measured 422 s
-    at 100M rows / 1k events/user vs 36 s banded
-    (tools/scaling_smoke_r5batch.py); on multi-year 100 TB history the
-    gap is unbounded.  Both ranking windows partition by purchase id —
-    data-parallel at any |purchases|.  A hot user (celebrity skew)
-    would ride the salted-join tier from ``operators/relational.py``.
+    touches, INDEPENDENT of history length, where the plain user-keyed
+    join evaluates every (purchase, touch) pair in the user's whole
+    history.  Measured at 100M rows / 100k users (warm, local[32]):
+    over a 10-YEAR span the banded plan wins (21.8 s vs 28.6 s
+    unbanded) and its lead grows linearly with history length; over a
+    DENSE 90-day span — where 8% of all history is inside every window
+    and banding cannot prune — the 2x probe explode + wider sort key
+    cost 132 s vs 81 s unbanded.  The default is banded because 100 TB
+    means multi-year history and because banding also bounds celebrity
+    skew: a hub user's candidate pairs are purchases x (14 days of
+    touches), never purchases x lifetime.  The windowed formulation
+    this replaced (per-purchase row_number + count ranking re-deriving
+    the join three times) measured 178 s on the same dense-span data —
+    the windowless min/max-of-struct fold below is what the 2.2x came
+    from.
     """
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull() & F.col("ts").isNotNull()
@@ -617,10 +624,11 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE map-side-combinable hash aggregate — the windowed (row_number
     # + count-over) formulation this replaces sorted every per-purchase
     # frame AND recomputed the interval join three times (firsts /
-    # lasts / linear each re-derived `ranked`); measured 293 s -> 36 s
-    # at 100M rows.  min/max of (tts, tid) structs pick the first/last
-    # touch associatively (no nulls by the source filters), so the
-    # whole attribution needs no window at all.
+    # lasts / linear each re-derived `ranked`); 178 s -> 81 s at 100M
+    # rows holding the join form fixed (see docstring).  min/max of
+    # (tts, tid) structs pick the first/last touch associatively (no
+    # nulls by the source filters), so the whole attribution needs no
+    # window at all.
     pc = tracked_persist(
         matched.groupBy("pid", "val", "channel").agg(
             F.count("*").alias("cnt"),

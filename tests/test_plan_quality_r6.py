@@ -55,3 +55,48 @@ def test_als_half_step_is_jvm_joins_and_one_scalar_broadcast(spark):
     assert _nodes(plan, "BroadcastNestedLoopJoin") == 1
     assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan)
     assert "Window" not in plan
+
+
+def test_hll_is_two_hash_aggregates_no_window(spark):
+    """The HLL register build must be map-side-combinable hash
+    aggregation over a narrow projection — no window, no Python, no
+    cartesian; register state is (type x 256) mergeable rows."""
+    plan = plan_of(spark, "hll_distinct_users")
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert _nodes(plan, "HashAggregate") >= 4  # partial+final x (regs, agg)
+
+
+def test_cms_probe_broadcasts_the_sketch(spark):
+    """The (d x w)-cell sketch must arrive at the top-k probe via a
+    broadcast hash join — never a shuffle of the probe side against the
+    sketch — and the whole query stays JVM-side."""
+    plan = plan_of(spark, "cms_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_probe_is_single_scan_with_broadcast_bits(spark):
+    """The probe side reads events ONCE for flagging (build/bits/m ride
+    broadcasts); the bit set joins as a broadcast nested loop of
+    single-row frames, and membership flagging must not shuffle probe
+    rows before the final scalar aggregate (one final-agg exchange is
+    the only post-scan shuffle on the probe path)."""
+    plan = plan_of(spark, "bloom_semijoin_prune")
+    assert "EvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_attribution_join_is_banded_equi_join(spark):
+    """The touch-purchase match must be an EQUI-join on (user, bucket)
+    — the formatted plan carries a hash-partitioned join with the range
+    as residual, never a BroadcastNestedLoopJoin/cartesian over per-user
+    frames — and the fold to credits is windowless hash aggregation."""
+    plan = plan_of(spark, "purchase_attribution")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)

@@ -61,3 +61,49 @@ def test_heavy_hitter_tokens_recall_vs_exact(spark, sf_dir):
     for r in approx:
         if r.tok in exact_counts:
             assert r.cnt <= exact_counts[r.tok]
+
+
+def test_hll_registers_estimate_within_sketch_error(spark, sf_dir):
+    """HLL m=256 has ~6.5% standard error; every per-type estimate must
+    land within 4 sigma of exact, and rel_err must agree with the
+    published columns."""
+    from real___time_fraud_detection_using_apache_kafka_spark.plans.queries_sketch import (
+        hll_distinct_users,
+    )
+
+    rows = hll_distinct_users(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.rel_err <= 4 * 1.04 / (256 ** 0.5), r
+
+
+def test_cms_never_underestimates_and_hits_exact_on_top(spark, sf_dir):
+    """The count-min invariant: estimate >= exact for every probed key
+    (min over d rows of a counter that always includes the key's own
+    contribution)."""
+    from real___time_fraud_detection_using_apache_kafka_spark.plans.queries_sketch import (
+        cms_heavy_hitters,
+    )
+
+    rows = cms_heavy_hitters(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        assert r.overestimate >= 0, r
+        assert r.cms_estimate == r.exact_cnt + r.overestimate
+
+
+def test_bloom_no_false_negatives_and_sane_fp(spark, sf_dir):
+    """Bloom invariant: every member passes (bloom_pass >= exact_pass,
+    false_pos = bloom_pass - exact_pass); the realized FP rate must stay
+    an order of magnitude under the 3.9%-of-users design point applied
+    to rows (loose bound: < 50% of non-member rows)."""
+    from real___time_fraud_detection_using_apache_kafka_spark.plans.queries_sketch import (
+        bloom_semijoin_prune,
+    )
+
+    r = bloom_semijoin_prune(spark, sf_dir).collect()[0]
+    assert r.bloom_pass >= r.exact_pass
+    assert r.false_pos == r.bloom_pass - r.exact_pass
+    non_member = r.n_probe - r.exact_pass
+    if non_member:
+        assert r.false_pos <= 0.5 * non_member
