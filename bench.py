@@ -137,6 +137,7 @@ HEADLINE = [
     "hll_distinct_users",
     "cms_heavy_hitters",
     "bloom_semijoin_prune",
+    "kalman_revenue_smooth",
 ]
 
 

@@ -756,3 +756,107 @@ def dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("seasonal_index"),
     )
+
+
+# Kalman local-level constants: process var Q, observation var R, prior
+# var P0.  The gain sequence depends only on (P0, Q, R) — data enters
+# through the innovation — so the filter is a principled time-varying
+# EWMA whose weight self-anneals from ~1 (trust the first observations
+# while the prior is vague) to the steady state k* ~= 0.146.
+_KAL_Q, _KAL_R, _KAL_P0 = "0.5", "20.0", "1000.0"
+_KAL_GAIN_DUCK = f"((acc[2] + {_KAL_Q}) / (acc[2] + {_KAL_Q} + {_KAL_R}))"
+
+
+@register(
+    "kalman_revenue_smooth",
+    oracle=f"""
+    WITH per_day AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               round(sum(o_totalprice), 2) AS rev
+        FROM orders GROUP BY day
+    ), series AS (
+        SELECT list(day ORDER BY day) AS days,
+               list(CAST(rev AS DOUBLE) ORDER BY day) AS xs
+        FROM per_day
+    ), folded AS (
+        SELECT days, xs,
+               CASE WHEN len(xs) >= 1 THEN
+                   list_reduce(
+                       list_prepend([xs[1], {_KAL_P0}, xs[1]],
+                                    list_transform(xs[2:len(xs)],
+                                                   v -> [v, 0.0])),
+                       (acc, x) -> list_concat(list_concat(
+                           [acc[1] + {_KAL_GAIN_DUCK} * (x[1] - acc[1]),
+                            (1.0 - {_KAL_GAIN_DUCK}) * (acc[2] + {_KAL_Q})],
+                           acc[3:len(acc)]),
+                           [acc[1] + {_KAL_GAIN_DUCK} * (x[1] - acc[1])]))
+               END AS st
+        FROM series
+    )
+    SELECT unnest(days) AS day,
+           unnest(list_transform(xs, v -> round(v, 2))) AS rev,
+           unnest(list_transform(st[3:len(st)],
+                                 v -> round(v, 6))) AS smoothed
+    FROM folded
+    """,
+)
+def kalman_revenue_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kalman filter (local-level model) over the daily revenue series:
+    per day, the observed revenue next to the filtered level.  The
+    predict/update recurrence (p+Q -> gain -> innovation correction)
+    folds as ONE ``aggregate`` expression whose array<double>
+    accumulator carries [level, variance, history...]; the IDENTICAL
+    fold — same literals, same op order, gain written out at each use
+    site — runs on DuckDB via ``list_reduce`` with list-lifted
+    elements, so every smoothed value matches bit-for-bit before the
+    6-dp round (the ``holt_revenue_forecast`` doctrine, extended from
+    final-state to full-trajectory parity).
+
+    This is the state-space primitive under every streaming anomaly
+    detector: the same recurrence runs incrementally per micro-batch
+    (state = [level, variance], O(1) per key), which is why the batch
+    fold is worth oracling — it is the replayable ground truth for a
+    streaming dual.
+
+    Scale: the fact collapses to per-day rows first (map-side partial
+    hash aggregate); the fold touches only the calendar-bounded series
+    — same doctrine as Holt/EWMA/CUSUM.  Cites the reference's per-tick
+    recompute loop (FD/evaluation.py) as the anti-pattern this
+    replaces.
+    """
+    per_day = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    series = per_day.agg(
+        F.expr(
+            "array_sort(collect_list(struct(day, rev)))"
+        ).alias("s")
+    ).select(
+        F.expr("transform(s, x -> x.day)").alias("days"),
+        F.expr("transform(s, x -> cast(x.rev as double))").alias("xs"),
+    )
+    fold = F.expr(
+        "CASE WHEN size(xs) >= 1 THEN "
+        "aggregate(slice(xs, 2, greatest(size(xs) - 1, 0)), "
+        f"array(xs[0], cast({_KAL_P0} as double), xs[0]), "
+        "(acc, x) -> concat(array("
+        f"acc[0] + ((acc[1] + {_KAL_Q}) / (acc[1] + {_KAL_Q} + {_KAL_R})) * (x - acc[0]), "
+        f"(1.0 - ((acc[1] + {_KAL_Q}) / (acc[1] + {_KAL_Q} + {_KAL_R}))) * (acc[1] + {_KAL_Q})"
+        "), slice(acc, 3, size(acc) - 2), array("
+        f"acc[0] + ((acc[1] + {_KAL_Q}) / (acc[1] + {_KAL_Q} + {_KAL_R})) * (x - acc[0])"
+        "))) END"
+    )
+    folded = series.select("days", "xs", fold.alias("st"))
+    return folded.select(
+        F.explode(
+            F.arrays_zip(
+                F.col("days").alias("day"),
+                F.expr("transform(xs, v -> round(v, 2))").alias("rev"),
+                F.expr(
+                    "transform(slice(st, 3, size(st) - 2), v -> round(v, 6))"
+                ).alias("smoothed"),
+            )
+        ).alias("z")
+    ).select("z.day", "z.rev", "z.smoothed")

@@ -600,3 +600,109 @@ def kmv_distinct_stream(events: DataFrame, k: int = 64) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+KALMAN_ORDERED_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("level", T.DoubleType()),
+        T.StructField("variance", T.DoubleType()),
+        T.StructField("pend_ts", T.ArrayType(T.LongType())),
+        T.StructField("pend_eid", T.ArrayType(T.LongType())),
+        T.StructField("pend_val", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+KALMAN_ORDERED_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("level", T.DoubleType()),
+        T.StructField("variance", T.DoubleType()),
+        T.StructField("n_pending", T.LongType()),
+    ]
+)
+
+
+def kalman_stream_ordered(
+    events: DataFrame,
+    q_var: float = 0.5,
+    r_var: float = 20.0,
+    p0: float = 1000.0,
+) -> DataFrame:
+    """Per-user local-level Kalman filter over an OUT-OF-ORDER stream —
+    the streaming dual of the ``kalman_revenue_smooth`` fold, on the
+    ``ewma_stream_ordered`` machinery: rows buffer in state, only rows
+    strictly below the watermark fold (in (ts, event_id) order), and an
+    event-time timeout drains quiet keys as the watermark advances.
+
+    The predict/update recurrence is the SAME IEEE double op sequence
+    as the batch ``aggregate`` expression (init level = first obs,
+    variance = p0; then gain = (p+q)/(p+q+r), level += gain*innovation,
+    variance = (1-gain)*(p+q)), so after the stream drains, (level,
+    variance) per key equals the batch fold bit-for-bit — parity-tested
+    against the JVM expression across reversed micro-batch sharding.
+    State is O(events within the watermark delay) per key.
+    """
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, level, var, pend_ts, pend_eid, pend_val = state.get
+            pend = [list(pend_ts), list(pend_eid), list(pend_val)]
+        else:
+            n, level, var, pend = 0, 0.0, 0.0, [[], [], []]
+        if not state.hasTimedOut:
+            pdf = pd.concat(list(pdfs), ignore_index=True)
+            if len(pdf):
+                ts_ms = pdf["ts"].astype("datetime64[ms]").astype("int64")
+                pend[0].extend(int(t) for t in ts_ms)
+                pend[1].extend(int(e) for e in pdf["event_id"])
+                pend[2].extend(float(v) for v in pdf["value"])
+        wm = state.getCurrentWatermarkMs()
+        rows = sorted(zip(*pend))
+        ready = [r for r in rows if r[0] < wm]  # strict: ts == wm may
+        hold = rows[len(ready):]                # still arrive (ADVICE r5)
+        for _, _, x in ready:
+            if n == 0:
+                level, var = x, p0
+            else:
+                pp = var + q_var
+                gain = pp / (pp + r_var)
+                level = level + gain * (x - level)
+                var = (1.0 - gain) * pp
+            n += 1
+        state.update(
+            (
+                n,
+                level,
+                var,
+                [r[0] for r in hold],
+                [r[1] for r in hold],
+                [r[2] for r in hold],
+            )
+        )
+        if hold:
+            state.setTimeoutTimestamp(max(hold[0][0], wm + 1))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "level": [level],
+                "variance": [var],
+                "n_pending": [len(hold)],
+            }
+        )
+
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=KALMAN_ORDERED_OUTPUT_SCHEMA,
+            stateStructType=KALMAN_ORDERED_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -644,3 +644,112 @@ class TestCommonNeighborsCapped:
 
         assert "max_degree=16" in inspect.getsource(common_neighbors_capped)
         assert "g.d <= 16" in QUERIES["common_neighbors_capped"].oracle
+
+
+class TestKalmanStreamParity:
+    def test_kalman_ordered_matches_jvm_fold_under_shuffled_batches(
+        self, spark, tmp_path
+    ):
+        """The streaming Kalman must land on the batch ``aggregate``
+        expression's (level, variance) bit-for-bit per user, with
+        micro-batches in REVERSED time order — same protocol as the
+        EWMA ordered parity test, but the expected side is the JVM
+        fold (Python-vs-JVM IEEE parity, not Python-vs-Python)."""
+        import pandas as pd
+
+        from real___time_fraud_detection_using_apache_kafka_spark.streaming.stateful import (
+            kalman_stream_ordered,
+        )
+
+        rng = pd.date_range("2024-05-01", periods=60, freq="h")
+        pdf = pd.DataFrame(
+            {
+                "event_id": range(60),
+                "ts": rng,
+                "user_id": [i % 5 + 1 for i in range(60)],
+                "event_type": ["view"] * 60,
+                "value": [float((i * 53) % 97) + 0.5 for i in range(60)],
+                "props": ["{}"] * 60,
+            }
+        )
+        # expected: the batch fold as a JVM aggregate expression — the
+        # exact kalman_revenue_smooth recurrence, per user
+        batch = spark.createDataFrame(pdf)
+        expected = {
+            r.user_id: (round(r.lv[0], 9), round(r.lv[1], 9))
+            for r in batch.groupBy("user_id")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(ts, event_id, value))), "
+                    "s -> s.value)"
+                ).alias("xs")
+            )
+            .select(
+                "user_id",
+                F.expr(
+                    "aggregate(slice(xs, 2, greatest(size(xs) - 1, 0)), "
+                    "array(xs[0], cast(1000.0 as double)), "
+                    "(acc, x) -> array("
+                    "acc[0] + ((acc[1] + 0.5) / (acc[1] + 0.5 + 20.0)) * (x - acc[0]), "
+                    "(1.0 - ((acc[1] + 0.5) / (acc[1] + 0.5 + 20.0))) * (acc[1] + 0.5)))"
+                ).alias("lv"),
+            )
+            .collect()
+        }
+
+        src, ckpt = f"{tmp_path}/src", f"{tmp_path}/ckpt"
+        write_batch = _atomic_batch_writer(tmp_path, src)
+
+        def sentinel(ts):
+            return spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "event_id": [10_000],
+                        "ts": [pd.Timestamp(ts)],
+                        "user_id": [999],
+                        "event_type": ["view"],
+                        "value": [0.0],
+                        "props": ["{}"],
+                    }
+                )
+            )
+
+        write_batch(spark.createDataFrame(pdf[pdf.event_id >= 30]))
+        schema = ("event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string")
+        stream = (
+            spark.readStream.schema("v string").text(src)
+            .select(F.from_json(F.col("v"), schema).alias("e"))
+            .select("e.*")
+            .withWatermark("ts", "10 days")
+        )
+        q = (
+            kalman_stream_ordered(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("kal_ord_t")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            write_batch(spark.createDataFrame(pdf[pdf.event_id < 30]))
+            q.processAllAvailable()
+            write_batch(sentinel("2024-07-01"))
+            q.processAllAvailable()
+            write_batch(sentinel("2024-07-02"))
+            q.processAllAvailable()
+            rows = spark.sql(
+                "SELECT user_id, n_events, level, variance, n_pending FROM ("
+                " SELECT *, row_number() OVER ("
+                "   PARTITION BY user_id ORDER BY n_events DESC, n_pending ASC) rk"
+                " FROM kal_ord_t) WHERE rk = 1 AND user_id <> 999"
+            ).collect()
+        finally:
+            q.stop()
+        latest = {
+            r.user_id: (round(r.level, 9), round(r.variance, 9)) for r in rows
+        }
+        assert all(r.n_pending == 0 for r in rows), rows
+        assert all(r.n_events == 12 for r in rows), rows
+        assert latest == expected, {"stream": latest, "batch": expected}
