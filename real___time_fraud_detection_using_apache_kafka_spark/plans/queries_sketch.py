@@ -804,7 +804,8 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1 HAVING count(*) >= 15
     ), {_mixed_cte("build", "cast(user_id AS VARCHAR)", "user_id", "b")},
     msel AS (
-        SELECT greatest(64, {BLOOM_BITS_PER_KEY} * count(*)) AS m
+        SELECT least(greatest(64, {BLOOM_BITS_PER_KEY} * count(*)),
+                     8388608) AS m
         FROM build
     ), bits AS (
         SELECT DISTINCT
@@ -865,10 +866,16 @@ def bloom_semijoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join shuffle (Spark's own runtime row-level filtering,
     ``spark.sql.optimizer.runtime.bloomFilter.enabled``, is this exact
     plan made automatic — here it is explicit and cross-engine
-    auditable).  The bit set rides ONE broadcast row (a sorted int
-    array); the probe is a narrow projection + 3 array_contains, no
-    shuffle before the final scalar aggregate.  The exact semi-join
-    runs here only to measure the FP rate.
+    auditable).  The filter rides ONE broadcast row as a PACKED BITMASK
+    (array of m/64 longs), so each probe test is an O(1) word index +
+    AND — a first cut used a sorted position array + ``array_contains``,
+    which is a LINEAR scan per probe (O(rows x m) at scale: ~1.5e17
+    compares at 100M rows / 100k build keys — caught by the scaling
+    smoke before it shipped); m is capped at 2^23 bits (1 MB mask, the
+    same order as Spark's own runtime bloom default), trading FP rate
+    beyond ~1M build keys like every production bloom.  No shuffle
+    touches the probe path before the final scalar aggregate.  The
+    exact semi-join runs here only to measure the FP rate.
     """
     e = load_table(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull()
@@ -893,42 +900,60 @@ def bloom_semijoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scalar column so the whole sizing stays declarative (no driver
     # collect to pick m)
     msel = build.agg(
-        F.greatest(
-            F.lit(64), F.lit(BLOOM_BITS_PER_KEY) * F.count("*")
+        F.least(
+            F.greatest(
+                F.lit(64), F.lit(BLOOM_BITS_PER_KEY) * F.count("*")
+            ),
+            F.lit(8_388_608),
         ).alias("m")
     )
     bkeyed = _mixed_hash(build, "cast(user_id as string)")
-    bits_arr = (
+    mask_row = (
         bkeyed.crossJoin(F.broadcast(msel))
         .select(
             F.explode(F.array(*[bit(j) for j in range(3)])).alias("bit")
         )
-        .agg(F.sort_array(F.collect_set("bit")).alias("bits"))
+        .groupBy((F.col("bit") / 64).cast("int").alias("w"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(cast(1 as bigint), cast(bit % 64 as int)))"
+            ).alias("word")
+        )
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("w", "word"))
+            ).alias("mp")
+        )
+        .crossJoin(F.broadcast(msel))
+        .select(
+            F.expr(
+                "transform(sequence(0, cast((m + 63) div 64 as int) - 1), "
+                "i -> coalesce(mp[i], cast(0 as bigint)))"
+            ).alias("mask")
+        )
     )
     n_build = build.agg(F.count("*").alias("n_build"))
 
     probe = _mixed_hash(
         e.select("event_id", "user_id"), "cast(user_id as string)"
     )
-    flagged = (
+    probed = (
         probe.join(
             F.broadcast(build.withColumn("_m", F.lit(1))), "user_id", "left"
         )
-        .crossJoin(F.broadcast(bits_arr))
+        .crossJoin(F.broadcast(mask_row))
         .crossJoin(F.broadcast(msel))
-        .select(
-            F.when(F.col("_m").isNotNull(), 1).otherwise(0).alias(
-                "is_member"
-            ),
-            F.when(
-                F.array_contains("bits", bit(0))
-                & F.array_contains("bits", bit(1))
-                & F.array_contains("bits", bit(2)),
-                1,
-            )
-            .otherwise(0)
-            .alias("bloom_hit"),
-        )
+    )
+    for j in range(3):
+        probed = probed.withColumn(f"_b{j}", bit(j))
+    hit = " AND ".join(
+        f"(element_at(mask, cast(_b{j} div 64 as int) + 1) & "
+        f"shiftleft(cast(1 as bigint), cast(_b{j} % 64 as int))) != 0"
+        for j in range(3)
+    )
+    flagged = probed.select(
+        F.when(F.col("_m").isNotNull(), 1).otherwise(0).alias("is_member"),
+        F.when(F.expr(hit), 1).otherwise(0).alias("bloom_hit"),
     )
     agg = flagged.agg(
         F.count("*").alias("n_probe"),

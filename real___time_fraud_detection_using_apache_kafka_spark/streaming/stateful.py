@@ -706,3 +706,145 @@ def kalman_stream_ordered(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+HLL_STREAM_STATE_SCHEMA = T.StructType(
+    [T.StructField("regs", T.ArrayType(T.LongType()))]
+)
+
+HLL_STREAM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("nonempty", T.LongType()),
+        T.StructField("hll_estimate", T.DoubleType()),
+    ]
+)
+
+
+def hll_distinct_stream(events: DataFrame, m: int = 256) -> DataFrame:
+    """Per-event-type HyperLogLog registers maintained in the state
+    store — the streaming dual of the batch ``hll_distinct_users``
+    query.  Like KMV (and unlike order-sensitive recurrences), HLL
+    state is MERGEABLE and ORDER-INDEPENDENT: registers combine by
+    cell-wise max, so the stream converges to byte-identical registers
+    under ANY micro-batch sharding, and the published estimate matches
+    the batch query exactly (register integers are exact; the estimate
+    shares the batch float recipe and is compared at its published
+    4-dp rounding).
+
+    State per key is m longs forever; each micro-batch folds only the
+    touched keys.  Hash/mixer/rho are the batch constants
+    (poly-hash -> two quadratic scrambles mod p -> bucket-quotient
+    rank), in exact integer arithmetic.
+
+    Input columns: ``event_type`` (string), ``user_id`` (long).
+    """
+    import math
+
+    from ..functions.hashing import MOD, MULT
+
+    P = 1_000_000_007
+    W = P // m + 1
+
+    def mixed(s: str) -> int:
+        g = 0
+        for ch in s:
+            g = (g * MULT + ord(ch)) % MOD
+        for a, b in ((1000003, 12345), (999983, 7)):
+            g = (g * g + a * g + b) % P
+        return g
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (regs,) = state.get if state.exists else ([0] * m,)
+        regs = list(regs)
+        for pdf in pdfs:
+            for uid in pdf["user_id"].dropna():
+                g = mixed(str(int(uid)))
+                b = g % m
+                rho = min(33, 1 + math.floor(
+                    math.log(W / (g // m + 1)) / math.log(2.0)))
+                if rho > regs[b]:
+                    regs[b] = rho
+        state.update((regs,))
+        nonempty = sum(1 for r in regs if r > 0)
+        zeros = m - nonempty
+        s_nonempty = sum(1.0 / (1 << r) for r in regs if r > 0)
+        e_raw = (0.7213 / (1.0 + 1.079 / m)) * float(m * m) / (
+            zeros * 1.0 + s_nonempty
+        )
+        e = (
+            float(m) * math.log(float(m) / zeros)
+            if (e_raw <= 2.5 * m and zeros > 0)
+            else e_raw
+        )
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "nonempty": [nonempty],
+                "hll_estimate": [round(e, 4)],
+            }
+        )
+
+    return (
+        events.select("event_type", "user_id")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=HLL_STREAM_OUTPUT_SCHEMA,
+            stateStructType=HLL_STREAM_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+CMS_STREAM_STATE_SCHEMA = T.StructType(
+    [T.StructField("counters", T.ArrayType(T.LongType()))]
+)
+
+CMS_STREAM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("j", T.IntegerType()),
+        T.StructField("counters", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def cms_sketch_stream(pairs: DataFrame, w: int = 64) -> DataFrame:
+    """Count-min sketch maintained in the state store, sharded by
+    sketch ROW — the streaming dual of the batch ``cms_heavy_hitters``
+    counter grid.  Counters are mergeable by cell-wise SUM, so the
+    stream lands on the exact batch grid under any micro-batch
+    sharding (pure integers — parity is equality, tested).
+
+    Input: the (j, b) pair stream — build it with the SAME JVM bucket
+    expressions the batch query uses (``queries_sketch`` mixer +
+    per-row affine maps), so batch and stream hash identically; the
+    stateful op then just counts.  State per key is w longs; the d
+    keys process in parallel.
+    """
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (counters,) = state.get if state.exists else ([0] * w,)
+        counters = list(counters)
+        for pdf in pdfs:
+            for b, cnt in pdf["b"].value_counts().items():
+                counters[int(b)] += int(cnt)
+        state.update((counters,))
+        yield pd.DataFrame({"j": [int(key[0])], "counters": [counters]})
+
+    return (
+        pairs.select("j", "b")
+        .groupBy("j")
+        .applyInPandasWithState(
+            update,
+            outputStructType=CMS_STREAM_OUTPUT_SCHEMA,
+            stateStructType=CMS_STREAM_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -753,3 +753,161 @@ class TestKalmanStreamParity:
         assert all(r.n_pending == 0 for r in rows), rows
         assert all(r.n_events == 12 for r in rows), rows
         assert latest == expected, {"stream": latest, "batch": expected}
+
+
+class TestHllStreamParity:
+    def test_hll_registers_merge_to_exact_batch_estimate(
+        self, spark, sf_dir, tmp_path
+    ):
+        """HLL registers are a cell-wise-max mergeable state, so the
+        stream must publish the batch query's estimate EXACTLY (at its
+        own 4-dp rounding) under arbitrary micro-batch sharding —
+        here: split by event_id parity, deliberately not time order."""
+        from real___time_fraud_detection_using_apache_kafka_spark.plans.queries_sketch import (
+            hll_distinct_users,
+        )
+        from real___time_fraud_detection_using_apache_kafka_spark.sources.tables import load_table
+        from real___time_fraud_detection_using_apache_kafka_spark.streaming.stateful import (
+            hll_distinct_stream,
+        )
+
+        expected = {
+            r.event_type: r.hll_estimate
+            for r in hll_distinct_users(spark, sf_dir).collect()
+        }
+
+        e = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "user_id"
+        )
+        src, ckpt = f"{tmp_path}/src", f"{tmp_path}/ckpt"
+        write_batch = _atomic_batch_writer(tmp_path, src)
+
+        write_batch(e.filter(F.col("event_id") % 2 == 0))
+        stream = (
+            spark.readStream.schema("v string").text(src)
+            .select(
+                F.from_json(
+                    F.col("v"),
+                    "event_id long, event_type string, user_id long",
+                ).alias("e")
+            )
+            .select("e.*")
+        )
+        q = (
+            hll_distinct_stream(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("hll_t")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            write_batch(e.filter(F.col("event_id") % 2 == 1))
+            q.processAllAvailable()
+            latest = {
+                r.event_type: r.hll_estimate
+                for r in spark.sql(
+                    "SELECT event_type, hll_estimate FROM ("
+                    " SELECT *, row_number() OVER ("
+                    "   PARTITION BY event_type ORDER BY nonempty DESC) rk"
+                    " FROM hll_t) WHERE rk = 1"
+                ).collect()
+            }
+        finally:
+            q.stop()
+        assert latest == expected
+
+
+class TestCmsStreamParity:
+    def test_cms_counters_merge_to_exact_batch_grid(
+        self, spark, sf_dir, tmp_path
+    ):
+        """CMS counters merge by cell-wise sum — the streamed grid must
+        EQUAL the batch grid (pure integers) under parity-sharded
+        micro-batches.  Bucket pairs are built with the same JVM
+        expressions on both sides."""
+        from real___time_fraud_detection_using_apache_kafka_spark.plans.queries_sketch import (
+            CMS_W, _CMS_ROWS, _MIX_P, _mixed_hash,
+        )
+        from real___time_fraud_detection_using_apache_kafka_spark.sources.tables import load_table
+        from real___time_fraud_detection_using_apache_kafka_spark.streaming.stateful import (
+            cms_sketch_stream,
+        )
+
+        def pairs_of(df):
+            keyed = _mixed_hash(
+                df.filter(F.col("user_id").isNotNull()).select(
+                    "event_id", "user_id"
+                ),
+                "cast(user_id as string)",
+            )
+            return keyed.select(
+                "event_id",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(j).alias("j"),
+                                F.pmod(
+                                    F.pmod(
+                                        F.lit(a) * F.col("g") + F.lit(b),
+                                        F.lit(_MIX_P),
+                                    ),
+                                    F.lit(CMS_W),
+                                ).alias("b"),
+                            )
+                            for j, (a, b) in enumerate(_CMS_ROWS)
+                        ]
+                    )
+                ).alias("jb"),
+            ).select("event_id", "jb.j", "jb.b")
+
+        e = load_table(spark, sf_dir, "events")
+        batch_grid = {
+            (r.j, r.b): r.c
+            for r in pairs_of(e).groupBy("j", "b").agg(
+                F.count("*").alias("c")
+            ).collect()
+        }
+
+        src, ckpt = f"{tmp_path}/src", f"{tmp_path}/ckpt"
+        write_batch = _atomic_batch_writer(tmp_path, src)
+        write_batch(pairs_of(e.filter(F.col("event_id") % 2 == 0)))
+        stream = (
+            spark.readStream.schema("v string").text(src)
+            .select(
+                F.from_json(
+                    F.col("v"), "event_id long, j int, b long"
+                ).alias("e")
+            )
+            .select("e.*")
+        )
+        q = (
+            cms_sketch_stream(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("cms_t")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            write_batch(pairs_of(e.filter(F.col("event_id") % 2 == 1)))
+            q.processAllAvailable()
+            rows = spark.sql(
+                "SELECT j, counters FROM ("
+                " SELECT *, row_number() OVER ("
+                "   PARTITION BY j ORDER BY aggregate(counters, "
+                "     cast(0 as bigint), (a, x) -> a + x) DESC) rk"
+                " FROM cms_t) WHERE rk = 1"
+            ).collect()
+        finally:
+            q.stop()
+        stream_grid = {
+            (r.j, b): c
+            for r in rows
+            for b, c in enumerate(r.counters)
+            if c > 0
+        }
+        assert stream_grid == batch_grid
