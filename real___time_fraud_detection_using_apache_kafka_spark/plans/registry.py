@@ -155,6 +155,15 @@ _GRADED_FIRST = [
     # the 50 slots this round — first in line for round 7)
 ]
 
+# ROUND-7 HEAD PLAN (written at round-6 close): after the r6 gate the
+# never-driver-graded oracle-able set should be just
+# kalman_revenue_smooth IF it missed this round's 50 (it holds slot 13)
+# — so compose the r7 head as (a) any round-7 additions, (b) the four
+# rotated-out r1/r2 greens named above, (c) continue freshening the
+# oldest remaining r1-r3 grades (relational/scalar family, then the
+# r3 metrics block).  Keep the standing rule: every new query passes
+# the SIX adversarial variants before entering the head.
+
 
 def _ordered() -> list[str]:
     listed = [n for n in _GRADED_FIRST if n in QUERIES]
