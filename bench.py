@@ -138,6 +138,7 @@ HEADLINE = [
     "cms_heavy_hitters",
     "bloom_semijoin_prune",
     "kalman_revenue_smooth",
+    "hll_rollup_merge",
 ]
 
 

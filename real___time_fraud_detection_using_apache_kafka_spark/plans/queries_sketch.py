@@ -987,3 +987,161 @@ def bloom_semijoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("fp_rate"),
     )
+
+
+@register(
+    "hll_rollup_merge",
+    oracle=f"""
+    WITH src AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, user_id
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), {_mixed_cte("src", "cast(user_id AS VARCHAR)",
+                   "event_type, day, user_id", "m")},
+    hashed AS (
+        SELECT event_type, day, user_id, g % 256 AS b,
+               least(33, 1 + CAST(floor(
+                   ln(3906251.0 / (g // 256 + 1)) / ln(2.0)
+               ) AS BIGINT)) AS rho
+        FROM m2
+    ), by_type AS (      -- registers computed DIRECTLY per type
+        SELECT event_type, b, max(rho) AS r FROM hashed GROUP BY 1, 2
+    ), all_regs AS (     -- registers computed DIRECTLY globally
+        SELECT b, max(rho) AS r FROM hashed GROUP BY 1
+    ), est_type AS (
+        SELECT event_type,
+               count(*) AS nonempty, sum(1.0 / (1 << r)) AS s
+        FROM by_type GROUP BY 1
+    ), est_all AS (
+        SELECT count(*) AS nonempty, sum(1.0 / (1 << r)) AS s
+        FROM all_regs
+    ), fix_type AS (
+        SELECT 'type:' || event_type AS scope,
+               CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                         / ((256 - nonempty) * 1.0 + s) <= 640.0
+                         AND 256 - nonempty > 0
+                    THEN 256.0 * ln(256.0 / (256 - nonempty))
+                    ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                         / ((256 - nonempty) * 1.0 + s) END AS e
+        FROM est_type
+    ), fix_all AS (
+        SELECT 'ALL' AS scope,
+               CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                         / ((256 - nonempty) * 1.0 + s) <= 640.0
+                         AND 256 - nonempty > 0
+                    THEN 256.0 * ln(256.0 / (256 - nonempty))
+                    ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                         / ((256 - nonempty) * 1.0 + s) END AS e
+        FROM est_all
+    ), ests AS (
+        SELECT scope, e FROM fix_type UNION ALL SELECT scope, e FROM fix_all
+    ), exact_type AS (
+        SELECT 'type:' || event_type AS scope,
+               count(DISTINCT user_id) AS exact_distinct
+        FROM src GROUP BY 1
+    ), exact_all AS (
+        SELECT 'ALL' AS scope, count(DISTINCT user_id) AS exact_distinct
+        FROM src
+    ), exacts AS (
+        SELECT * FROM exact_type UNION ALL SELECT * FROM exact_all
+    )
+    SELECT e.scope, x.exact_distinct, round(e.e, 4) AS hll_estimate
+    FROM ests e JOIN exacts x USING (scope)
+    """,
+)
+def hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL rollup by REGISTER MERGE — the property that makes the
+    sketch the 100 TB cardinality primitive, asserted cross-engine:
+    registers are built ONCE at the finest grain (event_type x day),
+    then per-type and global estimates come from merging those cells
+    upward by cell-wise max — never re-reading the fact.  The DuckDB
+    oracle computes each level's registers DIRECTLY from the raw rows,
+    so a hash match proves merge(direct(finest)) == direct(coarse)
+    bit-for-bit: HLL merge-exactness, the algebra that lets daily
+    register tables roll up to weekly/monthly/all-time distincts
+    without rescanning a day of data.
+
+    Scale: one fact scan builds the (type x day x 256) cell table
+    (map-side combinable, mergeable state); both rollup levels are
+    aggregations OVER CELLS (thousands of rows), not over data.  The
+    exact counts ride along only to surface the error; production
+    keeps the cell table as an incrementally-maintained day-partitioned
+    register store (the streaming dual ``hll_distinct_stream`` is the
+    same state fed incrementally).
+    """
+    m = HLL_M
+    P = 1_000_000_007
+    W = P // m + 1
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    keyed = _mixed_hash(
+        e.select(
+            "event_type", F.col("ts").cast("date").alias("day"), "user_id"
+        ),
+        "cast(user_id as string)",
+    )
+    w = F.col("g").cast("long") / F.lit(m)
+    rho = F.least(
+        F.lit(33),
+        F.lit(1)
+        + F.floor(
+            F.log(F.lit(float(W)) / (F.floor(w) + 1)) / F.log(F.lit(2.0))
+        ),
+    )
+    from ..operators.cache import tracked_persist
+
+    # the cell table is the artifact both rollup levels consume —
+    # persist it so the merge branches read cells, not the fact twice
+    finest = tracked_persist(
+        keyed.groupBy(
+            "event_type", "day", F.pmod(F.col("g"), F.lit(m)).alias("b")
+        ).agg(F.max(rho).alias("r"))
+    )
+
+    def estimate(regs: DataFrame, scope_col) -> DataFrame:
+        agg = regs.groupBy(scope_col.alias("scope")).agg(
+            F.count("*").alias("nonempty"),
+            F.sum(
+                F.expr("1.0 / double(shiftleft(cast(1 as bigint), r))")
+            ).alias("s"),
+        )
+        zeros = F.lit(m) - F.col("nonempty")
+        e_raw = (
+            F.expr("0.7213 / (1.0 + 1.079 / 256.0)")
+            * F.lit(float(m * m))
+            / (zeros * F.lit(1.0) + F.col("s"))
+        )
+        return agg.select(
+            "scope",
+            F.when(
+                (e_raw <= 2.5 * m) & (zeros > 0),
+                F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+            )
+            .otherwise(e_raw)
+            .alias("e"),
+        )
+
+    # MERGE path: per-type and global registers from the finest cells
+    by_type = finest.groupBy("event_type", "b").agg(F.max("r").alias("r"))
+    all_regs = finest.groupBy("b").agg(F.max("r").alias("r"))
+    ests = estimate(
+        by_type, F.concat(F.lit("type:"), F.col("event_type"))
+    ).unionByName(estimate(all_regs, F.lit("ALL")))
+
+    # both exact levels from ONE rollup aggregate (Expand, single scan)
+    exacts = (
+        e.rollup("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("exact_distinct"),
+            F.grouping("event_type").alias("_g"),
+        )
+        .select(
+            F.when(F.col("_g") == 1, F.lit("ALL"))
+            .otherwise(F.concat(F.lit("type:"), F.col("event_type")))
+            .alias("scope"),
+            "exact_distinct",
+        )
+    )
+    return exacts.join(ests, "scope").select(
+        "scope", "exact_distinct", F.round("e", 4).alias("hll_estimate")
+    )

@@ -127,7 +127,7 @@ _GRADED_FIRST = [
     "als_half_step_factors", "als_part_recommendations",
     "common_neighbors_capped", "user_rfm_segments",
     "hll_distinct_users", "cms_heavy_hitters", "bloom_semijoin_prune",
-    "kalman_revenue_smooth",
+    "kalman_revenue_smooth", "hll_rollup_merge",
     # (purchase_attribution — re-planned to the banded interval join
     # this round — already sits in head slot (a))
     # --- (c1) r1/r2 failures fixed in r3: freshen first ---
@@ -149,10 +149,10 @@ _GRADED_FIRST = [
     "mode_source_per_lang", "set_ops_nations",
     "semi_join_customers_with_orders",
     "anti_join_customers_without_orders", "customer_order_analytics",
-    "supplier_revenue_windows",
-    # (pivot_event_type_daily, unpivot_order_stats, rollup_region_nation
-    # and corpus_upsert_refresh are the r1/r2 greens that did not fit
-    # the 50 slots this round — first in line for round 7)
+    # (supplier_revenue_windows, pivot_event_type_daily,
+    # unpivot_order_stats, rollup_region_nation and corpus_upsert_refresh
+    # are the r1/r2 greens that did not fit the 50 slots this round —
+    # first in line for round 7)
 ]
 
 # ROUND-7 HEAD PLAN (written at round-6 close): after the r6 gate the

@@ -100,3 +100,16 @@ def test_attribution_join_is_banded_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+
+
+def test_hll_rollup_merges_cells_not_rescans(spark):
+    """The rollup's whole point: per-type and global estimates must
+    derive from the FINEST register cells (aggregations over cells),
+    not from re-reading the fact — the estimate path adds no events
+    scan beyond the one cell build (the second scan in the plan is the
+    exact-count audit side), and the whole query is windowless
+    hash aggregation."""
+    plan = plan_of(spark, "hll_rollup_merge")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
