@@ -95,21 +95,32 @@ def als_half_step_users(
 
     Determinism contract (the catalog's irrational-feature recipe, cf.
     ``price_elasticity_by_brand``): Y is exact DECIMAL(7,6), α and r
-    are integers, so every matrix/vector entry is an exact decimal sum
-    — order-independent under any partitioning.  Operand precisions
-    are kept small (y: 7, α·r: 8, matrix entries: 18) so every product
-    in the normal equations and Cramer's rule stays ≤ DECIMAL(37,·),
-    i.e. exact on Spark and DuckDB alike; only the final quotient
-    returns to double (one shared-IEEE division of bit-identical
-    inputs).
+    are integers, so every Gram/vector SUM is an exact DECIMAL(32,12)
+    — order-independent under any partitioning, no overflow until the
+    accumulated value exceeds 10²⁰ (≫ any catalog scale: g11 grows
+    ~|parts|/3, s11 ~ α·Σr per user; the previous (18,12) layout
+    overflowed — to NULL, silently emptying the result — at ~3·10⁶
+    parts, TPC-H SF ≈ 15).  The five Cramer operands then cast ONCE
+    from exact decimal to double and the 2×2 solve runs entirely in
+    IEEE doubles: the identical op sequence on identical inputs is
+    bit-deterministic on any engine/partitioning, at ANY scale.  A
+    scale-down decimal quantization is deliberately NOT used — Spark
+    rounds decimal rescales half-up while DuckDB truncates, so any
+    such cast diverges cross-engine (measured: a12 602.966117194020
+    → .9661172 Spark vs .9661171 DuckDB).  The decimal→double cast
+    itself is bit-identical across engines while the scale-12 unscaled
+    value fits 53 bits (entries < ~9·10³, true at every
+    oracle-compared SF with wide margin; beyond that only the
+    cross-engine ORACLE comparison — never Spark-side determinism —
+    would need a coarser Y scale).
     """
     from decimal import Decimal
 
     y1, y2 = F.col("y1"), F.col("y2")
     yty = item_factors.agg(
-        F.sum(y1 * y1).cast("decimal(18,12)").alias("g11"),
-        F.sum(y1 * y2).cast("decimal(18,12)").alias("g12"),
-        F.sum(y2 * y2).cast("decimal(18,12)").alias("g22"),
+        F.sum(y1 * y1).cast("decimal(32,12)").alias("g11"),
+        F.sum(y1 * y2).cast("decimal(32,12)").alias("g12"),
+        F.sum(y2 * y2).cast("decimal(32,12)").alias("g22"),
     )
     ar = (F.lit(alpha) * F.col("n")).cast("decimal(8,0)")
     per_user = (
@@ -117,20 +128,22 @@ def als_half_step_users(
         .groupBy("custkey")
         .agg(
             F.count("*").alias("n_items"),
-            F.sum(ar * (y1 * y1)).cast("decimal(18,12)").alias("s11"),
-            F.sum(ar * (y1 * y2)).cast("decimal(18,12)").alias("s12"),
-            F.sum(ar * (y2 * y2)).cast("decimal(18,12)").alias("s22"),
+            F.sum(ar * (y1 * y1)).cast("decimal(32,12)").alias("s11"),
+            F.sum(ar * (y1 * y2)).cast("decimal(32,12)").alias("s12"),
+            F.sum(ar * (y2 * y2)).cast("decimal(32,12)").alias("s22"),
             F.sum((F.lit(1) + ar) * y1).cast("decimal(18,6)").alias("b1"),
             F.sum((F.lit(1) + ar) * y2).cast("decimal(18,6)").alias("b2"),
         )
     )
     lam_d = F.lit(Decimal(lam))
-    a11 = (F.col("g11") + F.col("s11") + lam_d).cast("decimal(18,12)")
-    a12 = (F.col("g12") + F.col("s12")).cast("decimal(18,12)")
-    a22 = (F.col("g22") + F.col("s22") + lam_d).cast("decimal(18,12)")
-    det = (a11 * a22 - a12 * a12).cast("double")
-    num1 = (F.col("b1") * a22 - F.col("b2") * a12).cast("double")
-    num2 = (F.col("b2") * a11 - F.col("b1") * a12).cast("double")
+    a11 = (F.col("g11") + F.col("s11") + lam_d).cast("double")
+    a12 = (F.col("g12") + F.col("s12")).cast("double")
+    a22 = (F.col("g22") + F.col("s22") + lam_d).cast("double")
+    b1 = F.col("b1").cast("double")
+    b2 = F.col("b2").cast("double")
+    det = a11 * a22 - a12 * a12
+    num1 = b1 * a22 - b2 * a12
+    num2 = b2 * a11 - b1 * a12
     def round6(q):
         # floor(q*1e6 + 0.5)/1e6: the shared-IEEE rounding recipe — the
         # same op sequence on identical doubles on both engines, immune

@@ -1122,18 +1122,18 @@ def part_copurchase_pagerank_copart(spark: SparkSession, sf_dir: str) -> DataFra
                     * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(7,6)) AS y2
         FROM part
     ), g AS (
-        SELECT CAST(sum(y1 * y1) AS DECIMAL(18,12)) AS g11,
-               CAST(sum(y1 * y2) AS DECIMAL(18,12)) AS g12,
-               CAST(sum(y2 * y2) AS DECIMAL(18,12)) AS g22
+        SELECT CAST(sum(y1 * y1) AS DECIMAL(32,12)) AS g11,
+               CAST(sum(y1 * y2) AS DECIMAL(32,12)) AS g12,
+               CAST(sum(y2 * y2) AS DECIMAL(32,12)) AS g22
         FROM yf
     ), u AS (
         SELECT r.custkey, count(*) AS n_items,
                CAST(sum(CAST(10 * r.n AS DECIMAL(8,0)) * (y1 * y1))
-                    AS DECIMAL(18,12)) AS s11,
+                    AS DECIMAL(32,12)) AS s11,
                CAST(sum(CAST(10 * r.n AS DECIMAL(8,0)) * (y1 * y2))
-                    AS DECIMAL(18,12)) AS s12,
+                    AS DECIMAL(32,12)) AS s12,
                CAST(sum(CAST(10 * r.n AS DECIMAL(8,0)) * (y2 * y2))
-                    AS DECIMAL(18,12)) AS s22,
+                    AS DECIMAL(32,12)) AS s22,
                CAST(sum((1 + CAST(10 * r.n AS DECIMAL(8,0))) * y1)
                     AS DECIMAL(18,6)) AS b1,
                CAST(sum((1 + CAST(10 * r.n AS DECIMAL(8,0))) * y2)
@@ -1141,24 +1141,30 @@ def part_copurchase_pagerank_copart(spark: SparkSession, sf_dir: str) -> DataFra
         FROM r JOIN yf ON r.partkey = yf.partkey
         GROUP BY r.custkey
     ), m AS (
+        -- the five Cramer operands cast ONCE from exact decimal to
+        -- double (bit-identical cross-engine while the scale-12
+        -- unscaled value fits 53 bits); the 2x2 solve then runs in
+        -- IEEE doubles — the identical op sequence both engines share.
+        -- A scale-down decimal quantization is deliberately avoided:
+        -- Spark rounds decimal rescales half-up, DuckDB truncates.
         SELECT custkey, n_items,
-               CAST(g11 + s11 + CAST(0.1 AS DECIMAL(2,1))
-                    AS DECIMAL(18,12)) AS a11,
-               CAST(g12 + s12 AS DECIMAL(18,12)) AS a12,
-               CAST(g22 + s22 + CAST(0.1 AS DECIMAL(2,1))
-                    AS DECIMAL(18,12)) AS a22,
-               b1, b2
+               CAST(g11 + s11 + CAST(0.1 AS DECIMAL(2,1)) AS DOUBLE) AS a11,
+               CAST(g12 + s12 AS DOUBLE) AS a12,
+               CAST(g22 + s22 + CAST(0.1 AS DECIMAL(2,1)) AS DOUBLE) AS a22,
+               CAST(b1 AS DOUBLE) AS b1, CAST(b2 AS DOUBLE) AS b2
         FROM u CROSS JOIN g
+    ), s AS (
+        SELECT custkey, n_items,
+               a11 * a22 - a12 * a12 AS det,
+               b1 * a22 - b2 * a12 AS num1,
+               b2 * a11 - b1 * a12 AS num2
+        FROM m
     )
     SELECT custkey, n_items,
-           floor(CAST(b1 * a22 - b2 * a12 AS DOUBLE)
-                 / CAST(a11 * a22 - a12 * a12 AS DOUBLE)
-                 * 1000000.0 + 0.5) / 1000000.0 AS x1,
-           floor(CAST(b2 * a11 - b1 * a12 AS DOUBLE)
-                 / CAST(a11 * a22 - a12 * a12 AS DOUBLE)
-                 * 1000000.0 + 0.5) / 1000000.0 AS x2
-    FROM m
-    WHERE CAST(a11 * a22 - a12 * a12 AS DOUBLE) <> 0.0
+           floor(num1 / det * 1000000.0 + 0.5) / 1000000.0 AS x1,
+           floor(num2 / det * 1000000.0 + 0.5) / 1000000.0 AS x2
+    FROM s
+    WHERE det <> 0.0
     """,
 )
 def als_half_step_factors(spark: SparkSession, sf_dir: str) -> DataFrame:

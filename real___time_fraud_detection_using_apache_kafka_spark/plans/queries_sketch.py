@@ -237,6 +237,33 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 HLL_M = 256  # 2^8 registers; 23-bit rho domain under the 2^31 hash
 
 
+def hll_bucket_rank(df: DataFrame, key_sql: str, m: int = HLL_M) -> DataFrame:
+    """Adds the HLL register coordinates ``b`` (bucket) and ``rho``
+    (geometric rank) for ``key_sql`` — the ONE definition of the
+    hash→mixer→rank pipeline, shared by the batch estimator and the
+    streaming dual.  The streaming dual feeds these pre-hashed pairs
+    (cf. ``cms_sketch_stream``) so batch/stream register parity is
+    STRUCTURAL — both sides evaluate the same JVM expressions — rather
+    than dependent on three libm implementations (JVM Math.log, CPython
+    math.log, DuckDB's C libm) agreeing near an exact floor boundary
+    (round-7 ADVICE item)."""
+    W = _MIX_P // m + 1  # bucket-quotient domain: u = (w+1)/W in (0,1]
+    ph = _mixed_hash(df, key_sql)
+    w = F.col("g").cast("long") / F.lit(m)
+    rho = F.least(
+        F.lit(33),
+        F.lit(1)
+        + F.floor(
+            F.log(F.lit(float(W)) / (F.floor(w) + 1)) / F.log(F.lit(2.0))
+        ),
+    )
+    return (
+        ph.withColumn("b", F.pmod(F.col("g"), F.lit(m)))
+        .withColumn("rho", rho.cast("long"))
+        .drop("g")
+    )
+
+
 @register(
     "hll_distinct_users",
     oracle=f"""
@@ -309,33 +336,11 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     and tables); the exact count rides a second aggregate only to
     surface the error column.
     """
-    from ..functions.hashing import poly_hash_expr
-
-    P = 1_000_000_007
-    W = P // 256 + 1  # bucket-quotient domain size: u = (w+1)/W in (0,1]
     e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    ph = e.select(
-        "event_type", poly_hash_expr("cast(user_id as string)").alias("g")
+    ph = hll_bucket_rank(
+        e.select("event_type", "user_id"), "cast(user_id as string)"
     )
-    for a, b in ((1000003, 12345), (999983, 7)):  # two quadratic scrambles
-        ph = ph.select(
-            "event_type",
-            F.pmod(
-                F.col("g") * F.col("g") + F.lit(a) * F.col("g") + F.lit(b),
-                F.lit(P),
-            ).alias("g"),
-        )
-    w = F.col("g").cast("long") / F.lit(256)
-    rho = F.least(
-        F.lit(33),
-        F.lit(1)
-        + F.floor(
-            F.log(F.lit(float(W)) / (F.floor(w) + 1)) / F.log(F.lit(2.0))
-        ),
-    )
-    regs = ph.groupBy(
-        "event_type", F.pmod(F.col("g"), F.lit(256)).alias("b")
-    ).agg(F.max(rho).alias("r"))
+    regs = ph.groupBy("event_type", "b").agg(F.max("rho").alias("r"))
     agg = regs.groupBy("event_type").agg(
         F.count("*").alias("nonempty"),
         # SQL shiftleft (the python wrapper wants a literal bit count):
@@ -877,10 +882,15 @@ def bloom_semijoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches the probe path before the final scalar aggregate.  The
     exact semi-join runs here only to measure the FP rate.
     """
+    from ..operators.cache import tracked_persist
+
     e = load_table(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull()
     )
-    build = (
+    # four consumers read the build side (msel sizing, the mask build,
+    # n_build, and the exact-membership probe join) — persist the
+    # |build-keys|-row frame once instead of rescanning the fact 4x
+    build = tracked_persist(
         e.filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
         .agg(F.count("*").alias("c"))
@@ -1069,33 +1079,24 @@ def hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     same state fed incrementally).
     """
     m = HLL_M
-    P = 1_000_000_007
-    W = P // m + 1
     e = load_table(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull() & F.col("ts").isNotNull()
     )
-    keyed = _mixed_hash(
+    keyed = hll_bucket_rank(
         e.select(
             "event_type", F.col("ts").cast("date").alias("day"), "user_id"
         ),
         "cast(user_id as string)",
-    )
-    w = F.col("g").cast("long") / F.lit(m)
-    rho = F.least(
-        F.lit(33),
-        F.lit(1)
-        + F.floor(
-            F.log(F.lit(float(W)) / (F.floor(w) + 1)) / F.log(F.lit(2.0))
-        ),
+        m=m,
     )
     from ..operators.cache import tracked_persist
 
     # the cell table is the artifact both rollup levels consume —
     # persist it so the merge branches read cells, not the fact twice
     finest = tracked_persist(
-        keyed.groupBy(
-            "event_type", "day", F.pmod(F.col("g"), F.lit(m)).alias("b")
-        ).agg(F.max(rho).alias("r"))
+        keyed.groupBy("event_type", "day", "b").agg(
+            F.max("rho").alias("r")
+        )
     )
 
     def estimate(regs: DataFrame, scope_col) -> DataFrame:

@@ -105,10 +105,11 @@ def _stable_types(fn: QueryFn) -> QueryFn:
 #       rows-only until its round-5 oracle upgrade, so hash-grading it
 #       is fresh signal),
 #   (b) new round-6 queries (each a changed-or-new plan, ungraded until
-#       the driver says otherwise — the q12 lesson), led by
-#       als_part_recommendations now that it has a deterministic
-#       fixed-seed oracle (VERDICT r5 item 2) instead of its r5
-#       `no_oracle` slot,
+#       the driver says otherwise — the q12 lesson).  NOTE (r7 ADVICE
+#       correction): als_part_recommendations is STILL rows-only — the
+#       oracled tier that resolved VERDICT r5 item 2 is
+#       als_half_step_factors; the MLlib entry's r6 head slot was a
+#       rows-only grade, not a hash grade,
 #   (c) re-verification slots: first the four r1/r2 FAILURES fixed in
 #       r3 (confusion_matrix, classification_metrics,
 #       grouping_sets_orders, q12_shipping_lateness — their green is

@@ -721,7 +721,7 @@ HLL_STREAM_OUTPUT_SCHEMA = T.StructType(
 )
 
 
-def hll_distinct_stream(events: DataFrame, m: int = 256) -> DataFrame:
+def hll_distinct_stream(pairs: DataFrame, m: int = 256) -> DataFrame:
     """Per-event-type HyperLogLog registers maintained in the state
     store — the streaming dual of the batch ``hll_distinct_users``
     query.  Like KMV (and unlike order-sensitive recurrences), HLL
@@ -732,27 +732,20 @@ def hll_distinct_stream(events: DataFrame, m: int = 256) -> DataFrame:
     shares the batch float recipe and is compared at its published
     4-dp rounding).
 
-    State per key is m longs forever; each micro-batch folds only the
-    touched keys.  Hash/mixer/rho are the batch constants
-    (poly-hash -> two quadratic scrambles mod p -> bucket-quotient
-    rank), in exact integer arithmetic.
+    Input: the (event_type, b, rho) register-coordinate stream — build
+    it with the SAME JVM expressions the batch query uses
+    (``plans.queries_sketch.hll_bucket_rank``), exactly like
+    ``cms_sketch_stream`` takes pre-hashed (j, b) pairs.  Register
+    parity with the batch is then STRUCTURAL: the stateful op only
+    folds integer cell-wise max, so it cannot diverge even if JVM
+    Math.log and CPython math.log disagree by 1 ulp near an exact
+    floor boundary (round-7 ADVICE item — the previous version
+    recomputed rho in Python).
 
-    Input columns: ``event_type`` (string), ``user_id`` (long).
+    State per key is m longs forever; each micro-batch folds only the
+    touched keys.
     """
     import math
-
-    from ..functions.hashing import MOD, MULT
-
-    P = 1_000_000_007
-    W = P // m + 1
-
-    def mixed(s: str) -> int:
-        g = 0
-        for ch in s:
-            g = (g * MULT + ord(ch)) % MOD
-        for a, b in ((1000003, 12345), (999983, 7)):
-            g = (g * g + a * g + b) % P
-        return g
 
     def update(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -760,11 +753,8 @@ def hll_distinct_stream(events: DataFrame, m: int = 256) -> DataFrame:
         (regs,) = state.get if state.exists else ([0] * m,)
         regs = list(regs)
         for pdf in pdfs:
-            for uid in pdf["user_id"].dropna():
-                g = mixed(str(int(uid)))
-                b = g % m
-                rho = min(33, 1 + math.floor(
-                    math.log(W / (g // m + 1)) / math.log(2.0)))
+            for b, rho in zip(pdf["b"], pdf["rho"]):
+                b, rho = int(b), int(rho)
                 if rho > regs[b]:
                     regs[b] = rho
         state.update((regs,))
@@ -788,7 +778,7 @@ def hll_distinct_stream(events: DataFrame, m: int = 256) -> DataFrame:
         )
 
     return (
-        events.select("event_type", "user_id")
+        pairs.select("event_type", "b", "rho")
         .groupBy("event_type")
         .applyInPandasWithState(
             update,

@@ -762,8 +762,12 @@ class TestHllStreamParity:
         """HLL registers are a cell-wise-max mergeable state, so the
         stream must publish the batch query's estimate EXACTLY (at its
         own 4-dp rounding) under arbitrary micro-batch sharding —
-        here: split by event_id parity, deliberately not time order."""
+        here: split by event_id parity, deliberately not time order.
+        Register coordinates are built with the batch's own JVM
+        expressions (hll_bucket_rank) upstream of the stateful op, the
+        cms_sketch_stream pattern — parity is structural."""
         from real___time_fraud_detection_using_apache_kafka_spark.plans.queries_sketch import (
+            hll_bucket_rank,
             hll_distinct_users,
         )
         from real___time_fraud_detection_using_apache_kafka_spark.sources.tables import load_table
@@ -776,9 +780,12 @@ class TestHllStreamParity:
             for r in hll_distinct_users(spark, sf_dir).collect()
         }
 
-        e = load_table(spark, sf_dir, "events").select(
-            "event_id", "event_type", "user_id"
-        )
+        e = hll_bucket_rank(
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("user_id").isNotNull())
+            .select("event_id", "event_type", "user_id"),
+            "cast(user_id as string)",
+        ).select("event_id", "event_type", "b", "rho")
         src, ckpt = f"{tmp_path}/src", f"{tmp_path}/ckpt"
         write_batch = _atomic_batch_writer(tmp_path, src)
 
@@ -788,7 +795,7 @@ class TestHllStreamParity:
             .select(
                 F.from_json(
                     F.col("v"),
-                    "event_id long, event_type string, user_id long",
+                    "event_id long, event_type string, b long, rho long",
                 ).alias("e")
             )
             .select("e.*")

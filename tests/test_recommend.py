@@ -150,3 +150,28 @@ class TestAlsHalfStep:
         ).first()
         assert float(row.lo) > 0.0 and float(row.hi) <= 1.0
         assert row.d1 > 900  # hash spread: factors are not degenerate
+
+    def test_half_step_survives_many_parts(self, spark):
+        """Regression (round-7 ADVICE): with the old DECIMAL(18,12)
+        accumulators, sum(y*y) over >~3e6 parts overflowed the 6
+        integer digits — Spark (non-ANSI) yields NULL, det goes NULL,
+        and ``filter(det != 0.0)`` silently emptied the result.  The
+        (32,12) layout must keep the solve finite at 4M parts."""
+        from real___time_fraud_detection_using_apache_kafka_spark.ml.recommend import (
+            als_half_step_users,
+            deterministic_item_factors,
+        )
+
+        items = spark.range(1, 4_000_001).withColumnRenamed(
+            "id", "p_partkey"
+        )
+        ratings = spark.createDataFrame(
+            [(1, 2, 3), (1, 5, 1), (2, 7, 2)],
+            "custkey long, partkey long, n long",
+        )
+        yf = deterministic_item_factors(items)
+        rows = als_half_step_users(ratings, yf, alpha=10).collect()
+        assert len(rows) == 2  # nothing silently dropped
+        for r in rows:
+            assert r.x1 is not None and r.x2 is not None
+            assert abs(r.x1) < 1.0 and abs(r.x2) < 1.0  # ridge-bounded
