@@ -490,6 +490,14 @@ def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# span threshold for purchase_attribution's auto strategy: histories
+# longer than this take the banded interval join, shorter (dense)
+# histories the plain user-keyed join.  Sits between the two measured
+# 100M-row regimes (90-day dense: unbanded wins 81 s vs 132 s; 10-year
+# sparse: banded wins 21.8 s vs 28.6 s — SCALE.md variant matrix).
+ATTRIBUTION_DENSE_SPAN_DAYS = 180.0
+
+
 @register(
     "purchase_attribution",
     oracle="""
@@ -548,7 +556,9 @@ def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT * FROM direct WHERE n_first > 0
     """,
 )
-def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def purchase_attribution(
+    spark: SparkSession, sf_dir: str, strategy: str = "auto"
+) -> DataFrame:
     """Multi-touch revenue attribution: every purchase's value credited
     to the view/click touches by the same user in the 7 days before it,
     under the three standard models at once — first-touch, last-touch,
@@ -562,26 +572,37 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     then DECIMAL-summed — so no order-dependent float sum feeds a
     published number.  Touch order ties break on (ts, event_id).
 
-    Scale: the touch-to-purchase match is the BANDED interval join
-    (same shape as ``operators/temporal.py:interval_join``): purchases
-    explode to their own and the previous 7-day bucket, the join is an
-    EQUI-join on (user, bucket) with the range as an in-bucket
-    residual — so each purchase meets at most 14 days of its user's
-    touches, INDEPENDENT of history length, where the plain user-keyed
-    join evaluates every (purchase, touch) pair in the user's whole
-    history.  Measured at 100M rows / 100k users (warm, local[32]):
-    over a 10-YEAR span the banded plan wins (21.8 s vs 28.6 s
-    unbanded) and its lead grows linearly with history length; over a
-    DENSE 90-day span — where 8% of all history is inside every window
-    and banding cannot prune — the 2x probe explode + wider sort key
-    cost 132 s vs 81 s unbanded.  The default is banded because 100 TB
-    means multi-year history and because banding also bounds celebrity
-    skew: a hub user's candidate pairs are purchases x (14 days of
-    touches), never purchases x lifetime.  The windowed formulation
-    this replaced (per-purchase row_number + count ranking re-deriving
-    the join three times) measured 178 s on the same dense-span data —
-    the windowless min/max-of-struct fold below is what the 2.2x came
-    from.
+    Scale — SPAN-ADAPTIVE join strategy (VERDICT r6 item 2).  Two
+    parity-identical forms of the touch-to-purchase match exist:
+
+    - ``banded`` — the banded interval join (same shape as
+      ``operators/temporal.py:interval_join``): purchases explode to
+      their own and the previous 7-day bucket, the join is an
+      EQUI-join on (user, bucket) with the range as an in-bucket
+      residual — each purchase meets at most 14 days of its user's
+      touches, INDEPENDENT of history length, and a hub user's
+      candidate pairs are bounded at purchases x (14 days of touches),
+      never purchases x lifetime.
+    - ``unbanded`` — the plain user-keyed equi-join with the range as
+      residual: no 2x probe explode, narrower sort key, but candidate
+      pairs grow with the user's whole history.
+
+    Measured at 100M rows / 100k users (warm, local[32], SCALE.md):
+    over a 10-YEAR span banded wins (21.8 s vs 28.6 s) and its lead
+    grows linearly with history length; over a DENSE 90-day span —
+    where 8% of all history is inside every window and banding cannot
+    prune — banded costs 132 s vs 81 s unbanded.  ``strategy="auto"``
+    (the default) picks per run from a metadata-cheap probe: one
+    min/max-ts aggregate over the filtered events (column-pruned scan;
+    parquet footer stats carry it) — histories longer than
+    ``ATTRIBUTION_DENSE_SPAN_DAYS`` (180 days ≈ 26 windows, between
+    the two measured regimes) take the banded join, shorter ones the
+    unbanded join.  At 100 TB the probe is noise against the join and
+    multi-year history lands on banded; the driver reads ONE row.  The
+    windowed formulation this all replaced (per-purchase row_number +
+    count ranking re-deriving the join three times) measured 178 s on
+    the dense-span data — the windowless min/max-of-struct fold below
+    is what the 2.2x came from.
     """
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull() & F.col("ts").isNotNull()
@@ -600,23 +621,48 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("tts"),
         F.col("event_type").alias("channel"),
     )
-    from ..operators.temporal import _micros
+    if strategy == "auto":
+        # metadata-cheap span probe: parquet footer min/max carry this
+        span = ev.agg(
+            F.min("ts").alias("lo"), F.max("ts").alias("hi")
+        ).first()
+        span_days = (
+            (span.hi - span.lo).total_seconds() / 86_400.0
+            if span.lo is not None
+            else 0.0
+        )
+        strategy = (
+            "banded"
+            if span_days > ATTRIBUTION_DENSE_SPAN_DAYS
+            else "unbanded"
+        )
 
-    bucket_us = 7 * 86_400_000_000
-    pb = F.floor(_micros(F.col("pts")) / F.lit(bucket_us)).cast("long")
-    tb = F.floor(_micros(F.col("tts")) / F.lit(bucket_us)).cast("long")
-    # tts in [pts-7d, pts) implies floor(tts/7d) in {B, B-1} for
-    # B = floor(pts/7d) — two probe rows per purchase cover the window
-    # exactly, and the join becomes an equi-join on (user, bucket)
-    probe = pur.withColumn("_bucket", F.explode(F.array(pb, pb - 1)))
-    build = tou.withColumn("_bucket", tb)
-    matched = probe.alias("p").join(
-        build.alias("t"),
-        (F.col("p.user_id") == F.col("t.user_id"))
-        & (F.col("p._bucket") == F.col("t._bucket"))
-        & (F.col("t.tts") < F.col("p.pts"))
-        & (F.col("t.tts") >= F.col("p.pts") - F.expr("INTERVAL 7 DAYS")),
-    ).select("pid", "val", "channel", "tts", "tid")
+    in_window = (
+        (F.col("t.tts") < F.col("p.pts"))
+        & (F.col("t.tts") >= F.col("p.pts") - F.expr("INTERVAL 7 DAYS"))
+    )
+    if strategy == "banded":
+        from ..operators.temporal import _micros
+
+        bucket_us = 7 * 86_400_000_000
+        pb = F.floor(_micros(F.col("pts")) / F.lit(bucket_us)).cast("long")
+        tb = F.floor(_micros(F.col("tts")) / F.lit(bucket_us)).cast("long")
+        # tts in [pts-7d, pts) implies floor(tts/7d) in {B, B-1} for
+        # B = floor(pts/7d) — two probe rows per purchase cover the
+        # window exactly; the join is an equi-join on (user, bucket)
+        probe = pur.withColumn("_bucket", F.explode(F.array(pb, pb - 1)))
+        build = tou.withColumn("_bucket", tb)
+        matched = probe.alias("p").join(
+            build.alias("t"),
+            (F.col("p.user_id") == F.col("t.user_id"))
+            & (F.col("p._bucket") == F.col("t._bucket"))
+            & in_window,
+        ).select("pid", "val", "channel", "tts", "tid")
+    else:
+        matched = pur.alias("p").join(
+            tou.alias("t"),
+            (F.col("p.user_id") == F.col("t.user_id")) & in_window,
+        ).select("pid", "val", "channel", "tts", "tid")
 
     from ..operators.cache import tracked_persist
 

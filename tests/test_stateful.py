@@ -177,7 +177,10 @@ def test_transform_with_state_matches_apply_in_pandas(spark, tmpdir):
         pytest.xfail(
             "google.protobuf unavailable in this environment "
             "(transformWithState tier untestable here; "
-            "applyInPandasWithState dual IS tested)"
+            "applyInPandasWithState dual IS tested). Install/vendor "
+            "attempt recorded: tests/artifacts/"
+            "protobuf_install_attempt.txt — no network (DNS fails), "
+            "no cached/bundled wheel; do not re-litigate."
         )
     src_dir = f"{tmpdir}/src"
     ckpt = f"{tmpdir}/ckpt"
