@@ -162,6 +162,39 @@ def als_half_step_users(
     )
 
 
+def als_half_step_items(
+    ratings: DataFrame,
+    user_factors: DataFrame,
+    alpha: int = 10,
+    lam: str = "0.1",
+) -> DataFrame:
+    """The OTHER half of the ALS alternation: solve the rank-2 ITEM
+    factors Y given fixed user factors X (Hu-Koren-Volinsky eq. 5,
+    ``y_i = (XᵀX + Xᵀ(C_i − I)X + λI)⁻¹ Xᵀ C_i p(i)``).  The implicit
+    model is symmetric in users and items, so this IS
+    :func:`als_half_step_users` applied to the TRANSPOSED rating
+    matrix — one rename, zero duplicated math, identical determinism
+    contract.  With both half-steps hash-oracled, the full alternating
+    loop's update rule is driver-gradable end-to-end; the MLlib entry
+    (``als_part_recommendations``) only carries convergence/topology.
+
+    ``user_factors`` carries (partkey, y1, y2) column names from
+    :func:`deterministic_item_factors` (its ``partkey`` holding the
+    USER key here — the transpose's role swap)."""
+    transposed = ratings.select(
+        F.col("partkey").alias("custkey"),
+        F.col("custkey").alias("partkey"),
+        "n",
+    )
+    out = als_half_step_users(transposed, user_factors, alpha=alpha, lam=lam)
+    return out.select(
+        F.col("custkey").alias("partkey"),
+        F.col("n_items").alias("n_users"),
+        F.col("x1").alias("y1_new"),
+        F.col("x2").alias("y2_new"),
+    )
+
+
 def recommend_parts(model: ALSModel, k: int = 5) -> DataFrame:
     """Top-k part recommendations per customer, flattened to
     (custkey, rank, partkey, score) rows — ``recommendForAllUsers`` is

@@ -1198,6 +1198,91 @@ def als_half_step_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return als_half_step_users(ratings, items, alpha=10, lam="0.1")
 
 
+@register(
+    "als_half_step_items",
+    oracle="""
+    WITH r AS (
+        SELECT o.o_custkey AS custkey, l.l_partkey AS partkey,
+               count(*) AS n
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ), xf AS (
+        SELECT c_custkey AS ukey,
+               CAST(((c_custkey * 2654435761) % 1000000 + 1)
+                    * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(7,6)) AS y1,
+               CAST(((c_custkey * 1597334677) % 1000000 + 1)
+                    * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(7,6)) AS y2
+        FROM customer
+    ), g AS (
+        SELECT CAST(sum(y1 * y1) AS DECIMAL(32,12)) AS g11,
+               CAST(sum(y1 * y2) AS DECIMAL(32,12)) AS g12,
+               CAST(sum(y2 * y2) AS DECIMAL(32,12)) AS g22
+        FROM xf
+    ), u AS (
+        SELECT r.partkey, count(*) AS n_users,
+               CAST(sum(CAST(10 * r.n AS DECIMAL(8,0)) * (y1 * y1))
+                    AS DECIMAL(32,12)) AS s11,
+               CAST(sum(CAST(10 * r.n AS DECIMAL(8,0)) * (y1 * y2))
+                    AS DECIMAL(32,12)) AS s12,
+               CAST(sum(CAST(10 * r.n AS DECIMAL(8,0)) * (y2 * y2))
+                    AS DECIMAL(32,12)) AS s22,
+               CAST(sum((1 + CAST(10 * r.n AS DECIMAL(8,0))) * y1)
+                    AS DECIMAL(18,6)) AS b1,
+               CAST(sum((1 + CAST(10 * r.n AS DECIMAL(8,0))) * y2)
+                    AS DECIMAL(18,6)) AS b2
+        FROM r JOIN xf ON r.custkey = xf.ukey
+        GROUP BY r.partkey
+    ), m AS (
+        SELECT partkey, n_users,
+               CAST(g11 + s11 + CAST(0.1 AS DECIMAL(2,1)) AS DOUBLE) AS a11,
+               CAST(g12 + s12 AS DOUBLE) AS a12,
+               CAST(g22 + s22 + CAST(0.1 AS DECIMAL(2,1)) AS DOUBLE) AS a22,
+               CAST(b1 AS DOUBLE) AS b1, CAST(b2 AS DOUBLE) AS b2
+        FROM u CROSS JOIN g
+    ), s AS (
+        SELECT partkey, n_users,
+               a11 * a22 - a12 * a12 AS det,
+               b1 * a22 - b2 * a12 AS num1,
+               b2 * a11 - b1 * a12 AS num2
+        FROM m
+    )
+    SELECT partkey, n_users,
+           floor(num1 / det * 1000000.0 + 0.5) / 1000000.0 AS y1_new,
+           floor(num2 / det * 1000000.0 + 0.5) / 1000000.0 AS y2_new
+    FROM s
+    WHERE det <> 0.0
+    """,
+)
+def als_half_step_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The item-side ALS half-step (Y given fixed X) — the second half
+    of the alternation, completing VERDICT r6 item 6: with
+    ``als_half_step_factors`` pinning X-given-Y and this entry pinning
+    Y-given-X, the full Hu-Koren-Volinsky update rule is hash-graded
+    cross-engine end-to-end, and the rows-only
+    ``als_part_recommendations`` slot carries only MLlib's
+    convergence/blocking, not the math.  The implicit model is
+    symmetric, so the implementation is the user solver on the
+    TRANSPOSED rating matrix (one rename — ``ml/recommend.py``),
+    grouped by part: one fact join + one part-keyed hash aggregate +
+    a 1-row XᵀX broadcast.
+    """
+    from ..ml.recommend import (
+        als_half_step_items,
+        deterministic_item_factors,
+        purchase_counts,
+    )
+
+    ratings = purchase_counts(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+    )
+    users = deterministic_item_factors(
+        load_table(spark, sf_dir, "customer").select("c_custkey"),
+        key="c_custkey",
+    )
+    return als_half_step_items(ratings, users)
+
+
 @register("als_part_recommendations")  # rows-only: factorization has no SQL oracle
 def als_part_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collaborative-filtering recommendations: implicit-feedback ALS

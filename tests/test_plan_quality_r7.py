@@ -30,6 +30,67 @@ def _rows(df):
     )
 
 
+def test_als_half_step_items_mirrors_the_user_plan(spark):
+    """The item half-step (the transposed solve) must carry the same
+    physical shape the r6 pin holds for the user side: pure column
+    algebra, ONE scalar broadcast nested-loop for XᵀX, an equi-join on
+    the rating fact, no window."""
+    import contextlib
+    import io
+
+    from real___time_fraud_detection_using_apache_kafka_spark import plans
+
+    df = plans.queries()["als_half_step_items"](spark, "/root/testdata/sf0.01")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "EvalPython" not in plan
+    assert len(re.findall(r"\(\d+\) \w*BroadcastNestedLoopJoin", plan)) == 1
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan)
+    assert "Window" not in plan
+
+
+def test_half_steps_agree_with_each_other_on_transpose(spark):
+    """Solving items on ratings R must equal solving users on Rᵀ with
+    the same fixed factors — the symmetry the implementation relies on,
+    checked end-to-end on real tables."""
+    from real___time_fraud_detection_using_apache_kafka_spark.ml.recommend import (
+        als_half_step_items,
+        als_half_step_users,
+        deterministic_item_factors,
+        purchase_counts,
+    )
+    from real___time_fraud_detection_using_apache_kafka_spark.sources.tables import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    ratings = purchase_counts(
+        load_table(spark, SF, "lineitem"), load_table(spark, SF, "orders")
+    )
+    users = deterministic_item_factors(
+        load_table(spark, SF, "customer").select("c_custkey"), key="c_custkey"
+    )
+    via_items = _rows(als_half_step_items(ratings, users))
+    via_transpose = _rows(
+        als_half_step_users(
+            ratings.select(
+                F.col("partkey").alias("custkey"),
+                F.col("custkey").alias("partkey"),
+                "n",
+            ),
+            users,
+        ).select(
+            F.col("custkey").alias("partkey"),
+            F.col("n_items").alias("n_users"),
+            F.col("x1").alias("y1_new"),
+            F.col("x2").alias("y2_new"),
+        )
+    )
+    assert via_items == via_transpose and len(via_items) > 0
+
+
 def test_attribution_strategies_are_parity_identical(spark):
     """banded and unbanded are two physical forms of ONE query — every
     published number must match exactly (decimal credits, rounded

@@ -1,13 +1,23 @@
-"""Streaming-path throughput smoke: rate source -> synthetic transaction
-columns -> broadcast-model scoring -> running class counts, measured as
-rows/s actually processed over a fixed wall window.
+"""Streaming-path throughput smoke: rate source -> a chosen streaming
+pipeline, measured as rows/s actually processed over a fixed wall
+window.
 
-The reference's stream path is architecturally capped at 0.5 txn/s (one
-record per 2 s sleep, single process, 1-row pandas frame per message —
-SURVEY.md §6); this measures the same logical pipeline (generate ->
-score -> count) as Structured Streaming micro-batches.
+Modes (first CLI arg; numeric first arg keeps the legacy default):
 
-Usage: python tools/streaming_throughput.py [rows_per_second] [seconds]
+- ``scored``  (default) synthetic transactions -> broadcast-model
+  scoring -> running class counts — the reference's stream path, which
+  is architecturally capped at 0.5 txn/s there (one record per 2 s
+  sleep, single process, 1-row pandas frame per message — SURVEY.md §6).
+- ``hll``     JVM (event_type, b, rho) register coordinates
+  (``hll_bucket_rank``) -> ``hll_distinct_stream`` state fold — proves
+  the O(cells)-state HLL dual holds at rate, not just at parity.
+- ``cms``     JVM (j, b) bucket pairs -> ``cms_sketch_stream`` — same
+  proof for the count-min dual.
+- ``kalman``  out-of-order-tolerant per-key Kalman
+  (``kalman_stream_ordered``) under a 2 s watermark — the
+  watermark-buffered stateful recurrence at rate.
+
+Usage: python tools/streaming_throughput.py [mode] [rows_per_second] [seconds]
 Prints one markdown row for SCALE.md / BASELINE.md.
 """
 
@@ -30,17 +40,122 @@ from real___time_fraud_detection_using_apache_kafka_spark.streaming.pipeline imp
 )
 
 
+def _rate(spark, rows_per_second: float):
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", int(rows_per_second))
+        .option("numPartitions", 8)
+        .load()
+    )
+
+
+def _pipeline(spark, mode: str, target: float):
+    """Returns (streaming DataFrame, outputMode, final-check SQL)."""
+    if mode == "scored":
+        txns = stream_transactions(spark, rows_per_second=target)
+        return (
+            running_counts(score_stream(txns)),
+            "complete",
+            "SELECT sum(n) FROM sink_t",
+        )
+    if mode == "hll":
+        from real___time_fraud_detection_using_apache_kafka_spark.plans.queries_sketch import (
+            hll_bucket_rank,
+        )
+        from real___time_fraud_detection_using_apache_kafka_spark.streaming.stateful import (
+            hll_distinct_stream,
+        )
+
+        pairs = hll_bucket_rank(
+            _rate(spark, target).select(
+                F.concat(F.lit("t"), F.col("value") % 5).alias("event_type"),
+                (F.col("value") % 1_000_000).alias("user_id"),
+            ),
+            "cast(user_id as string)",
+        ).select("event_type", "b", "rho")
+        return (
+            hll_distinct_stream(pairs),
+            "update",
+            "SELECT max(hll_estimate) FROM sink_t",
+        )
+    if mode == "cms":
+        from real___time_fraud_detection_using_apache_kafka_spark.plans.queries_sketch import (
+            CMS_W,
+            _CMS_ROWS,
+            _MIX_P,
+            _mixed_hash,
+        )
+        from real___time_fraud_detection_using_apache_kafka_spark.streaming.stateful import (
+            cms_sketch_stream,
+        )
+
+        keyed = _mixed_hash(
+            _rate(spark, target).select(
+                (F.col("value") % 1_000_000).alias("user_id")
+            ),
+            "cast(user_id as string)",
+        )
+        pairs = keyed.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            F.pmod(
+                                F.pmod(
+                                    F.lit(a) * F.col("g") + F.lit(b),
+                                    F.lit(_MIX_P),
+                                ),
+                                F.lit(CMS_W),
+                            ).alias("b"),
+                        )
+                        for j, (a, b) in enumerate(_CMS_ROWS)
+                    ]
+                )
+            ).alias("jb")
+        ).select("jb.j", "jb.b")
+        return (
+            cms_sketch_stream(pairs),
+            "update",
+            "SELECT count(*) FROM sink_t",
+        )
+    if mode == "kalman":
+        from real___time_fraud_detection_using_apache_kafka_spark.streaming.stateful import (
+            kalman_stream_ordered,
+        )
+
+        events = (
+            _rate(spark, target)
+            .select(
+                (F.col("value") % 1_000).alias("user_id"),
+                F.col("timestamp").alias("ts"),
+                F.col("value").alias("event_id"),
+                ((F.col("value") % 997) * 1.0).alias("value"),
+            )
+            .withWatermark("ts", "2 seconds")
+        )
+        return (
+            kalman_stream_ordered(events),
+            "update",
+            "SELECT max(n_events) FROM sink_t",
+        )
+    raise SystemExit(f"unknown mode {mode!r} (scored|hll|cms|kalman)")
+
+
 def main() -> None:
-    target = float(sys.argv[1]) if len(sys.argv) > 1 else 200_000
-    window_s = float(sys.argv[2]) if len(sys.argv) > 2 else 30
+    args = sys.argv[1:]
+    mode = "scored"
+    if args and not args[0].replace(".", "", 1).isdigit():
+        mode, args = args[0], args[1:]
+    target = float(args[0]) if args else 200_000
+    window_s = float(args[1]) if len(args) > 1 else 30
     spark = get_spark("streaming-throughput")
-    txns = stream_transactions(spark, rows_per_second=target)
-    counts = running_counts(score_stream(txns))
+    out, output_mode, check_sql = _pipeline(spark, mode, target)
     ckpt = tempfile.mkdtemp(prefix="throughput_ckpt_")
     q = (
-        counts.writeStream.outputMode("complete")
+        out.writeStream.outputMode(output_mode)
         .format("memory")
-        .queryName("throughput_counts")
+        .queryName("sink_t")
         .option("checkpointLocation", ckpt)
         .start()
     )
@@ -50,7 +165,7 @@ def main() -> None:
     for p in q.recentProgress:
         rows += p["numInputRows"]
     elapsed = time.time() - t0
-    final = spark.sql("SELECT sum(n) FROM throughput_counts").first()[0]
+    final = spark.sql(check_sql).first()[0]
     q.stop()
     q.awaitTermination(30)
     import shutil
@@ -58,9 +173,9 @@ def main() -> None:
     shutil.rmtree(ckpt, ignore_errors=True)
     rate = rows / elapsed if elapsed else 0.0
     print(
-        f"| rate source @ {int(target):,} rows/s target | {window_s:.0f} s window | "
+        f"| {mode} @ {int(target):,} rows/s target | {window_s:.0f} s window | "
         f"{rows:,} rows | {rate:,.0f} rows/s sustained | "
-        f"counted {final or 0:,} | x{rate / 0.5:,.0f} the reference |"
+        f"final check {final} | x{rate / 0.5:,.0f} the reference |"
     )
 
 
