@@ -1000,6 +1000,159 @@ def bloom_semijoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hll_set_algebra",
+    oracle=f"""
+    WITH src AS (
+        SELECT event_type, user_id FROM events
+        WHERE user_id IS NOT NULL
+          AND event_type IN ('purchase', 'view')
+    ), {_mixed_cte("src", "cast(user_id AS VARCHAR)",
+                   "event_type, user_id", "m")},
+    hashed AS (
+        SELECT event_type, g % 256 AS b,
+               least(33, 1 + CAST(floor(
+                   ln(3906251.0 / (g // 256 + 1)) / ln(2.0)
+               ) AS BIGINT)) AS rho
+        FROM m2
+    ), cells AS (
+        SELECT event_type, b, max(rho) AS r FROM hashed GROUP BY 1, 2
+    ), scoped AS (
+        SELECT 'a' AS scope, b, r FROM cells WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT 'bb', b, r FROM cells WHERE event_type = 'view'
+        UNION ALL
+        SELECT 'u' AS scope, b, max(r) AS r FROM cells GROUP BY b
+    ), agg AS (
+        SELECT scope, count(*) AS nonempty,
+               sum(1.0 / (1 << r)) AS s
+        FROM scoped GROUP BY 1
+    ), est AS (
+        SELECT scope, 256 - nonempty AS zeros,
+               (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+               / ((256 - nonempty) * 1.0 + s) AS e_raw
+        FROM agg
+    ), fixed AS (
+        SELECT scope,
+               round(CASE WHEN e_raw <= 640.0 AND zeros > 0
+                          THEN 256.0 * ln(256.0 / zeros) ELSE e_raw
+                     END, 4) AS e
+        FROM est
+    ), one AS (
+        SELECT max(CASE WHEN scope = 'a' THEN e END) AS est_purchase,
+               max(CASE WHEN scope = 'bb' THEN e END) AS est_view,
+               max(CASE WHEN scope = 'u' THEN e END) AS est_union
+        FROM fixed
+    ), exact AS (
+        SELECT count(*) AS exact_intersect FROM (
+            SELECT user_id FROM src
+            GROUP BY 1 HAVING count(DISTINCT event_type) = 2
+        )
+    )
+    SELECT est_purchase, est_view, est_union,
+           floor((est_purchase + est_view - est_union) * 10000.0 + 0.5)
+               / 10000.0 AS est_intersect,
+           exact_intersect
+    FROM one CROSS JOIN exact
+    """,
+)
+def hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL register SET ALGEBRA — the audience-overlap primitive:
+    distinct purchasers, distinct viewers, their UNION estimated by
+    cell-wise register max (the same merge ``hll_rollup_merge`` proves
+    exact), and their INTERSECTION by inclusion-exclusion
+    (|A∩B| = |A| + |B| - |A∪B|, the standard HLL recipe — union is
+    native to the sketch, intersection inherits the summed error),
+    with the exact intersection alongside as the audit column.
+
+    Determinism: register cells are exact integers (shared mixer,
+    ``hll_bucket_rank``); each scope estimate is the shared
+    bit-exact Σ2^-r recipe rounded at 4 dp; inclusion-exclusion runs
+    on those identical rounded doubles with the floor(x·1e4+0.5)
+    shared-IEEE rounding (round() half-formatting is not trusted on a
+    computed double).
+
+    Scale: at 100 TB audience overlap over exact sets is a
+    multi-terabyte distinct-shuffle per pair of segments; here each
+    segment is 256 mergeable longs, union is a cell max, and any
+    NUMBER of segments compose without touching the fact again —
+    the cells build in ONE map-side-combinable aggregate.  The exact
+    intersection rides along only at test SF for the audit.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isin("purchase", "view")
+    )
+    from ..operators.cache import tracked_persist
+
+    ph = hll_bucket_rank(
+        e.select("event_type", "user_id"), "cast(user_id as string)"
+    )
+    cells = tracked_persist(
+        ph.groupBy("event_type", "b").agg(F.max("rho").alias("r"))
+    )
+    scoped = (
+        cells.filter(F.col("event_type") == "purchase")
+        .select(F.lit("a").alias("scope"), "b", "r")
+        .unionAll(
+            cells.filter(F.col("event_type") == "view").select(
+                F.lit("bb").alias("scope"), "b", "r"
+            )
+        )
+        .unionAll(
+            cells.groupBy("b")
+            .agg(F.max("r").alias("r"))
+            .select(F.lit("u").alias("scope"), "b", "r")
+        )
+    )
+    agg = scoped.groupBy("scope").agg(
+        F.count("*").alias("nonempty"),
+        F.sum(F.expr("1.0 / double(shiftleft(cast(1 as bigint), r))"))
+        .alias("s_nonempty"),
+    )
+    zeros = F.lit(HLL_M) - F.col("nonempty")
+    e_raw = (
+        F.expr("0.7213 / (1.0 + 1.079 / 256.0)")
+        * F.lit(float(HLL_M * HLL_M))
+        / (zeros * F.lit(1.0) + F.col("s_nonempty"))
+    )
+    est = agg.select(
+        "scope",
+        F.round(
+            F.when(
+                (e_raw <= 2.5 * HLL_M) & (zeros > 0),
+                F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros),
+            ).otherwise(e_raw),
+            4,
+        ).alias("e"),
+    )
+    one = est.agg(
+        F.max(F.when(F.col("scope") == "a", F.col("e"))).alias(
+            "est_purchase"
+        ),
+        F.max(F.when(F.col("scope") == "bb", F.col("e"))).alias("est_view"),
+        F.max(F.when(F.col("scope") == "u", F.col("e"))).alias("est_union"),
+    )
+    exact = (
+        e.groupBy("user_id")
+        .agg(F.count_distinct("event_type").alias("k"))
+        .filter(F.col("k") == 2)
+        .agg(F.count("*").alias("exact_intersect"))
+    )
+    inter = (
+        F.col("est_purchase") + F.col("est_view") - F.col("est_union")
+    )
+    return one.crossJoin(exact).select(
+        "est_purchase",
+        "est_view",
+        "est_union",
+        (F.floor(inter * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias(
+            "est_intersect"
+        ),
+        "exact_intersect",
+    )
+
+
+@register(
     "hll_rollup_merge",
     oracle=f"""
     WITH src AS (

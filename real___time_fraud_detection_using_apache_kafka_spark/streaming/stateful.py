@@ -790,6 +790,59 @@ def hll_distinct_stream(pairs: DataFrame, m: int = 256) -> DataFrame:
     )
 
 
+BLOOM_STREAM_STATE_SCHEMA = T.StructType(
+    [T.StructField("word", T.LongType())]
+)
+
+BLOOM_STREAM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("w", T.IntegerType()),
+        T.StructField("word", T.LongType()),
+    ]
+)
+
+
+def bloom_filter_stream(words: DataFrame) -> DataFrame:
+    """Bloom-filter bitmask maintained in the state store, sharded by
+    WORD INDEX — the streaming dual of ``bloom_semijoin_prune``'s
+    packed mask build, completing the sketch-dual monoid family:
+    HLL folds cell-wise MAX, CMS cell-wise SUM, bloom cell-wise OR.
+    All three are order-independent and mergeable, so the stream lands
+    on the exact batch mask words under any micro-batch sharding (pure
+    integers — parity is equality, tested).
+
+    Input: the (w, word) contribution stream — w the mask word index
+    (bit div 64), word the single-bit contribution
+    (1 << (bit % 64)) — built with the SAME JVM bit expressions the
+    batch mask build uses (``queries_sketch`` mixer + k affine maps),
+    so batch and stream hash identically; the stateful op only ORs.
+    State per key is ONE long; m/64 keys process in parallel.
+    """
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (word,) = state.get if state.exists else (0,)
+        word = int(word)
+        for pdf in pdfs:
+            for wv in pdf["word"]:
+                word |= int(wv)
+        state.update((word,))
+        yield pd.DataFrame({"w": [int(key[0])], "word": [word]})
+
+    return (
+        words.select("w", "word")
+        .groupBy("w")
+        .applyInPandasWithState(
+            update,
+            outputStructType=BLOOM_STREAM_OUTPUT_SCHEMA,
+            stateStructType=BLOOM_STREAM_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 CMS_STREAM_STATE_SCHEMA = T.StructType(
     [T.StructField("counters", T.ArrayType(T.LongType()))]
 )

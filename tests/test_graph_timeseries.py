@@ -918,3 +918,98 @@ class TestCmsStreamParity:
             if c > 0
         }
         assert stream_grid == batch_grid
+
+
+class TestBloomStreamParity:
+    def test_bloom_words_or_fold_to_exact_batch_mask(
+        self, spark, sf_dir, tmp_path
+    ):
+        """Bloom mask words merge by cell-wise OR — the streamed mask
+        must EQUAL the batch-built packed bitmask (pure integers) under
+        parity-sharded micro-batches.  Bit positions are built with the
+        batch's JVM mixer + k affine maps on both sides (fixed m)."""
+        from real___time_fraud_detection_using_apache_kafka_spark.plans.queries_sketch import (
+            _BLOOM_KS, _MIX_P, _mixed_hash,
+        )
+        from real___time_fraud_detection_using_apache_kafka_spark.sources.tables import load_table
+        from real___time_fraud_detection_using_apache_kafka_spark.streaming.stateful import (
+            bloom_filter_stream,
+        )
+
+        m = 4096
+
+        def words_of(df):
+            keyed = _mixed_hash(
+                df.filter(F.col("user_id").isNotNull()).select(
+                    "event_id", "user_id"
+                ),
+                "cast(user_id as string)",
+            )
+            bits = keyed.select(
+                "event_id",
+                F.explode(
+                    F.array(
+                        *[
+                            F.pmod(
+                                F.pmod(
+                                    F.lit(a) * F.col("g") + F.lit(b),
+                                    F.lit(_MIX_P),
+                                ),
+                                F.lit(m),
+                            )
+                            for a, b in _BLOOM_KS
+                        ]
+                    )
+                ).alias("bit"),
+            )
+            return bits.select(
+                "event_id",
+                (F.col("bit") / 64).cast("int").alias("w"),
+                F.expr(
+                    "shiftleft(cast(1 as bigint), cast(bit % 64 as int))"
+                ).alias("word"),
+            )
+
+        e = load_table(spark, sf_dir, "events")
+        batch_mask = {
+            r.w: r.word
+            for r in words_of(e)
+            .groupBy("w")
+            .agg(F.expr("bit_or(word)").alias("word"))
+            .collect()
+        }
+
+        src, ckpt = f"{tmp_path}/src", f"{tmp_path}/ckpt"
+        write_batch = _atomic_batch_writer(tmp_path, src)
+        write_batch(words_of(e.filter(F.col("event_id") % 2 == 0)))
+        stream = (
+            spark.readStream.schema("v string").text(src)
+            .select(
+                F.from_json(
+                    F.col("v"), "event_id long, w int, word long"
+                ).alias("e")
+            )
+            .select("e.*")
+        )
+        q = (
+            bloom_filter_stream(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("bloom_t")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            write_batch(words_of(e.filter(F.col("event_id") % 2 == 1)))
+            q.processAllAvailable()
+            rows = spark.sql(
+                "SELECT w, word FROM ("
+                " SELECT *, row_number() OVER ("
+                "   PARTITION BY w ORDER BY bit_count(word) DESC) rk"
+                " FROM bloom_t) WHERE rk = 1"
+            ).collect()
+        finally:
+            q.stop()
+        stream_mask = {r.w: r.word for r in rows}
+        assert stream_mask == batch_mask and len(batch_mask) > 0

@@ -13,6 +13,8 @@ Modes (first CLI arg; numeric first arg keeps the legacy default):
   the O(cells)-state HLL dual holds at rate, not just at parity.
 - ``cms``     JVM (j, b) bucket pairs -> ``cms_sketch_stream`` — same
   proof for the count-min dual.
+- ``bloom``   JVM (w, word) bit contributions -> ``bloom_filter_stream``
+  OR-fold over a 2^20-bit mask (16k word keys).
 - ``kalman``  out-of-order-tolerant per-key Kalman
   (``kalman_stream_ordered``) under a 2 s watermark — the
   watermark-buffered stateful recurrence at rate.
@@ -119,6 +121,50 @@ def _pipeline(spark, mode: str, target: float):
             "update",
             "SELECT count(*) FROM sink_t",
         )
+    if mode == "bloom":
+        from real___time_fraud_detection_using_apache_kafka_spark.plans.queries_sketch import (
+            _BLOOM_KS,
+            _MIX_P,
+            _mixed_hash,
+        )
+        from real___time_fraud_detection_using_apache_kafka_spark.streaming.stateful import (
+            bloom_filter_stream,
+        )
+
+        m = 1 << 20
+        keyed = _mixed_hash(
+            _rate(spark, target).select(
+                (F.col("value") % 1_000_000).alias("user_id")
+            ),
+            "cast(user_id as string)",
+        )
+        bits = keyed.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(
+                            F.pmod(
+                                F.lit(a) * F.col("g") + F.lit(b),
+                                F.lit(_MIX_P),
+                            ),
+                            F.lit(m),
+                        )
+                        for a, b in _BLOOM_KS
+                    ]
+                )
+            ).alias("bit")
+        )
+        words = bits.select(
+            (F.col("bit") / 64).cast("int").alias("w"),
+            F.expr(
+                "shiftleft(cast(1 as bigint), cast(bit % 64 as int))"
+            ).alias("word"),
+        )
+        return (
+            bloom_filter_stream(words),
+            "update",
+            "SELECT count(*) FROM sink_t",
+        )
     if mode == "kalman":
         from real___time_fraud_detection_using_apache_kafka_spark.streaming.stateful import (
             kalman_stream_ordered,
@@ -139,7 +185,7 @@ def _pipeline(spark, mode: str, target: float):
             "update",
             "SELECT max(n_events) FROM sink_t",
         )
-    raise SystemExit(f"unknown mode {mode!r} (scored|hll|cms|kalman)")
+    raise SystemExit(f"unknown mode {mode!r} (scored|hll|cms|bloom|kalman)")
 
 
 def main() -> None:
