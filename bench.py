@@ -139,6 +139,9 @@ HEADLINE = [
     "bloom_semijoin_prune",
     "kalman_revenue_smooth",
     "hll_rollup_merge",
+    # round-7 additions: item-side ALS half-step, HLL set algebra
+    "als_half_step_items",
+    "hll_set_algebra",
 ]
 
 

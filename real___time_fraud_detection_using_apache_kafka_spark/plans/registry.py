@@ -120,50 +120,52 @@ def _stable_types(fn: QueryFn) -> QueryFn:
 # is hash-green in an earlier driver round AND in every local
 # full-catalog oracle run (tools/check_oracle.py).
 _GRADED_FIRST = [
-    # --- (a) never-driver-graded oracle-able queries (7) ---
-    "purchase_attribution", "holt_backtest_accuracy", "dow_seasonality",
-    "price_elasticity_by_brand", "rolling_7d_active_users",
-    "zipf_fit_tokens", "frequent_event_itemsets",
-    # --- (b) new/changed round-6 plans (fresh signal) ---
-    "als_half_step_factors", "als_part_recommendations",
-    "common_neighbors_capped", "user_rfm_segments",
-    "hll_distinct_users", "cms_heavy_hitters", "bloom_semijoin_prune",
-    "kalman_revenue_smooth", "hll_rollup_merge",
-    # (purchase_attribution — re-planned to the banded interval join
-    # this round — already sits in head slot (a))
-    # --- (c1) r1/r2 failures fixed in r3: freshen first ---
-    "confusion_matrix", "classification_metrics", "grouping_sets_orders",
-    "q12_shipping_lateness",
-    # --- (c2) oldest greens (latest grade r1/r2) ---
-    # TPC-H suite rotated back in (graded r1/r2, never since)
-    "q3_shipping_priority", "q4_order_priority", "q6_forecast_revenue",
-    "q7_volume_shipping", "q8_market_share", "q10_returned_items",
-    "q11_important_parts", "q13_customer_distribution",
-    "q14_promo_revenue", "q15_top_supplier", "q16_part_supplier_counts",
-    "q17_small_quantity_revenue", "q18_large_volume_customers",
-    "q19_disjunctive_revenue", "q20_promotion_suppliers",
-    "q22_dormant_customers",
-    # relational / scalar / window r1 greens
-    "projection_filter", "null_handling", "scalar_datetime_parts",
-    "scalar_string_funcs", "currency_roundtrip", "json_extract_props",
-    "top_orders", "latest_event_per_user", "agg_stats_orders",
-    "mode_source_per_lang", "set_ops_nations",
-    "semi_join_customers_with_orders",
-    "anti_join_customers_without_orders", "customer_order_analytics",
-    # (supplier_revenue_windows, pivot_event_type_daily,
-    # unpivot_order_stats, rollup_region_nation and corpus_upsert_refresh
-    # are the r1/r2 greens that did not fit the 50 slots this round —
-    # first in line for round 7)
+    # ROUND-7 head (executes the r6-close plan + VERDICT r6 item 1).
+    # Every entry below passed all SIX adversarial variants this round
+    # (nulled sf0.001 + sf0.01, ties, text, skew, ties+nulls combined)
+    # before entering the head.
+    # --- (a) round-7 NEW oracle-able queries (never driver-graded) ---
+    "als_half_step_items",   # the Y-given-X half-step (VERDICT item 6)
+    "hll_set_algebra",       # register union/intersection algebra
+    # --- (b) round-7 CHANGED plans (re-grade: the q12 lesson) ---
+    "purchase_attribution",   # now span-adaptive (auto picked per run)
+    "als_half_step_factors",  # (32,12) sums + IEEE-double Cramer solve
+    "hll_distinct_users",     # rho via shared hll_bucket_rank helper
+    "hll_rollup_merge",       # same helper
+    "bloom_semijoin_prune",   # build side tracked_persist'ed
+    # --- (c) the 5 rotated-out r2 greens (first in line per r6 plan) ---
+    "supplier_revenue_windows", "pivot_event_type_daily",
+    "unpivot_order_stats", "rollup_region_nation",
+    "corpus_upsert_refresh",
+    # --- (d) oldest remaining grades: the r3 block (41 names; the 38
+    #     that fit — month_spine_recursive, benford_first_digit and
+    #     session_conversion_paths are first in line for round 8),
+    #     VERDICT-named metrics/curve family first ---
+    "fraud_patterns", "class_counts", "roc_auc", "log_loss",
+    "psi_score_drift", "dashboard_snapshot", "fraud_time_heatmap",
+    "priority_target_encoding", "value_outliers_robust",
+    "rapid_repeat_purchases", "order_gini_concentration",
+    "revenue_trend_regression", "cohort_retention",
+    "q1_pricing_summary", "q2_min_cost_supplier", "q5_regional_revenue",
+    "q9_product_profit", "q21_waiting_suppliers",
+    "dedup_exact", "stats_moments_lineitem", "cube_status_priority",
+    "topk_orders_per_customer", "variant_props_stats",
+    "null_safe_join_status",
+    "lang_id", "ngram_jaccard_neardup", "embedding_knn",
+    "embedding_cosine_neardup", "tfidf_top_terms", "curate_documents",
+    "pii_scrub_stats", "simhash_neardup_pairs",
+    "asof_last_error_before_purchase", "user_sessions",
+    "rolling_user_velocity", "error_retry_purchase_pattern",
+    "event_transition_pmi", "scd2_user_state",
 ]
 
-# ROUND-7 HEAD PLAN (written at round-6 close): after the r6 gate the
-# never-driver-graded oracle-able set should be just
-# kalman_revenue_smooth IF it missed this round's 50 (it holds slot 13)
-# — so compose the r7 head as (a) any round-7 additions, (b) the four
-# rotated-out r1/r2 greens named above, (c) continue freshening the
-# oldest remaining r1-r3 grades (relational/scalar family, then the
-# r3 metrics block).  Keep the standing rule: every new query passes
-# the SIX adversarial variants before entering the head.
+# ROUND-8 HEAD PLAN (written at round-7 close): after the r7 gate the
+# oldest remaining grades are the 3 r3 stragglers named above
+# (month_spine_recursive, benford_first_digit,
+# session_conversion_paths), then the r4 block.  Compose r8 as (a) any
+# round-8 additions, (b) those 3, (c) the r4 family, oldest first.
+# Keep the standing rule: every new query passes the SIX adversarial
+# variants before entering the head.
 
 
 def _ordered() -> list[str]:
