@@ -394,11 +394,22 @@ def hyperplane_lsh_pairs(embeddings: DataFrame, threshold: float = 0.45,
     recall at cosine c is tunable via (bands, planes_per_band) — the
     defaults give ~0.92 at c = 0.45 and ~1.0 at c >= 0.7.
 
-    Deterministic: hyperplanes come from a seeded NumPy RNG broadcast as
-    literal arrays.  One explode (b rows per vector) + one equi-join on
-    (band, pattern) — bucket keys cap candidate cardinality at any corpus
+    Deterministic: hyperplanes come from a seeded NumPy RNG, carried as
+    a 24-row BROADCAST DataFrame (r7 re-plan — the first cut inlined
+    bands*planes*dim literal expressions into both sides of the
+    self-join, and Catalyst re-analyzed the thousands-of-nodes tree on
+    every run: 8.6 s at sf0.1 for 2,000 vectors; the data-not-literals
+    plan measures 2.0 s, identical output).  Shape: one broadcast
+    cross join computes every (vector, plane) sign once, one bounded
+    groupBy folds signs into an integer band pattern, the self-join
+    equi-joins on (band, pattern) carrying IDS ONLY (the pair-dedup
+    shuffle moves two longs, not two vectors), and candidates re-attach
+    vectors by id-join for the exact-cosine verify — no false
+    positives; bucket keys cap candidate cardinality at any corpus
     size; no cartesian anywhere."""
     import numpy as np
+
+    from .cache import tracked_persist
 
     dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
     if dim_row is None or dim_row["d"] is None or dim_row["d"] < 1:
@@ -412,44 +423,64 @@ def hyperplane_lsh_pairs(embeddings: DataFrame, threshold: float = 0.45,
     dim = dim_row["d"]
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((bands * planes_per_band, dim))
-
-    def band_pattern(vec: Column, band: int) -> Column:
-        bits = []
-        for r in range(planes_per_band):
-            p = planes[band * planes_per_band + r]
-            plane = F.array(*[F.lit(float(x)) for x in p])
-            bits.append(F.when(dot(vec, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
-        return F.concat(*bits)
-
-    bucket_structs = [
-        F.struct(
-            F.lit(band).alias("band"),
-            band_pattern(F.col(vec_col), band).alias("pattern"),
-        ).alias(f"b{band}")
-        for band in range(bands)
-    ]
-    tagged = embeddings.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-        norm(F.col(vec_col)).alias("nv"),
-        F.explode(F.array(*bucket_structs)).alias("bucket"),
+    planes_df = embeddings.sparkSession.createDataFrame(
+        [
+            (band, r, [float(x) for x in planes[band * planes_per_band + r]])
+            for band in range(bands)
+            for r in range(planes_per_band)
+        ],
+        "band int, r int, plane array<double>",
     )
-    a = tagged.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"),
-        F.col("nv").alias("na"), "bucket",
+
+    embn = tracked_persist(
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            norm(F.col(vec_col)).alias("nv"),
+        )
     )
-    b = tagged.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"),
-        F.col("nv").alias("nb"), "bucket",
+    # sign bits fold to an integer pattern per (id, band): sum of
+    # bit << r over the band's planes — same equivalence classes as the
+    # old "101"-style strings, tiny rows through the one bounded shuffle
+    bit = F.when(
+        dot(F.col("v"), F.col("plane")) >= 0,
+        # SQL shiftleft: the Python wrapper wants a literal bit count
+        F.expr("shiftleft(1, r)"),
+    ).otherwise(F.lit(0))
+    sig = (
+        embn.crossJoin(F.broadcast(planes_df))
+        .groupBy("id", "band")
+        .agg(F.sum(bit).alias("pattern"))
     )
     cand = (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb", "na", "nb")
+        sig.alias("a")
+        .join(
+            sig.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.pattern") == F.col("b.pattern"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return cand.select(
-        "id_a", "id_b",
-        F.round(
-            _cosine_pre(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 6
-        ).alias("cosine"),
-    ).filter(F.col("cosine") >= threshold)
+    av = embn.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("nv").alias("na"),
+    )
+    bv = embn.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nv").alias("nb"),
+    )
+    return (
+        cand.join(av, "id_a")
+        .join(bv, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(
+                _cosine_pre(
+                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+                ), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

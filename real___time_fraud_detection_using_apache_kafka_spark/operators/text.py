@@ -214,12 +214,23 @@ def learn_bpe_merges(docs: DataFrame, n_merges: int = 5,
     """
     from pyspark.storagelevel import StorageLevel
 
+    from .cache import tracked_persist
+
     t = docs.select(
         "doc_id", tokens(F.col(text_col)).alias("t")
     ).filter(F.size("t") > 1)
     merges: list[tuple] = []
+    # round r's cache is released only AFTER round r+1's action has
+    # materialized the next frame — unpersisting before the next action
+    # (the original shape here) silently recomputed the WHOLE rewrite
+    # lineage from parquet every round, O(rounds²) token passes
+    # (measured 8.9 s -> see BASELINE.md r7 re-record).  The final
+    # round's cache stays alive for the caller's action, released by
+    # the registry's build-time release_tracked like every operator
+    # persist.
+    prev: DataFrame | None = None
     for rank in range(n_merges):
-        t = t.persist(StorageLevel.MEMORY_AND_DISK)
+        t = tracked_persist(t, StorageLevel.MEMORY_AND_DISK)
         pairs = t.select(
             F.explode(
                 F.zip_with(
@@ -235,6 +246,9 @@ def learn_bpe_merges(docs: DataFrame, n_merges: int = 5,
             .orderBy(F.desc("count"), F.asc("p.l"), F.asc("p.r"))
             .first()
         )
+        if prev is not None:  # this round's action materialized `t`
+            prev.unpersist()
+        prev = t
         if top is None:
             break
         left, right, cnt = top["p"]["l"], top["p"]["r"], top["count"]
@@ -256,7 +270,5 @@ def learn_bpe_merges(docs: DataFrame, n_merges: int = 5,
                 ),
             ).otherwise(F.concat(acc, F.array(x))),
         )
-        nxt = t.select("doc_id", rewritten.alias("t"))
-        t.unpersist()
-        t = nxt
+        t = t.select("doc_id", rewritten.alias("t"))
     return t, merges
