@@ -84,7 +84,9 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     ).filter(F.size("sh") > 0)
     # consumed by candidate generation + both verify sides — persist so the
     # shingling runs once; spills to disk rather than recompute at scale
-    shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
+    from .cache import tracked_persist
+
+    shingled = tracked_persist(shingled, StorageLevel.MEMORY_AND_DISK)
     prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
     if prefix_order == "hash":
         # prefix = lowest-hash shingles, computed with array ops in the
@@ -96,7 +98,8 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
                 F.explode(F.slice(F.col("sh"), F.lit(1), prefix_len))
                 .alias("shingle"),
             )
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        prefix = tracked_persist(prefix, StorageLevel.MEMORY_AND_DISK)
     else:
         toks = shingled.select(
             "doc_id", "lang", "band",
@@ -109,7 +112,9 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= prefix_len)
             .select("doc_id", "lang", "band", "sz", "shingle")
-        ).persist(StorageLevel.MEMORY_AND_DISK)  # both sides of the self-join
+        )
+        # both sides of the self-join
+        prefix = tracked_persist(prefix, StorageLevel.MEMORY_AND_DISK)
     # Every pairwise predicate that doesn't need the shingle arrays moves
     # INTO candidate generation: lang joins as an equi-key, the length band
     # and the size-ratio bound (j >= t implies min(sz) >= t*max(sz)) filter
@@ -207,7 +212,10 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, bands: int = 4,
     exact Jaccard so the output has no false positives.
     """
     # shingles feed the signature pass AND both verify sides — one persist
-    shingled = _shingled(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
+    # (tracked: the returned frame is lazy over it, session-release policy)
+    from .cache import tracked_persist
+
+    shingled = tracked_persist(_shingled(docs, n), StorageLevel.MEMORY_AND_DISK)
     sigs = minhash_signatures(docs, n, bands * rows_per_band, shingled=shingled)
     band_cols = []
     for b in range(bands):
@@ -299,19 +307,26 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     member of a pair — the corpus's non-duplicated majority never enters
     the iteration.
     """
+    from .cache import tracked_persist
+
     edges = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    edges = (
+    # tracked (session-release policy, VERDICT r4 item 3): the LAST
+    # iteration's `updated` cache must outlive this function — the
+    # returned frame is lazy over it — so raw persist here leaked one
+    # cached frame per query into a long-lived session; intermediates
+    # are still released eagerly below, AFTER the action that
+    # materializes their successor.
+    edges = tracked_persist(
         edges.union(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        ).distinct(),
+        StorageLevel.MEMORY_AND_DISK,
     )
-    labels = (
+    labels = tracked_persist(
         edges.select(F.col("src").alias("node"))
         .distinct()
-        .withColumn("label", F.col("node"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .withColumn("label", F.col("node")),
+        StorageLevel.MEMORY_AND_DISK,
     )
     for _ in range(max_iter):
         neigh_min = (
@@ -320,7 +335,7 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
             .groupBy("node")
             .agg(F.min("label").alias("neigh_label"))
         )
-        updated = (
+        updated = tracked_persist(
             labels.join(neigh_min, "node", "left")
             .select(
                 "node",
@@ -329,8 +344,9 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
                     F.coalesce(F.col("neigh_label"), F.col("label")),
                 ).alias("label"),
                 (F.col("neigh_label") < F.col("label")).alias("chg"),
-            )
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+            ),
+            StorageLevel.MEMORY_AND_DISK,
+        )
         n_changed = updated.filter(F.col("chg")).count()
         old = labels
         labels = updated.select("node", "label")

@@ -331,7 +331,10 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int = 5,
         F.col(vec_col).alias("cv"),
         norm(F.col(vec_col)).alias("cn"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
-    ).persist()
+    )
+    from .cache import tracked_persist
+
+    cand_vec = tracked_persist(cand_vec)
     if cand_vec.isEmpty():  # KMeans cannot fit zero rows; index is empty
         cand_vec.unpersist()
         return empty_topk(candidates, id_col)

@@ -826,10 +826,12 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # after) with two fewer exchanges — same edge set as the oracle's
     # self-join DISTINCT
     und = basket_pairs(li, "l_orderkey", "l_partkey").distinct()
-    edges = (
+    from ..operators.cache import tracked_persist
+
+    edges = tracked_persist(
         und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionAll(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .unionAll(und.select(F.col("b").alias("src"), F.col("a").alias("dst"))),
+        StorageLevel.MEMORY_AND_DISK,
     )
     ranks = pagerank_fixed(edges, iterations=3, damping=0.85)
     return ranks.select(
@@ -1093,10 +1095,12 @@ def part_copurchase_pagerank_copart(spark: SparkSession, sf_dir: str) -> DataFra
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     und = basket_pairs(li, "l_orderkey", "l_partkey").distinct()
-    edges = (
+    from ..operators.cache import tracked_persist
+
+    edges = tracked_persist(
         und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionAll(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .unionAll(und.select(F.col("b").alias("src"), F.col("a").alias("dst"))),
+        StorageLevel.MEMORY_AND_DISK,
     )
     ranks = pagerank_fixed(edges, iterations=3, damping=0.85,
                            strategy="copartition")

@@ -1946,11 +1946,15 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = 64  # testdata embedding width (TESTDATA.md); plan-time constant
     # persisted: |labels| rows of 64 doubles — without it the self-join
     # duplicates the full-fact centroid aggregate into both sides
-    cent = emb.groupBy("label").agg(
-        F.array(
-            *[F.avg(F.col("embedding")[i]) for i in range(dim)]
-        ).alias("cv")
-    ).persist()
+    from ..operators.cache import tracked_persist
+
+    cent = tracked_persist(
+        emb.groupBy("label").agg(
+            F.array(
+                *[F.avg(F.col("embedding")[i]) for i in range(dim)]
+            ).alias("cv")
+        )
+    )
     a = cent.select(F.col("label").alias("label_a"), F.col("cv").alias("va"))
     b = cent.select(F.col("label").alias("label_b"), F.col("cv").alias("vb"))
     return (

@@ -177,6 +177,7 @@ def ingest_documents_neardup_suppressed(
         if table is not None and batch_id <= table.last_batch(app_id):
             return  # replayed batch already committed atomically
         batch = batch.persist()
+        buckets = survivors = None
         try:
             if batch.isEmpty():
                 return
@@ -210,7 +211,11 @@ def ingest_documents_neardup_suppressed(
                 survivors.select("doc_id"), "doc_id", "left_semi"
             ).write.mode("append").parquet(state_dir)
         finally:
-            batch.unpersist()
+            # every per-batch persist releases here — a long-running
+            # ingest must not accumulate one cached frame per micro-batch
+            for df in (buckets, survivors, batch):
+                if df is not None:
+                    df.unpersist()
 
     return (
         gated_stream.writeStream.trigger(availableNow=True)
