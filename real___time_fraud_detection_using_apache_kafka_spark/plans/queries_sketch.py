@@ -20,7 +20,7 @@ percentile at 100 TB sorts the column, the sketch never does.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -1298,4 +1298,129 @@ def hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return exacts.join(ests, "scope").select(
         "scope", "exact_distinct", F.round("e", 4).alias("hll_estimate")
+    )
+
+
+GRID_QUANTILE_W = 10.0  # bucket width over the events value domain
+
+
+@register(
+    "grid_quantile_sketch",
+    oracle=f"""
+    WITH src AS (
+        SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ), cells AS (
+        SELECT event_type,
+               CAST(floor(value / {GRID_QUANTILE_W}) AS BIGINT) AS b,
+               count(*) AS cnt
+        FROM src GROUP BY 1, 2
+    ), cum AS (
+        SELECT event_type, b, cnt,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY b) AS cum,
+               coalesce(sum(cnt) OVER (
+                   PARTITION BY event_type ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before,
+               sum(cnt) OVER (PARTITION BY event_type) AS n_values
+        FROM cells
+    ), est AS (
+        SELECT event_type, max(n_values) AS n_values,
+               arg_min(
+                   b * {GRID_QUANTILE_W}
+                   + {GRID_QUANTILE_W} * (ceil(0.5 * n_values) - cum_before)
+                     / CAST(cnt AS DOUBLE), b
+               ) FILTER (WHERE cum >= ceil(0.5 * n_values)) AS p50_raw,
+               arg_min(
+                   b * {GRID_QUANTILE_W}
+                   + {GRID_QUANTILE_W} * (ceil(0.95 * n_values) - cum_before)
+                     / CAST(cnt AS DOUBLE), b
+               ) FILTER (WHERE cum >= ceil(0.95 * n_values)) AS p95_raw
+        FROM cum GROUP BY event_type
+    ), ex AS (
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4) AS p50_exact
+        FROM src GROUP BY 1
+    )
+    SELECT e.event_type, e.n_values,
+           floor(e.p50_raw * 10000.0 + 0.5) / 10000.0 AS p50_sketch,
+           floor(e.p95_raw * 10000.0 + 0.5) / 10000.0 AS p95_sketch,
+           x.p50_exact,
+           floor(abs(e.p50_raw - x.p50_exact) * 10000.0 + 0.5) / 10000.0
+               AS p50_abs_err
+    FROM est e JOIN ex x USING (event_type)
+    """,
+)
+def grid_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable GRID-HISTOGRAM quantile sketch — the scalable
+    complement to the exact sort-based percentiles
+    (``order_value_percentiles``) and the engine-specific t-digest tier
+    (``approx_event_sketches``): values land in fixed-width buckets,
+    the sketch is the (type × bucket) count table — O(domain/width)
+    cells per group, mergeable across partitions/days/tables by
+    CELL-WISE SUM (the CMS monoid) — and a quantile estimate is one
+    pass over the cum-summed cells with linear interpolation inside
+    the target bucket.  Exact p50 rides along as the audit column.
+
+    Determinism: cells are exact integers; the per-type cum-sum window
+    orders by the integer bucket id (no ties possible); the estimate
+    is a fixed IEEE op sequence on identical integers, rounded with
+    the shared floor(x·1e4+0.5) recipe — hash-graded cross-engine.
+
+    Scale: an exact percentile sorts the column per group (O(n log n)
+    per group, a full-column shuffle at 100 TB); this plan is one
+    map-side-combinable hash aggregate producing a metadata-sized cell
+    table, the same fixed-cells discipline as the HLL/CMS suite — and
+    unlike t-digest, two grid sketches merge EXACTLY, so day-level
+    sketch tables roll up to any window without touching the data.
+    """
+    w = GRID_QUANTILE_W
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cells = e.groupBy(
+        "event_type",
+        F.floor(F.col("value") / F.lit(w)).cast("long").alias("b"),
+    ).agg(F.count("*").alias("cnt"))
+    win = Window.partitionBy("event_type").orderBy("b")
+    cum = cells.select(
+        "event_type",
+        "b",
+        "cnt",
+        F.sum("cnt").over(win).alias("cum"),
+        F.coalesce(
+            F.sum("cnt").over(win.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("cum_before"),
+        F.sum("cnt").over(Window.partitionBy("event_type")).alias("n_values"),
+    )
+
+    def est(q: float) -> F.Column:
+        target = F.ceil(F.lit(q) * F.col("n_values"))
+        raw = (
+            F.col("b") * F.lit(w)
+            + F.lit(w) * (target - F.col("cum_before"))
+            / F.col("cnt").cast("double")
+        )
+        # first qualifying bucket = min b; struct-min picks its estimate
+        return F.min(
+            F.when(F.col("cum") >= target, F.struct(F.col("b"), raw.alias("e")))
+        ).getField("e")
+
+    ests = cum.groupBy("event_type").agg(
+        F.max("n_values").alias("n_values"),
+        est(0.5).alias("p50_raw"),
+        est(0.95).alias("p95_raw"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50_exact")
+    )
+
+    def r4(c: F.Column) -> F.Column:
+        return F.floor(c * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+
+    return ests.join(exact, "event_type").select(
+        "event_type",
+        "n_values",
+        r4(F.col("p50_raw")).alias("p50_sketch"),
+        r4(F.col("p95_raw")).alias("p95_sketch"),
+        "p50_exact",
+        r4(F.abs(F.col("p50_raw") - F.col("p50_exact"))).alias("p50_abs_err"),
     )

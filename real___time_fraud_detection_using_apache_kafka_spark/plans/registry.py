@@ -160,11 +160,12 @@ _GRADED_FIRST = [
 ]
 
 # ROUND-8 HEAD PLAN (written at round-7 close): after the r7 gate the
-# oldest remaining grades are the 3 r3 stragglers named above
-# (month_spine_recursive, benford_first_digit,
-# session_conversion_paths), then the r4 block.  Compose r8 as (a) any
-# round-8 additions, (b) those 3, (c) the r4 family, oldest first.
-# Keep the standing rule: every new query passes the SIX adversarial
+# never-driver-graded oracle-able set is just grid_quantile_sketch
+# (added post-head this round, all six adversarial variants green) —
+# lead with it; then (a) any round-8 additions, (b) the 3 r3
+# stragglers named above (month_spine_recursive, benford_first_digit,
+# session_conversion_paths), (c) the r4 family, oldest first.  Keep
+# the standing rule: every new query passes the SIX adversarial
 # variants before entering the head.
 
 

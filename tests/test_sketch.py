@@ -107,3 +107,40 @@ def test_bloom_no_false_negatives_and_sane_fp(spark, sf_dir):
     non_member = r.n_probe - r.exact_pass
     if non_member:
         assert r.false_pos <= 0.5 * non_member
+
+
+def test_grid_quantile_sketch_accuracy_and_merge_exactness(spark, sf_dir):
+    """(a) the sketch p50 must sit within one bucket width of the exact
+    p50 (interpolation error bound); (b) MERGE EXACTNESS: cells built
+    on two disjoint shards and summed cell-wise must reproduce the
+    whole-corpus estimate bit-for-bit — the algebra that lets
+    day-partitioned histogram tables roll up without rescanning."""
+    from real___time_fraud_detection_using_apache_kafka_spark.plans.queries_sketch import (
+        GRID_QUANTILE_W,
+        grid_quantile_sketch,
+    )
+
+    rows = grid_quantile_sketch(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["p50_abs_err"] <= GRID_QUANTILE_W
+        assert r["p50_sketch"] <= r["p95_sketch"]
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+
+    def cells(df):
+        return df.groupBy(
+            "event_type",
+            F.floor(F.col("value") / F.lit(GRID_QUANTILE_W))
+            .cast("long")
+            .alias("b"),
+        ).agg(F.count("*").alias("cnt"))
+
+    whole = {(r.event_type, r.b): r.cnt for r in cells(e).collect()}
+    merged = (
+        cells(e.filter(F.col("event_id") % 2 == 0))
+        .unionByName(cells(e.filter(F.col("event_id") % 2 == 1)))
+        .groupBy("event_type", "b")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert {(r.event_type, r.b): r.cnt for r in merged.collect()} == whole
