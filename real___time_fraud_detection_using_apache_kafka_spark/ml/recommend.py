@@ -131,8 +131,8 @@ def als_half_step_users(
             F.sum(ar * (y1 * y1)).cast("decimal(32,12)").alias("s11"),
             F.sum(ar * (y1 * y2)).cast("decimal(32,12)").alias("s12"),
             F.sum(ar * (y2 * y2)).cast("decimal(32,12)").alias("s22"),
-            F.sum((F.lit(1) + ar) * y1).cast("decimal(18,6)").alias("b1"),
-            F.sum((F.lit(1) + ar) * y2).cast("decimal(18,6)").alias("b2"),
+            F.sum((F.lit(1) + ar) * y1).cast("decimal(32,6)").alias("b1"),
+            F.sum((F.lit(1) + ar) * y2).cast("decimal(32,6)").alias("b2"),
         )
     )
     lam_d = F.lit(Decimal(lam))

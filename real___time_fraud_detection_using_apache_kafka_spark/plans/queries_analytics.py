@@ -1139,9 +1139,9 @@ def part_copurchase_pagerank_copart(spark: SparkSession, sf_dir: str) -> DataFra
                CAST(sum(CAST(10 * r.n AS DECIMAL(8,0)) * (y2 * y2))
                     AS DECIMAL(32,12)) AS s22,
                CAST(sum((1 + CAST(10 * r.n AS DECIMAL(8,0))) * y1)
-                    AS DECIMAL(18,6)) AS b1,
+                    AS DECIMAL(32,6)) AS b1,
                CAST(sum((1 + CAST(10 * r.n AS DECIMAL(8,0))) * y2)
-                    AS DECIMAL(18,6)) AS b2
+                    AS DECIMAL(32,6)) AS b2
         FROM r JOIN yf ON r.partkey = yf.partkey
         GROUP BY r.custkey
     ), m AS (
@@ -1231,9 +1231,9 @@ def als_half_step_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(CAST(10 * r.n AS DECIMAL(8,0)) * (y2 * y2))
                     AS DECIMAL(32,12)) AS s22,
                CAST(sum((1 + CAST(10 * r.n AS DECIMAL(8,0))) * y1)
-                    AS DECIMAL(18,6)) AS b1,
+                    AS DECIMAL(32,6)) AS b1,
                CAST(sum((1 + CAST(10 * r.n AS DECIMAL(8,0))) * y2)
-                    AS DECIMAL(18,6)) AS b2
+                    AS DECIMAL(32,6)) AS b2
         FROM r JOIN xf ON r.custkey = xf.ukey
         GROUP BY r.partkey
     ), m AS (

@@ -621,6 +621,11 @@ def purchase_attribution(
         F.col("ts").alias("tts"),
         F.col("event_type").alias("channel"),
     )
+    if strategy not in ("auto", "banded", "unbanded"):
+        raise ValueError(
+            f"unknown attribution strategy {strategy!r} "
+            "(auto|banded|unbanded)"
+        )
     if strategy == "auto":
         # metadata-cheap span probe: parquet footer min/max carry this
         span = ev.agg(

@@ -753,6 +753,10 @@ def hll_distinct_stream(pairs: DataFrame, m: int = 256) -> DataFrame:
         (regs,) = state.get if state.exists else ([0] * m,)
         regs = list(regs)
         for pdf in pdfs:
+            # null user_ids hash to null coordinates — skip, like the
+            # batch query's isNotNull filter (guard restored: ADVICE-
+            # class regression caught in the round-7 self-review)
+            pdf = pdf.dropna(subset=["b", "rho"])
             for b, rho in zip(pdf["b"], pdf["rho"]):
                 b, rho = int(b), int(rho)
                 if rho > regs[b]:
@@ -825,7 +829,7 @@ def bloom_filter_stream(words: DataFrame) -> DataFrame:
         (word,) = state.get if state.exists else (0,)
         word = int(word)
         for pdf in pdfs:
-            for wv in pdf["word"]:
+            for wv in pdf["word"].dropna():
                 word |= int(wv)
         state.update((word,))
         yield pd.DataFrame({"w": [int(key[0])], "word": [word]})

@@ -780,11 +780,20 @@ class TestHllStreamParity:
             for r in hll_distinct_users(spark, sf_dir).collect()
         }
 
+        # deliberately includes a null user_id row (the testdata has
+        # none): it hashes to null (b, rho) coordinates, which the
+        # stateful op must skip (the batch side filters them) — guards
+        # the dropna in hll_distinct_stream
+        src_rows = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "user_id"
+        ).unionByName(
+            spark.createDataFrame(
+                [(999_999_999, "purchase", None)],
+                "event_id long, event_type string, user_id long",
+            )
+        )
         e = hll_bucket_rank(
-            load_table(spark, sf_dir, "events")
-            .filter(F.col("user_id").isNotNull())
-            .select("event_id", "event_type", "user_id"),
-            "cast(user_id as string)",
+            src_rows, "cast(user_id as string)"
         ).select("event_id", "event_type", "b", "rho")
         src, ckpt = f"{tmp_path}/src", f"{tmp_path}/ckpt"
         write_batch = _atomic_batch_writer(tmp_path, src)

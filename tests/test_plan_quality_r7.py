@@ -35,16 +35,11 @@ def test_als_half_step_items_mirrors_the_user_plan(spark):
     physical shape the r6 pin holds for the user side: pure column
     algebra, ONE scalar broadcast nested-loop for XᵀX, an equi-join on
     the rating fact, no window."""
-    import contextlib
-    import io
-
     from real___time_fraud_detection_using_apache_kafka_spark import plans
 
-    df = plans.queries()["als_half_step_items"](spark, "/root/testdata/sf0.01")
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    plan = buf.getvalue()
+    plan = _plan(
+        plans.queries()["als_half_step_items"](spark, "/root/testdata/sf0.01")
+    )
     assert "EvalPython" not in plan
     assert len(re.findall(r"\(\d+\) \w*BroadcastNestedLoopJoin", plan)) == 1
     assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan)

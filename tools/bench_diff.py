@@ -25,12 +25,12 @@ def baseline_medians(baseline_md: str) -> dict[str, float]:
     # supersede older ones
     blocks = re.findall(r"```json\n(\{[^`]+\})\n```", text)
     best: dict[str, float] = {}
-    for b in blocks:
-        try:
+    for b in blocks:  # LAST valid medians block wins: re-records
+        try:           # supersede older ones regardless of row count
             d = json.loads(b)
         except json.JSONDecodeError:
             continue
-        if len(d) > len(best) and all(
+        if len(d) >= 50 and all(
             isinstance(v, (int, float)) for v in d.values()
         ):
             best = d
