@@ -637,3 +637,101 @@ def fraud_time_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         # such edge, and the consumer divides for display
         F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
     )
+
+
+@register(
+    "categorical_drift_audit",
+    oracle="""
+    WITH src AS (
+        SELECT coalesce(event_type, '(null)') AS category, event_id
+        FROM events
+    ), mid AS (
+        SELECT (min(event_id) + max(event_id)) // 2 AS m FROM src
+    ), cells AS (
+        SELECT category,
+               sum(CASE WHEN event_id < (SELECT m FROM mid)
+                        THEN 1 ELSE 0 END) AS n_ref,
+               sum(CASE WHEN event_id >= (SELECT m FROM mid)
+                        THEN 1 ELSE 0 END) AS n_cur
+        FROM src GROUP BY 1
+    ), tot AS (
+        SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM cells
+    )
+    SELECT category, n_ref, n_cur,
+           floor(n_ref / CAST(t_ref AS DOUBLE) * 1000000.0 + 0.5)
+               / 1000000.0 AS share_ref,
+           floor(n_cur / CAST(t_cur AS DOUBLE) * 1000000.0 + 0.5)
+               / 1000000.0 AS share_cur,
+           floor((greatest(n_cur / CAST(t_cur AS DOUBLE), 1e-6)
+                  - greatest(n_ref / CAST(t_ref AS DOUBLE), 1e-6))
+                 * ln(greatest(n_cur / CAST(t_cur AS DOUBLE), 1e-6)
+                      / greatest(n_ref / CAST(t_ref AS DOUBLE), 1e-6))
+                 * 1000000.0 + 0.5) / 1000000.0 AS psi_term,
+           CASE WHEN n_ref = 0 THEN 'new'
+                WHEN n_cur = 0 THEN 'dropped'
+                ELSE 'stable' END AS status
+    FROM cells CROSS JOIN tot
+    """,
+)
+def categorical_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical DOMAIN-drift audit — the guard for the reference's
+    one recorded production failure: its consumer silently skipped 69
+    transactions because the trained model expected one-hot columns
+    for category values ('Macbook', 'Windows PC'…) that the live
+    producer no longer emitted (FD/consumer_error.log; domains at
+    FD/features.py:20-28 vs FD/producer.py:72 — SURVEY §2.11-1).  This
+    query surfaces exactly that class BEFORE scoring: per category of
+    the monitored column, ref-window vs current-window counts and
+    shares, the per-category PSI term (ε=1e-6 so empty cells stay
+    finite, the ``psi_score_drift`` recipe), and a status flag — 'new'
+    categories break one-hot/label encoders, 'dropped' ones starve
+    them.  NULL is audited as its own '(null)' category (null drift is
+    drift).  The ref/cur boundary is the integer event-id midpoint,
+    exact in both engines.
+
+    Scale: one scan, one bounded-domain hash aggregate (cells =
+    categories, not rows), one 1-row totals broadcast — the same
+    fixed-cells discipline as the sketch suite; at 100 TB the window
+    boundary comes from the stream clock, not a data scan.
+    """
+    src = load_table(spark, sf_dir, "events").select(
+        F.coalesce(F.col("event_type"), F.lit("(null)")).alias("category"),
+        "event_id",
+    )
+    mid = src.agg(
+        F.try_divide(F.min("event_id") + F.max("event_id"), F.lit(2))
+        .cast("long")
+        .alias("m")
+    )
+    cells = (
+        src.crossJoin(F.broadcast(mid))
+        .groupBy("category")
+        .agg(
+            F.sum(F.when(F.col("event_id") < F.col("m"), 1).otherwise(0))
+            .alias("n_ref"),
+            F.sum(F.when(F.col("event_id") >= F.col("m"), 1).otherwise(0))
+            .alias("n_cur"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    eps = F.lit(1e-6)
+    p_ref = F.greatest(F.col("n_ref") / F.col("t_ref").cast("double"), eps)
+    p_cur = F.greatest(F.col("n_cur") / F.col("t_cur").cast("double"), eps)
+
+    def r6(c: F.Column) -> F.Column:
+        return F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "category",
+        "n_ref",
+        "n_cur",
+        r6(F.col("n_ref") / F.col("t_ref").cast("double")).alias("share_ref"),
+        r6(F.col("n_cur") / F.col("t_cur").cast("double")).alias("share_cur"),
+        r6((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("psi_term"),
+        F.when(F.col("n_ref") == 0, F.lit("new"))
+        .when(F.col("n_cur") == 0, F.lit("dropped"))
+        .otherwise(F.lit("stable"))
+        .alias("status"),
+    )

@@ -183,3 +183,44 @@ def test_dashboard_snapshot_reconciles(spark, sf_dir):
     for m in ("accuracy", "precision", "recall", "f1", "avg_probability"):
         assert 0.0 <= rows[m] <= 1.0, m
     assert rows["fraud_avg_amount"] > 0
+
+
+def test_categorical_drift_flags_planted_new_and_dropped(spark, tmp_path):
+    """A category present only in the current half must flag 'new', one
+    present only in the reference half 'dropped' — the reference's
+    69-skipped-transactions failure class (FD/consumer_error.log),
+    surfaced BEFORE scoring."""
+    from pyspark.sql import functions as F
+
+    from real___time_fraud_detection_using_apache_kafka_spark.plans.queries_metrics import (
+        categorical_drift_audit,
+    )
+
+    rows = (
+        [(i, "legacy") for i in range(0, 40)]          # ref-only
+        + [(i, "stable") for i in range(0, 200)]
+        + [(i, "Macbook") for i in range(160, 200)]    # cur-only
+    )
+    (
+        spark.createDataFrame(rows, "event_id long, event_type string")
+        .select(
+            "event_id",
+            F.lit(None).cast("timestamp").alias("ts"),
+            F.lit(1).cast("long").alias("user_id"),
+            "event_type",
+            F.lit(1.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{tmp_path}/events.parquet")
+    )
+    got = {
+        r.category: (r.status, r.n_ref, r.n_cur)
+        for r in categorical_drift_audit(spark, str(tmp_path)).collect()
+    }
+    assert got["Macbook"][0] == "new" and got["Macbook"][1] == 0
+    assert got["legacy"][0] == "dropped" and got["legacy"][2] == 0
+    assert got["stable"][0] == "stable"
+    # psi terms are finite and non-negative even on the empty cells
+    for r in categorical_drift_audit(spark, str(tmp_path)).collect():
+        assert r.psi_term is not None and r.psi_term >= 0.0
