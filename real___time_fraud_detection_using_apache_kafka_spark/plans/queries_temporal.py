@@ -498,6 +498,81 @@ def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 ATTRIBUTION_DENSE_SPAN_DAYS = 180.0
 
 
+def _attribution_matched(
+    spark: SparkSession, sf_dir: str, strategy: str
+) -> tuple[DataFrame, DataFrame]:
+    """(purchases, matched touch-purchase pairs) under the span-adaptive
+    join — the shared front half of every attribution model (first /
+    last / linear in ``purchase_attribution``, exact-dyadic decay in
+    ``attribution_time_decay``).  ``matched`` carries (pid, val, pts,
+    channel, tts, tid); see ``purchase_attribution`` for the strategy
+    semantics and measurements."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    pur = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.col("value").cast("decimal(18,2)").alias("val"),
+    )
+    tou = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("tid"),
+        "user_id",
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("channel"),
+    )
+    if strategy not in ("auto", "banded", "unbanded"):
+        raise ValueError(
+            f"unknown attribution strategy {strategy!r} "
+            "(auto|banded|unbanded)"
+        )
+    if strategy == "auto":
+        # metadata-cheap span probe: parquet footer min/max carry this
+        span = ev.agg(
+            F.min("ts").alias("lo"), F.max("ts").alias("hi")
+        ).first()
+        span_days = (
+            (span.hi - span.lo).total_seconds() / 86_400.0
+            if span.lo is not None
+            else 0.0
+        )
+        strategy = (
+            "banded"
+            if span_days > ATTRIBUTION_DENSE_SPAN_DAYS
+            else "unbanded"
+        )
+
+    in_window = (
+        (F.col("t.tts") < F.col("p.pts"))
+        & (F.col("t.tts") >= F.col("p.pts") - F.expr("INTERVAL 7 DAYS"))
+    )
+    cols = ["pid", "val", "pts", "channel", "tts", "tid"]
+    if strategy == "banded":
+        bucket_us = 7 * 86_400_000_000
+        pb = F.floor(_micros(F.col("pts")) / F.lit(bucket_us)).cast("long")
+        tb = F.floor(_micros(F.col("tts")) / F.lit(bucket_us)).cast("long")
+        # tts in [pts-7d, pts) implies floor(tts/7d) in {B, B-1} for
+        # B = floor(pts/7d) — two probe rows per purchase cover the
+        # window exactly; the join is an equi-join on (user, bucket)
+        probe = pur.withColumn("_bucket", F.explode(F.array(pb, pb - 1)))
+        build = tou.withColumn("_bucket", tb)
+        matched = probe.alias("p").join(
+            build.alias("t"),
+            (F.col("p.user_id") == F.col("t.user_id"))
+            & (F.col("p._bucket") == F.col("t._bucket"))
+            & in_window,
+        ).select(*cols)
+    else:
+        matched = pur.alias("p").join(
+            tou.alias("t"),
+            (F.col("p.user_id") == F.col("t.user_id")) & in_window,
+        ).select(*cols)
+    return pur, matched
+
+
 @register(
     "purchase_attribution",
     oracle="""
@@ -604,70 +679,7 @@ def purchase_attribution(
     the dense-span data — the windowless min/max-of-struct fold below
     is what the 2.2x came from.
     """
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
-    )
-    pur = ev.filter(
-        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
-    ).select(
-        F.col("event_id").alias("pid"),
-        "user_id",
-        F.col("ts").alias("pts"),
-        F.col("value").cast("decimal(18,2)").alias("val"),
-    )
-    tou = ev.filter(F.col("event_type").isin("view", "click")).select(
-        F.col("event_id").alias("tid"),
-        "user_id",
-        F.col("ts").alias("tts"),
-        F.col("event_type").alias("channel"),
-    )
-    if strategy not in ("auto", "banded", "unbanded"):
-        raise ValueError(
-            f"unknown attribution strategy {strategy!r} "
-            "(auto|banded|unbanded)"
-        )
-    if strategy == "auto":
-        # metadata-cheap span probe: parquet footer min/max carry this
-        span = ev.agg(
-            F.min("ts").alias("lo"), F.max("ts").alias("hi")
-        ).first()
-        span_days = (
-            (span.hi - span.lo).total_seconds() / 86_400.0
-            if span.lo is not None
-            else 0.0
-        )
-        strategy = (
-            "banded"
-            if span_days > ATTRIBUTION_DENSE_SPAN_DAYS
-            else "unbanded"
-        )
-
-    in_window = (
-        (F.col("t.tts") < F.col("p.pts"))
-        & (F.col("t.tts") >= F.col("p.pts") - F.expr("INTERVAL 7 DAYS"))
-    )
-    if strategy == "banded":
-        from ..operators.temporal import _micros
-
-        bucket_us = 7 * 86_400_000_000
-        pb = F.floor(_micros(F.col("pts")) / F.lit(bucket_us)).cast("long")
-        tb = F.floor(_micros(F.col("tts")) / F.lit(bucket_us)).cast("long")
-        # tts in [pts-7d, pts) implies floor(tts/7d) in {B, B-1} for
-        # B = floor(pts/7d) — two probe rows per purchase cover the
-        # window exactly; the join is an equi-join on (user, bucket)
-        probe = pur.withColumn("_bucket", F.explode(F.array(pb, pb - 1)))
-        build = tou.withColumn("_bucket", tb)
-        matched = probe.alias("p").join(
-            build.alias("t"),
-            (F.col("p.user_id") == F.col("t.user_id"))
-            & (F.col("p._bucket") == F.col("t._bucket"))
-            & in_window,
-        ).select("pid", "val", "channel", "tts", "tid")
-    else:
-        matched = pur.alias("p").join(
-            tou.alias("t"),
-            (F.col("p.user_id") == F.col("t.user_id")) & in_window,
-        ).select("pid", "val", "channel", "tts", "tid")
+    pur, matched = _attribution_matched(spark, sf_dir, strategy)
 
     from ..operators.cache import tracked_persist
 
@@ -736,5 +748,128 @@ def purchase_attribution(
             F.col("credit_first").cast("decimal(28,6)").alias("credit_linear"),
         )
         .filter(F.col("n_first") > 0)
+    )
+    return attributed.unionByName(direct)
+
+
+@register(
+    "attribution_time_decay",
+    oracle="""
+    WITH pur AS (
+        SELECT event_id AS pid, user_id, ts AS pts,
+               CAST(value AS DECIMAL(18, 2)) AS val
+        FROM events
+        WHERE event_type = 'purchase' AND user_id IS NOT NULL
+          AND ts IS NOT NULL AND value IS NOT NULL
+    ), tou AS (
+        SELECT event_id AS tid, user_id, ts AS tts, event_type AS channel
+        FROM events
+        WHERE event_type IN ('view', 'click')
+          AND user_id IS NOT NULL AND ts IS NOT NULL
+    ), matched AS (
+        SELECT p.pid, p.val, t.channel,
+               (epoch_us(p.pts) - epoch_us(t.tts)) // 86400000000
+                   AS days_before
+        FROM pur p JOIN tou t
+          ON p.user_id = t.user_id
+         AND t.tts < p.pts
+         AND t.tts >= p.pts - INTERVAL 7 DAY
+    ), weighted AS (
+        SELECT pid, val, channel,
+               1.0 / CAST(1 << days_before AS DOUBLE) AS w
+        FROM matched
+    ), per_pid AS (
+        SELECT pid, sum(w) AS wsum FROM weighted GROUP BY pid
+    ), shares AS (
+        SELECT w.channel,
+               CAST(floor(CAST(w.val AS DOUBLE) * w.w / p.wsum
+                          * 1000000.0 + 0.5) / 1000000.0
+                    AS DECIMAL(28,6)) AS share
+        FROM weighted w JOIN per_pid p USING (pid)
+    ), attributed AS (
+        SELECT channel, count(*) AS n_touches,
+               sum(share) AS credit_decay
+        FROM shares GROUP BY channel
+    ), direct AS (
+        SELECT 'direct' AS channel, count(*) AS n_touches,
+               CAST(coalesce(sum(val), 0) AS DECIMAL(28,6)) AS credit_decay
+        FROM pur p
+        WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.pid = p.pid)
+    )
+    SELECT * FROM attributed
+    UNION ALL
+    SELECT * FROM direct WHERE n_touches > 0
+    """,
+)
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fourth standard attribution model over the shared
+    span-adaptive touch-purchase match: TIME-DECAY credit — each touch
+    weighs 2^-(whole days before the purchase), so same-day touches
+    carry full weight and weight halves per day across the 7-day
+    window.
+
+    Determinism — the exact-dyadic trick: with integer day deltas in
+    0..6, every weight is k/64 EXACTLY in binary floating point, and a
+    per-purchase weight sum is a sum of dyadics with one common
+    denominator — exact and order-independent under ANY partitioning
+    (no libm ``exp``, whose last ulp differs between the JVM, CPython
+    and DuckDB's C library, anywhere near the result).  The one
+    division per touch then runs on bit-identical doubles, rounds with
+    the shared floor(x·1e6+0.5) recipe, and DECIMAL-sums per channel.
+
+    Scale: identical shape to ``purchase_attribution`` — the matched
+    pairs stream from the span-adaptive equi-join into one hash
+    aggregate (per-purchase weight sums), one narrow re-join, and a
+    channel-bounded final aggregate; no window anywhere.
+    """
+    _, matched = _attribution_matched(spark, sf_dir, "auto")
+    days = F.floor(
+        (_micros(F.col("pts")) - _micros(F.col("tts")))
+        / F.lit(86_400_000_000)
+    ).cast("int")
+    weighted = (
+        matched.withColumn("_days", days)
+        .select(
+            "pid",
+            "val",
+            "channel",
+            (
+                F.lit(1.0)
+                / F.expr("double(shiftleft(cast(1 as bigint), _days))")
+            ).alias("w"),
+        )
+    )
+    from ..operators.cache import tracked_persist
+
+    weighted = tracked_persist(weighted)
+    per_pid = weighted.groupBy("pid").agg(F.sum("w").alias("wsum"))
+    shares = weighted.join(per_pid, "pid").select(
+        "channel",
+        (
+            F.floor(
+                F.col("val").cast("double") * F.col("w") / F.col("wsum")
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
+        )
+        .cast("decimal(28,6)")
+        .alias("share"),
+    )
+    attributed = shares.groupBy("channel").agg(
+        F.count("*").alias("n_touches"),
+        F.sum("share").alias("credit_decay"),
+    )
+    pur, _ = _attribution_matched(spark, sf_dir, "unbanded")
+    direct = (
+        pur.join(weighted.select("pid").distinct(), "pid", "left_anti")
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.coalesce(F.sum("val"), F.lit(0))
+            .cast("decimal(28,6)")
+            .alias("credit_decay"),
+        )
+        .select(F.lit("direct").alias("channel"), "n_touches", "credit_decay")
+        .filter(F.col("n_touches") > 0)
     )
     return attributed.unionByName(direct)

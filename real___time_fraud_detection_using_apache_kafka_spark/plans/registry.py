@@ -160,9 +160,10 @@ _GRADED_FIRST = [
 ]
 
 # ROUND-8 HEAD PLAN (written at round-7 close): after the r7 gate the
-# never-driver-graded oracle-able set is grid_quantile_sketch and
-# categorical_drift_audit (added post-head this round, all six
-# adversarial variants green) — lead with them; then (a) any round-8 additions, (b) the 3 r3
+# never-driver-graded oracle-able set is grid_quantile_sketch,
+# categorical_drift_audit and attribution_time_decay (added post-head
+# this round, all six adversarial variants green each) — lead with
+# them; then (a) any round-8 additions, (b) the 3 r3
 # stragglers named above (month_spine_recursive, benford_first_digit,
 # session_conversion_paths), (c) the r4 family, oldest first.  Keep
 # the standing rule: every new query passes the SIX adversarial

@@ -499,6 +499,33 @@ class TestRound5BatchInvariants:
         linear = float(sum(r.credit_linear for r in rows))
         assert abs(linear - float(total)) <= n_pur * 2 * 5e-7
 
+    def test_time_decay_credits_conserve_total_purchase_value(self, spark):
+        """The decay model's shares are w_i/Σw per purchase (exact
+        dyadic weights), so channel credits must also sum to the total
+        purchase value within the per-purchase 6-dp share rounding."""
+        from real___time_fraud_detection_using_apache_kafka_spark.plans import QUERIES
+        from real___time_fraud_detection_using_apache_kafka_spark.sources.tables import (
+            load_table,
+        )
+
+        rows = QUERIES["attribution_time_decay"].fn(spark, self.SF).collect()
+        total = (
+            load_table(spark, self.SF, "events")
+            .filter(
+                (F.col("event_type") == "purchase")
+                & F.col("user_id").isNotNull()
+                & F.col("ts").isNotNull()
+                & F.col("value").isNotNull()
+            )
+            .agg(F.sum(F.col("value").cast("decimal(18,2)")))
+            .first()[0]
+        )
+        n_touches = sum(r.n_touches for r in rows if r.channel != "direct")
+        got = float(sum(r.credit_decay for r in rows))
+        assert abs(got - float(total)) <= n_touches * 5e-7
+        # decay favors recency: the model is distinct from linear split
+        assert {r.channel for r in rows} >= {"view", "click"}
+
     def test_rolling_active_users_bounds_and_monotone_vs_daily(self, spark):
         """7-day actives >= that day's 1-day actives, and <= the 7-day
         SUM of dailies (distinct can only dedup)."""
