@@ -139,9 +139,13 @@ HEADLINE = [
     "bloom_semijoin_prune",
     "kalman_revenue_smooth",
     "hll_rollup_merge",
-    # round-7 additions: item-side ALS half-step, HLL set algebra
+    # round-7 additions: item-side ALS half-step, HLL set algebra,
+    # mergeable histogram quantiles, domain-drift audit, decay attribution
     "als_half_step_items",
     "hll_set_algebra",
+    "grid_quantile_sketch",
+    "categorical_drift_audit",
+    "attribution_time_decay",
 ]
 
 
