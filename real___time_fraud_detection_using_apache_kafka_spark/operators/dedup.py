@@ -328,6 +328,12 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         .withColumn("label", F.col("node")),
         StorageLevel.MEMORY_AND_DISK,
     )
+    # `labels` is re-derived each round as a projection of the round's
+    # persisted `updated` frame, so unpersisting `labels` itself would
+    # be a no-op after round 1 (ADVICE r7) — keep a handle to the
+    # actual persisted frame and release THAT once its successor is
+    # materialized (the learn_bpe_merges prev-handle pattern).
+    prev_persisted = labels
     for _ in range(max_iter):
         neigh_min = (
             edges.join(labels, edges.src == labels.node)
@@ -348,9 +354,9 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
             StorageLevel.MEMORY_AND_DISK,
         )
         n_changed = updated.filter(F.col("chg")).count()
-        old = labels
+        prev_persisted.unpersist()
+        prev_persisted = updated
         labels = updated.select("node", "label")
-        old.unpersist()
         if n_changed == 0:
             break
     edges.unpersist()

@@ -1396,3 +1396,113 @@ def part_revenue_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue_share"),
         )
     )
+
+
+@register(
+    "rfm_segmentation",
+    oracle="""
+    WITH ref AS (
+        SELECT max(CAST(o_orderdate AS DATE)) AS ref_date FROM orders
+    ), c AS (
+        SELECT o_custkey,
+               date_diff('day', max(CAST(o_orderdate AS DATE)),
+                         (SELECT ref_date FROM ref)) AS recency_days,
+               count(*) AS frequency,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+        FROM orders
+        GROUP BY o_custkey
+    ), s AS (
+        SELECT recency_days, frequency, monetary,
+               ntile(4) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+               ntile(4) OVER (ORDER BY frequency, o_custkey)    AS f_score,
+               ntile(4) OVER (ORDER BY monetary NULLS LAST, o_custkey)
+                   AS m_score
+        FROM c
+    )
+    SELECT r_score, f_score, m_score,
+           count(*) AS n_customers,
+           round(avg(CAST(recency_days AS DOUBLE)), 6) AS avg_recency_days,
+           round(avg(CAST(frequency AS DOUBLE)), 6) AS avg_frequency,
+           sum(monetary) AS sum_monetary
+    FROM s
+    GROUP BY r_score, f_score, m_score
+    """,
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic marketing cube: each
+    customer scored 1-4 on Recency (days since last order, ascending:
+    1 = most recent), Frequency and Monetary quartiles, then the 64
+    (r,f,m) cells summarized.  The segmentation every
+    retention/campaign pipeline runs before anything fancier.
+
+    Exact ntile WITHOUT an unpartitioned window (the engine's standing
+    no-single-partition doctrine): each quartile rides
+    ``bucketed_global_rank`` (per-bucket hash shuffle + local
+    row_number + plan-side offset prefix-sum) and the closed-form
+    ``ntile_from_rank`` — three distributed rank passes over the
+    CUSTOMER-dimension frame (metadata-small next to orders; ~100M
+    rows at 100 TB, each pass the cost of one distributed sort).  Ties
+    break on o_custkey in both engines; NULL monetary (nulled sweep)
+    is pinned NULLS LAST on both sides.
+    """
+    from ..operators.cache import tracked_persist
+    from ..operators.windows import bucketed_global_rank, ntile_from_rank
+
+    orders = load_table(spark, sf_dir, "orders")
+    ref = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("ref_date")
+    )
+    cust = (
+        orders.crossJoin(F.broadcast(ref))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.any_value("ref_date"),
+                F.max(F.col("o_orderdate").cast("date")),
+            ).alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .alias("monetary"),
+        )
+    )
+    # consumed twice per rank pass (counts + ranking) x 3 passes
+    cust = tracked_persist(cust)
+    d = bucketed_global_rank(
+        cust,
+        F.col("recency_days"),
+        [F.col("recency_days"), F.col("o_custkey")],
+        rank_col="_rr",
+        total_col="_n",
+    )
+    d = bucketed_global_rank(
+        d,
+        F.col("frequency"),
+        [F.col("frequency"), F.col("o_custkey")],
+        rank_col="_fr",
+    )
+    # NULLS LAST mirrors DuckDB's ASC default (Spark defaults first);
+    # bucket key must follow the same placement, so null -> +inf bucket
+    d = bucketed_global_rank(
+        d,
+        F.when(
+            F.col("monetary").isNull(), F.lit(2**62)
+        ).otherwise(F.floor(F.col("monetary") / 100).cast("long")),
+        [F.col("monetary").asc_nulls_last(), F.col("o_custkey")],
+        rank_col="_mr",
+    )
+    scored = d.select(
+        "recency_days",
+        "frequency",
+        "monetary",
+        ntile_from_rank(F.col("_rr"), F.col("_n"), 4).alias("r_score"),
+        ntile_from_rank(F.col("_fr"), F.col("_n"), 4).alias("f_score"),
+        ntile_from_rank(F.col("_mr"), F.col("_n"), 4).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.avg(F.col("recency_days").cast("double")), 6)
+        .alias("avg_recency_days"),
+        F.round(F.avg(F.col("frequency").cast("double")), 6)
+        .alias("avg_frequency"),
+        F.sum("monetary").alias("sum_monetary"),
+    )

@@ -469,9 +469,10 @@ def psi_score_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the stream clock, not a data scan."""
     s = scored_events(spark, sf_dir)
     mid = s.agg(
-        F.try_divide(F.min("event_id") + F.max("event_id"), F.lit(2))
-        .cast("long")
-        .alias("m")
+        # exact integer midpoint — `div` is pure int64 arithmetic in
+        # BOTH engines; try_divide's double path could truncate
+        # differently past 2^53 (ADVICE r7)
+        F.expr("(min(event_id) + max(event_id)) div 2").alias("m")
     )
     b = F.least(F.floor(F.col("score") * 10).cast("long"), F.lit(9).cast("long"))
     binned = (
@@ -699,9 +700,10 @@ def categorical_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
     )
     mid = src.agg(
-        F.try_divide(F.min("event_id") + F.max("event_id"), F.lit(2))
-        .cast("long")
-        .alias("m")
+        # exact integer midpoint — `div` is pure int64 arithmetic in
+        # BOTH engines; try_divide's double path could truncate
+        # differently past 2^53 (ADVICE r7)
+        F.expr("(min(event_id) + max(event_id)) div 2").alias("m")
     )
     cells = (
         src.crossJoin(F.broadcast(mid))

@@ -132,15 +132,27 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _lt(spark, sf_dir, "documents")
 
     def local_topk(batches):
-        from collections import Counter
-
-        counts: Counter = Counter()
+        # Vectorized per-partition pass (VERDICT r7 item 3): pandas
+        # split/explode/value_counts runs the token count in C, not a
+        # per-row Python Counter loop — at 100 TB this kernel IS the
+        # scan, so it must be scan-bound, not interpreter-bound.
+        acc = None
         for pdf in batches:
-            for text in pdf["text"]:
-                counts.update(str(text).split())
-        top = counts.most_common(k * oversample)
-        yield pd.DataFrame({"tok": [t for t, _ in top],
-                            "cnt": [c for _, c in top]})
+            if not len(pdf):
+                continue
+            vc = pdf["text"].astype(str).str.split().explode().value_counts()
+            # per-batch reduce keeps partition state O(local vocab),
+            # never O(token occurrences)
+            acc = vc if acc is None else acc.add(vc, fill_value=0)
+        if acc is not None:
+            top = acc.sort_values(ascending=False).iloc[: k * oversample]
+            yield pd.DataFrame(
+                {"tok": top.index.astype(str),
+                 "cnt": top.to_numpy().astype("int64")}
+            )
+        else:
+            yield pd.DataFrame({"tok": pd.Series([], dtype=str),
+                                "cnt": pd.Series([], dtype="int64")})
 
     candidates = docs.select("text").mapInPandas(
         local_topk, schema="tok string, cnt long"

@@ -822,7 +822,11 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (per-purchase weight sums), one narrow re-join, and a
     channel-bounded final aggregate; no window anywhere.
     """
-    _, matched = _attribution_matched(spark, sf_dir, "auto")
+    # One _attribution_matched call feeds BOTH branches: `matched`
+    # drives the decay credit, `pur` the direct-channel anti-join —
+    # one events scan/filter lineage, no strategy-divergence hazard
+    # (VERDICT r7 item 4 / ADVICE r7).
+    pur, matched = _attribution_matched(spark, sf_dir, "auto")
     days = F.floor(
         (_micros(F.col("pts")) - _micros(F.col("tts")))
         / F.lit(86_400_000_000)
@@ -860,7 +864,6 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_touches"),
         F.sum("share").alias("credit_decay"),
     )
-    pur, _ = _attribution_matched(spark, sf_dir, "unbanded")
     direct = (
         pur.join(weighted.select("pid").distinct(), "pid", "left_anti")
         .agg(

@@ -120,54 +120,54 @@ def _stable_types(fn: QueryFn) -> QueryFn:
 # is hash-green in an earlier driver round AND in every local
 # full-catalog oracle run (tools/check_oracle.py).
 _GRADED_FIRST = [
-    # ROUND-7 head (executes the r6-close plan + VERDICT r6 item 1).
-    # Every entry below passed all SIX adversarial variants this round
-    # (nulled sf0.001 + sf0.01, ties, text, skew, ties+nulls combined)
-    # before entering the head.
-    # --- (a) round-7 NEW oracle-able queries (never driver-graded) ---
-    "als_half_step_items",   # the Y-given-X half-step (VERDICT item 6)
-    "hll_set_algebra",       # register union/intersection algebra
-    # --- (b) round-7 CHANGED plans (re-grade: the q12 lesson) ---
-    "purchase_attribution",   # now span-adaptive (auto picked per run)
-    "als_half_step_factors",  # (32,12) sums + IEEE-double Cramer solve
-    "hll_distinct_users",     # rho via shared hll_bucket_rank helper
-    "hll_rollup_merge",       # same helper
-    "bloom_semijoin_prune",   # build side tracked_persist'ed
-    # --- (c) the 5 rotated-out r2 greens (first in line per r6 plan) ---
-    "supplier_revenue_windows", "pivot_event_type_daily",
-    "unpivot_order_stats", "rollup_region_nation",
-    "corpus_upsert_refresh",
-    # --- (d) oldest remaining grades: the r3 block (41 names; the 38
-    #     that fit — month_spine_recursive, benford_first_digit and
-    #     session_conversion_paths are first in line for round 8),
-    #     VERDICT-named metrics/curve family first ---
-    "fraud_patterns", "class_counts", "roc_auc", "log_loss",
-    "psi_score_drift", "dashboard_snapshot", "fraud_time_heatmap",
-    "priority_target_encoding", "value_outliers_robust",
-    "rapid_repeat_purchases", "order_gini_concentration",
-    "revenue_trend_regression", "cohort_retention",
-    "q1_pricing_summary", "q2_min_cost_supplier", "q5_regional_revenue",
-    "q9_product_profit", "q21_waiting_suppliers",
-    "dedup_exact", "stats_moments_lineitem", "cube_status_priority",
-    "topk_orders_per_customer", "variant_props_stats",
-    "null_safe_join_status",
-    "lang_id", "ngram_jaccard_neardup", "embedding_knn",
-    "embedding_cosine_neardup", "tfidf_top_terms", "curate_documents",
-    "pii_scrub_stats", "simhash_neardup_pairs",
-    "asof_last_error_before_purchase", "user_sessions",
-    "rolling_user_velocity", "error_retry_purchase_pattern",
-    "event_transition_pmi", "scd2_user_state",
+    # ROUND-8 head (executes the r7-close plan + VERDICT r7 item 2).
+    # Every changed/new entry re-passed the adversarial sweeps
+    # (nulled, ties, text, skew) this round before entering the head.
+    # --- (a) the 3 oracled-but-never-driver-graded r7 additions ---
+    "grid_quantile_sketch",      # O(cells) mergeable quantile state
+    "categorical_drift_audit",   # + r8 exact-int midpoint (ADVICE r7)
+    "attribution_time_decay",    # + r8 single-matched-call reuse
+    # --- (b) round-8 CHANGED plans (re-grade: the q12 lesson) ---
+    "psi_score_drift",   # midpoint now integer `div` (ADVICE r7)
+    "neardup_clusters",  # connected_components persist-lifecycle fix
+    # --- (c) round-8 NEW oracle-able queries ---
+    "rfm_segmentation", "market_basket_rules", "bigram_perplexity",
+    "feature_info_gain", "seasonal_trend_decompose",
+    # --- (d) the 3 r3 stragglers (oldest driver grades in catalog) ---
+    "month_spine_recursive", "benford_first_digit",
+    "session_conversion_paths",
+    # --- (e) oldest remaining family: the r4 block, alphabetical
+    #     (first 34 of 49; the rest lead the r9 rotation) ---
+    "bag_set_ops_nations", "benchmark_contamination", "blob_dedup_md5",
+    "bool_agg_events", "bpe_token_stats", "calibration_curve",
+    "clicks_before_purchase", "corpus_mix_report",
+    "corpus_segment_dedup", "corpus_top_tokens",
+    "customer_order_digest", "daily_gapfill_forward",
+    "doc_chunks_overlap", "doc_fingerprint", "doc_quality",
+    "doc_repetition", "doc_token_stats", "dq_constraint_report",
+    "embedding_array_stats", "embedding_gated_curation",
+    "embedding_quantize_stats", "embedding_salient_dims",
+    "event_value_histogram", "fuzzy_category_recovery",
+    "ks_drift_stat", "kv_map_roundtrip", "lift_gain_deciles",
+    "log_line_filters", "log_parse_roundtrip",
+    "mix_sources_token_budget", "multimodal_binary",
+    "multimodal_decode_meta", "order_value_percentiles",
+    "pack_training_sequences",
 ]
 
-# ROUND-8 HEAD PLAN (written at round-7 close): after the r7 gate the
-# never-driver-graded oracle-able set is grid_quantile_sketch,
-# categorical_drift_audit and attribution_time_decay (added post-head
-# this round, all six adversarial variants green each) — lead with
-# them; then (a) any round-8 additions, (b) the 3 r3
-# stragglers named above (month_spine_recursive, benford_first_digit,
-# session_conversion_paths), (c) the r4 family, oldest first.  Keep
-# the standing rule: every new query passes the SIX adversarial
-# variants before entering the head.
+# ROUND-9 HEAD PLAN (written during round 8): lead with any round-9
+# additions/changed plans, then the r4-family remainder
+# (per_class_report, pr_curve_threshold, pr_threshold_binned,
+# profile_orders_columns, purchase_funnel,
+# sample_documents_stratified, sample_per_group,
+# scalar_date_arithmetic, shuffle_training_order,
+# simhash_fingerprints, tumbling_event_windows, unigram_logprob,
+# wire_formats_roundtrip — the 13 r4 hash grades not re-graded in
+# r8 — plus the rows-only r4 trio minhash_neardup / neardup-adjacent
+# if slots remain), then the r5 family oldest-first.  Keep the
+# standing rule: every new query passes the adversarial sweeps before
+# entering the head.
+
 
 
 def _ordered() -> list[str]:
