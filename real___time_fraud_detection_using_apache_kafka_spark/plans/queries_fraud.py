@@ -552,3 +552,143 @@ def value_outliers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("adev") > 3 * 1.4826 * F.col("mad")).alias("n_outliers"),
         )
     )
+
+
+@register(
+    "market_basket_rules",
+    oracle="""
+    WITH b AS (
+        SELECT DISTINCT l_orderkey, p_brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand IS NOT NULL
+    ), n AS (
+        SELECT count(DISTINCT l_orderkey) AS n_orders FROM b
+    ), marg AS (
+        SELECT p_brand, count(*) AS c FROM b GROUP BY p_brand
+    ), pairs AS (
+        SELECT a.p_brand AS x, c.p_brand AS y, count(*) AS c_ab
+        FROM b a JOIN b c
+          ON a.l_orderkey = c.l_orderkey AND a.p_brand < c.p_brand
+        GROUP BY a.p_brand, c.p_brand
+    ), rules AS (
+        SELECT x AS antecedent, y AS consequent, c_ab FROM pairs
+        UNION ALL
+        SELECT y AS antecedent, x AS consequent, c_ab FROM pairs
+    )
+    SELECT r.antecedent, r.consequent, r.c_ab AS n_both,
+           floor(r.c_ab * 1000000.0 / n.n_orders + 0.5) / 1000000.0
+               AS support,
+           floor(r.c_ab * 1000000.0 / ma.c + 0.5) / 1000000.0
+               AS confidence,
+           floor((CAST(n.n_orders AS DOUBLE) * CAST(r.c_ab AS DOUBLE))
+                 / (CAST(ma.c AS DOUBLE) * CAST(mc.c AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS lift
+    FROM rules r
+    JOIN marg ma ON ma.p_brand = r.antecedent
+    JOIN marg mc ON mc.p_brand = r.consequent
+    CROSS JOIN n
+    WHERE 50 * r.c_ab >= n.n_orders
+    """,
+)
+def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over per-order brand baskets — the
+    confidence/lift stage downstream of frequent-itemset mining
+    (``frequent_event_itemsets`` finds the sets; this scores the
+    directed rules a recommender or fraud-collusion screen consumes).
+
+    Support cut is EXACT integer arithmetic (``50·c_ab ≥ n`` ⇔
+    support ≥ 2 %); confidence and lift divide exact counts in one
+    IEEE-double op sequence shared with the oracle, then round via the
+    floor(x·1e6+0.5) recipe.  NULL brands (nulled sweep) are excluded
+    from baskets on both sides.
+
+    Scale: baskets are (order, brand) pairs — bounded by ~25 brands per
+    order; the pair self-join shuffles on l_orderkey once and the
+    brand-pair aggregate is domain-bounded (≤ |brands|²/2 cells).
+    Brand marginals and the 1-row total ride broadcasts; nothing here
+    is corpus-sized after the first distinct.
+    """
+    from ..operators.cache import tracked_persist
+
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isNotNull()
+    )
+    baskets = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    baskets = tracked_persist(baskets)
+    n = baskets.agg(
+        F.count_distinct("l_orderkey").alias("n_orders")
+    )
+    marg = baskets.groupBy("p_brand").agg(F.count("*").alias("c"))
+    a, c = baskets.alias("a"), baskets.alias("c")
+    pairs = (
+        a.join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("c.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("x"), F.col("c.p_brand").alias("y")
+        )
+        .agg(F.count("*").alias("c_ab"))
+    )
+    rules = pairs.select(
+        F.col("x").alias("antecedent"), F.col("y").alias("consequent"), "c_ab"
+    ).unionByName(
+        pairs.select(
+            F.col("y").alias("antecedent"),
+            F.col("x").alias("consequent"),
+            "c_ab",
+        )
+    )
+
+    ma = marg.select(
+        F.col("p_brand").alias("antecedent"), F.col("c").alias("c_a")
+    )
+    mc = marg.select(
+        F.col("p_brand").alias("consequent"), F.col("c").alias("c_c")
+    )
+    # each rounded column repeats the oracle's exact IEEE op ORDER
+    # ((count · 1e6) / denom, then +0.5/floor/÷1e6) — a mathematically
+    # equal but differently-associated sequence can differ in the last
+    # ulp and flip the floor
+    support = (
+        F.floor(
+            F.col("c_ab") * F.lit(1000000.0) / F.col("n_orders") + F.lit(0.5)
+        )
+        / F.lit(1000000.0)
+    )
+    confidence = (
+        F.floor(
+            F.col("c_ab") * F.lit(1000000.0) / F.col("c_a") + F.lit(0.5)
+        )
+        / F.lit(1000000.0)
+    )
+    lift = (
+        F.floor(
+            F.col("n_orders").cast("double")
+            * F.col("c_ab").cast("double")
+            / (F.col("c_a").cast("double") * F.col("c_c").cast("double"))
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        / F.lit(1000000.0)
+    )
+    return (
+        rules.join(F.broadcast(ma), "antecedent")
+        .join(F.broadcast(mc), "consequent")
+        .crossJoin(F.broadcast(n))
+        .filter(F.lit(50) * F.col("c_ab") >= F.col("n_orders"))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("c_ab").alias("n_both"),
+            support.alias("support"),
+            confidence.alias("confidence"),
+            lift.alias("lift"),
+        )
+    )

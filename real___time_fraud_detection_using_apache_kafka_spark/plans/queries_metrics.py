@@ -737,3 +737,150 @@ def categorical_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("stable"))
         .alias("status"),
     )
+
+
+@register(
+    "feature_info_gain",
+    oracle=SCORED_CTE
+    + """
+    , feat AS (
+        SELECT actual, 'event_type' AS feature,
+               coalesce(event_type, '(null)') AS fval
+        FROM scored
+        UNION ALL
+        SELECT actual, 'value_bucket',
+               CAST(least(CAST(floor(value / 50.0) AS BIGINT), 9)
+                    AS VARCHAR)
+        FROM scored
+        UNION ALL
+        SELECT actual, 'hour_bucket',
+               CAST(CASE WHEN ts IS NULL THEN -1
+                         ELSE hour(ts) // 6 END AS VARCHAR)
+        FROM scored
+    ), cells AS (
+        SELECT feature, fval, actual, count(*) AS n_vc
+        FROM feat GROUP BY feature, fval, actual
+    ), vals AS (
+        SELECT feature, fval, sum(n_vc) AS n_v
+        FROM cells GROUP BY feature, fval
+    ), tot AS (
+        SELECT feature, sum(n_v) AS n, count(*) AS n_values
+        FROM vals GROUP BY feature
+    ), lab AS (
+        SELECT feature, actual, sum(n_vc) AS n_c
+        FROM cells GROUP BY feature, actual
+    ), hy AS (
+        SELECT lab.feature,
+               sum(CAST(floor(lab.n_c * (ln(tot.n) - ln(lab.n_c))
+                              * 1000000.0 + 0.5) AS BIGINT)) AS t_y
+        FROM lab JOIN tot USING (feature) GROUP BY lab.feature
+    ), ce AS (
+        SELECT cells.feature,
+               sum(CAST(floor(cells.n_vc
+                              * (ln(vals.n_v) - ln(cells.n_vc))
+                              * 1000000.0 + 0.5) AS BIGINT)) AS t_c
+        FROM cells JOIN vals USING (feature, fval)
+        GROUP BY cells.feature
+    )
+    SELECT tot.feature, tot.n_values,
+           floor((CAST(hy.t_y AS DOUBLE) / 1000000.0) / tot.n
+                 * 1000000.0 + 0.5) / 1000000.0 AS h_label,
+           floor((CAST(ce.t_c AS DOUBLE) / 1000000.0) / tot.n
+                 * 1000000.0 + 0.5) / 1000000.0 AS cond_entropy,
+           floor(((CAST(hy.t_y AS DOUBLE) / 1000000.0) / tot.n
+                  - (CAST(ce.t_c AS DOUBLE) / 1000000.0) / tot.n)
+                 * 1000000.0 + 0.5) / 1000000.0 AS info_gain
+    FROM tot JOIN hy USING (feature) JOIN ce USING (feature)
+    """,
+)
+def feature_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information gain of three candidate categorical features against
+    the fraud label — the feature-selection screen that runs BEFORE
+    training (the reference hardcodes its feature list,
+    FD/features.py:20-28; a pipeline at scale ranks candidates first).
+    IG(f) = H(label) − H(label | f) in nats, over event_type, a
+    value-decile bucket and an hour-of-day quadrant.
+
+    Determinism: every entropy term n·(ln N − ln n) is computed from
+    EXACT counts, rounded to integer micro-nats per cell, and summed
+    as BIGINT — order-independent, with each ln() seeing bit-identical
+    inputs on both engines (the bigram_perplexity recipe).
+
+    Scale: one scan explodes each event into 3 (feature, value) rows;
+    every aggregate downstream is domain-bounded (features ×
+    categories × 2 labels) hash state with map-side partials — no
+    window, no sort, nothing row-count-sized after the first shuffle.
+    """
+    s = scored_events(spark, sf_dir)
+    feat = s.select(
+        "actual",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("event_type").alias("feature"),
+                    F.coalesce(F.col("event_type"), F.lit("(null)"))
+                    .alias("fval"),
+                ),
+                F.struct(
+                    F.lit("value_bucket").alias("feature"),
+                    F.least(
+                        F.floor(F.col("value") / F.lit(50.0)), F.lit(9).cast("long")
+                    ).cast("string").alias("fval"),
+                ),
+                F.struct(
+                    F.lit("hour_bucket").alias("feature"),
+                    F.when(F.col("ts").isNull(), F.lit(-1))
+                    .otherwise(F.expr("hour(ts) div 6"))
+                    .cast("string")
+                    .alias("fval"),
+                ),
+            )
+        ).alias("fv"),
+    ).select("actual", F.col("fv.feature").alias("feature"),
+             F.col("fv.fval").alias("fval"))
+    cells = feat.groupBy("feature", "fval", "actual").agg(
+        F.count("*").alias("n_vc")
+    )
+    from ..operators.cache import tracked_persist
+
+    cells = tracked_persist(cells)
+    vals = cells.groupBy("feature", "fval").agg(F.sum("n_vc").alias("n_v"))
+    vals = tracked_persist(vals)
+    tot = vals.groupBy("feature").agg(
+        F.sum("n_v").alias("n"), F.count("*").alias("n_values")
+    )
+    lab = cells.groupBy("feature", "actual").agg(F.sum("n_vc").alias("n_c"))
+
+    def uterm(cnt: F.Column, tot_cnt: F.Column) -> F.Column:
+        return F.floor(
+            cnt * (F.log(tot_cnt) - F.log(cnt)) * F.lit(1000000.0)
+            + F.lit(0.5)
+        ).cast("long")
+
+    hy = (
+        lab.join(F.broadcast(tot), "feature")
+        .groupBy("feature")
+        .agg(F.sum(uterm(F.col("n_c"), F.col("n"))).alias("t_y"))
+    )
+    ce = (
+        cells.join(vals, ["feature", "fval"])
+        .groupBy("feature")
+        .agg(F.sum(uterm(F.col("n_vc"), F.col("n_v"))).alias("t_c"))
+    )
+    hy_raw = F.col("t_y").cast("double") / F.lit(1000000.0) / F.col("n")
+    ce_raw = F.col("t_c").cast("double") / F.lit(1000000.0) / F.col("n")
+
+    def r6(col: F.Column) -> F.Column:
+        return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+    return (
+        tot.join(hy, "feature")
+        .join(ce, "feature")
+        .select(
+            "feature",
+            "n_values",
+            r6(hy_raw).alias("h_label"),
+            r6(ce_raw).alias("cond_entropy"),
+            r6(hy_raw - ce_raw).alias("info_gain"),
+        )
+    )

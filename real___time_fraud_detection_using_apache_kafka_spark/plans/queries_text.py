@@ -2569,3 +2569,132 @@ def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("zipf_slope"),
         F.round((sy - sx * slope) / n, 6).alias("ln_intercept"),
     )
+
+
+@register(
+    "bigram_perplexity",
+    oracle=f"""
+    WITH toks AS (
+        SELECT coalesce(source, '(null)') AS source, {TOKS} AS tk
+        FROM documents WHERE text IS NOT NULL
+    ), big AS (
+        SELECT source, tk[g.i] AS w1, tk[g.i + 1] AS w2
+        FROM toks, LATERAL (SELECT unnest(range(1, len(tk))) AS i) g
+    ), v AS (
+        SELECT count(DISTINCT w) AS vv
+        FROM (SELECT unnest(tk) AS w FROM toks) a
+    ), pc AS (
+        SELECT w1, w2, count(*) AS c_ab FROM big GROUP BY w1, w2
+    ), c1 AS (
+        SELECT w1, count(*) AS c_w1 FROM big GROUP BY w1
+    ), sc AS (
+        SELECT source, w1, w2, count(*) AS cnt FROM big
+        GROUP BY source, w1, w2
+    ), terms AS (
+        SELECT sc.source, sc.cnt,
+               CAST(floor(sc.cnt * ln((pc.c_ab + 0.5)
+                                      / (c1.c_w1 + 0.5 * v.vv))
+                          * 1000000.0 + 0.5) AS BIGINT) AS term
+        FROM sc JOIN pc USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    ), ce AS (
+        SELECT source, sum(cnt) AS n_bigrams,
+               floor(-(CAST(sum(term) AS DOUBLE) / 1000000.0)
+                     / sum(cnt) * 1000000.0 + 0.5) / 1000000.0
+                   AS cross_entropy
+        FROM terms GROUP BY source
+    )
+    SELECT source, n_bigrams, cross_entropy,
+           floor(exp(cross_entropy) * 10000.0 + 0.5) / 10000.0
+               AS perplexity
+    FROM ce
+    """,
+)
+def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source bigram-LM cross-entropy / perplexity — the corpus
+    health metric an LLM-data pipeline tracks per ingest source: a
+    source whose perplexity under the corpus's own bigram model jumps
+    is drifting (boilerplate floods score LOW, encoding soup HIGH).
+    Add-k smoothing (k=0.5) over the corpus vocabulary.
+
+    Determinism: the per-(source, bigram-type) term rounds
+    ``cnt·ln p`` to integer micro-nats FIRST (identical double inputs
+    built from exact counts in one shared op sequence), so the
+    cross-source sum is an exact BIGINT sum — order-independent under
+    any partitioning — and the one ln()/exp() libm call per TYPE sees
+    bit-identical inputs on both engines.
+
+    Scale: tokenize-explode is the scan; pair/context/vocab counts are
+    hash aggregates on (w1,w2)/(w1) with map-side partials; the terms
+    join shuffles the TYPE table (vocabulary-bounded, not
+    corpus-bounded) and the final aggregate is |sources| rows.
+    """
+    from ..operators.cache import tracked_persist
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.coalesce(F.col("source"), F.lit("(null)")).alias("source"),
+            F.split(F.trim(F.col("text")), r"\s+").alias("tk"),
+        )
+    )
+    docs = tracked_persist(docs)
+    big = (
+        docs.filter(F.size("tk") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(tk) - 2),"
+                    " i -> struct(tk[i] AS w1, tk[i + 1] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("source", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    big = tracked_persist(big)
+    v = docs.select(F.explode("tk").alias("w")).agg(
+        F.count_distinct("w").alias("vv")
+    )
+    pc = big.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
+    c1 = big.groupBy("w1").agg(F.count("*").alias("c_w1"))
+    sc = big.groupBy("source", "w1", "w2").agg(F.count("*").alias("cnt"))
+    terms = (
+        sc.join(pc, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(v))
+        .select(
+            "source",
+            "cnt",
+            F.floor(
+                F.col("cnt")
+                * F.log(
+                    (F.col("c_ab") + F.lit(0.5))
+                    / (F.col("c_w1") + F.lit(0.5) * F.col("vv"))
+                )
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            ).cast("long").alias("term"),
+        )
+    )
+    ce = terms.groupBy("source").agg(
+        F.sum("cnt").alias("n_bigrams"),
+        (
+            F.floor(
+                -(F.sum("term").cast("double") / F.lit(1000000.0))
+                / F.sum("cnt")
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
+        ).alias("cross_entropy"),
+    )
+    return ce.select(
+        "source",
+        "n_bigrams",
+        "cross_entropy",
+        (
+            F.floor(F.exp("cross_entropy") * F.lit(10000.0) + F.lit(0.5))
+            / F.lit(10000.0)
+        ).alias("perplexity"),
+    )

@@ -860,3 +860,106 @@ def kalman_revenue_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("z")
     ).select("z.day", "z.rev", "z.smoothed")
+
+
+@register(
+    "seasonal_trend_decompose",
+    oracle="""
+    WITH per_day AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18, 2))) * 100
+                    AS BIGINT) AS rev_cents
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY day
+    ), trended AS (
+        SELECT day, rev_cents,
+               sum(rev_cents) OVER w AS w_sum,
+               count(*) OVER w AS w_cnt
+        FROM per_day
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                                           AND 3 FOLLOWING)
+    ), scaled AS (
+        -- 420 = lcm(1..7): scaled detrended value is an EXACT BIGINT
+        -- for every partial-edge window width, so the per-DOW sums
+        -- below are order-independent integer arithmetic
+        SELECT ((date_diff('day', DATE '1970-01-05', day) % 7) + 7) % 7
+                   AS dow,
+               rev_cents,
+               rev_cents * 420 - w_sum * (420 // w_cnt) AS d420
+        FROM trended
+    )
+    SELECT dow, count(*) AS n_days,
+           floor((CAST(sum(rev_cents) AS DOUBLE) / count(*)) / 100.0
+                 * 1000000.0 + 0.5) / 1000000.0 AS avg_revenue,
+           floor(((CAST(sum(d420) AS DOUBLE) / 420.0) / count(*)) / 100.0
+                 * 1000000.0 + 0.5) / 1000000.0 AS seasonal
+    FROM scaled
+    GROUP BY dow
+    """,
+)
+def seasonal_trend_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal-trend decomposition of daily revenue (an
+    STL-lite): trend = centered 7-day moving average, seasonal = per-
+    weekday mean of the detrended series — the decomposition a demand
+    forecaster runs before modeling residuals (the multiplicative
+    cousin of ``dow_seasonality``).
+
+    Determinism — the lcm trick: daily revenue is EXACT integer cents;
+    the centered window yields (sum w_sum, count w_cnt) with w_cnt ≤ 7,
+    and 420 = lcm(1..7) makes ``rev·420 − w_sum·(420/w_cnt)`` an exact
+    BIGINT for every edge-partial width — so the detrended per-DOW
+    sums are pure integer arithmetic under any partitioning, and the
+    only doubles are the final shared-recipe divisions.  The weekday
+    key is days-since-epoch-Monday mod 7 (no dayofweek() convention).
+
+    Scale: fact scan -> per-day hash aggregate; the ±3-row window runs
+    over PER-DAY rows (metadata-sized by construction —
+    ``bounded_seq_window`` doctrine) and the final aggregate is 7
+    rows.
+    """
+    from ..operators.windows import bounded_seq_window
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
+    per_day = (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    w = bounded_seq_window(F.col("day")).rowsBetween(-3, 3)
+    trended = per_day.select(
+        "day",
+        "rev_cents",
+        F.sum("rev_cents").over(w).alias("w_sum"),
+        F.count("*").over(w).alias("w_cnt"),
+    )
+    scaled = trended.select(
+        (
+            (
+                (F.datediff(F.col("day"), F.lit("1970-01-05").cast("date"))
+                 % 7) + 7
+            ) % 7
+        ).alias("dow"),
+        "rev_cents",
+        (
+            F.col("rev_cents") * 420
+            - F.col("w_sum") * F.expr("420 div w_cnt")
+        ).alias("d420"),
+    )
+
+    def r6(col: F.Column) -> F.Column:
+        return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+    return scaled.groupBy("dow").agg(
+        F.count("*").alias("n_days"),
+        r6(
+            (F.sum("rev_cents").cast("double") / F.count("*")) / F.lit(100.0)
+        ).alias("avg_revenue"),
+        r6(
+            (F.sum("d420").cast("double") / F.lit(420.0) / F.count("*"))
+            / F.lit(100.0)
+        ).alias("seasonal"),
+    )

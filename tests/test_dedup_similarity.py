@@ -259,7 +259,9 @@ def test_hyperplane_lsh_recall_and_no_false_positives(spark):
     assert lsh <= exact  # exact verification -> no false positives
     assert exact, "fixture must contain at least one true pair"
     recall = len(lsh & exact) / len(exact)
-    assert recall >= 0.75, f"recall {recall:.2f} too low"
+    # r8 multi-probe defaults measure 0.986 at sf0.1 / 1.0 at sf0.001;
+    # pin well above the old no-probe 0.93 so a probe regression fails
+    assert recall >= 0.95, f"recall {recall:.2f} too low"
 
 
 def test_knn_graph_matches_brute_force(spark):
