@@ -152,21 +152,21 @@ _GRADED_FIRST = [
     "log_line_filters", "log_parse_roundtrip",
     "mix_sources_token_budget", "multimodal_binary",
     "multimodal_decode_meta", "order_value_percentiles",
-    "pack_training_sequences",
+    "pack_training_sequences", "per_class_report",
+    "pr_curve_threshold", "pr_threshold_binned",
 ]
 
 # ROUND-9 HEAD PLAN (written during round 8): lead with any round-9
 # additions/changed plans, then the r4-family remainder
-# (per_class_report, pr_curve_threshold, pr_threshold_binned,
-# profile_orders_columns, purchase_funnel,
+# (profile_orders_columns, purchase_funnel,
 # sample_documents_stratified, sample_per_group,
 # scalar_date_arithmetic, shuffle_training_order,
 # simhash_fingerprints, tumbling_event_windows, unigram_logprob,
-# wire_formats_roundtrip — the 13 r4 hash grades not re-graded in
-# r8 — plus the rows-only r4 trio minhash_neardup / neardup-adjacent
-# if slots remain), then the r5 family oldest-first.  Keep the
-# standing rule: every new query passes the adversarial sweeps before
-# entering the head.
+# wire_formats_roundtrip — the 10 r4 hash grades not re-graded in
+# r8), then the r5 family oldest-first (ab_test_zstat,
+# adamic_adar_parts, autocorr_daily_revenue, ... alphabetical).
+# Keep the standing rule: every new query passes the adversarial
+# sweeps before entering the head.
 
 
 

@@ -52,6 +52,16 @@ def kafka_source(spark: SparkSession, brokers: str, topic: str = "fraud_topic",
     Unparseable payloads (T6, FD/consumer.py:158-159) survive with the
     corrupt-record field set — route them with :func:`split_dead_letters`
     instead of crash-or-drop.
+
+    Environment note: this sandbox ships neither the
+    spark-sql-kafka-0-10 connector jar nor any broker artifact, and has
+    no network to fetch them (round-7 and round-8 attempts recorded at
+    tests/artifacts/kafka_broker_attempt.txt), so the live round-trip
+    is proxied: the producer's value bytes are byte-parity-tested and
+    the same bytes stream through a file-backed readStream into this
+    identical parse+score pipeline.  Against a real cluster this
+    function is the only site that changes behavior — and it already
+    is the change.
     """
     reader = (
         spark.readStream.format("kafka")
