@@ -895,3 +895,59 @@ def cms_sketch_stream(pairs: DataFrame, w: int = 64) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+GRID_STREAM_STATE_SCHEMA = T.StructType(
+    [T.StructField("cnt", T.LongType())]
+)
+
+GRID_STREAM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("b", T.LongType()),
+        T.StructField("cnt", T.LongType()),
+    ]
+)
+
+
+def grid_cells_stream(cells_in: DataFrame) -> DataFrame:
+    """Streaming dual of the ``grid_quantile_sketch`` cell table —
+    completes the sketch-dual monoid family (HLL max / CMS sum /
+    bloom OR / grid SUM): the sketch IS the (event_type × bucket)
+    count table, state is ONE long per live cell, and cells merge by
+    cell-wise sum, so the streamed table equals the batch aggregate
+    integer-for-integer under any micro-batch sharding (parity is
+    equality, tested).  Quantile estimates then run the batch
+    estimator over the streamed cells — no second definition of the
+    interpolation exists (the ``hll_bucket_rank`` shared-definition
+    doctrine).
+
+    Input: (event_type, b) rows built with the SAME JVM bucket
+    expression the batch query uses (``floor(value / W)``); keying by
+    the cell id keeps per-key state O(1) and lets the state store
+    scale with LIVE cells only — the 100 TB shape, since cells are
+    domain/width-bounded per type while rows are not.
+    """
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (cnt,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            cnt += len(pdf)
+        state.update((cnt,))
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "b": [int(key[1])], "cnt": [int(cnt)]}
+        )
+
+    return (
+        cells_in.select("event_type", "b")
+        .groupBy("event_type", "b")
+        .applyInPandasWithState(
+            update,
+            outputStructType=GRID_STREAM_OUTPUT_SCHEMA,
+            stateStructType=GRID_STREAM_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

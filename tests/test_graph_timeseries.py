@@ -1049,3 +1049,77 @@ class TestBloomStreamParity:
             q.stop()
         stream_mask = {r.w: r.word for r in rows}
         assert stream_mask == batch_mask and len(batch_mask) > 0
+
+
+class TestGridCellsStreamParity:
+    def test_grid_cells_merge_to_exact_batch_table(
+        self, spark, sf_dir, tmp_path
+    ):
+        """Grid-quantile cells merge by cell-wise sum — the streamed
+        (event_type, bucket) count table must EQUAL the batch
+        aggregate (pure integers) under parity-sharded micro-batches;
+        buckets built with the same JVM floor(value / W) on both
+        sides.  Completes the sketch-dual monoid family."""
+        from real___time_fraud_detection_using_apache_kafka_spark.plans.queries_sketch import (
+            GRID_QUANTILE_W,
+        )
+        from real___time_fraud_detection_using_apache_kafka_spark.sources.tables import (
+            load_table,
+        )
+        from real___time_fraud_detection_using_apache_kafka_spark.streaming.stateful import (
+            grid_cells_stream,
+        )
+
+        def cells_of(df):
+            return df.filter(F.col("value").isNotNull()).select(
+                "event_id",
+                F.coalesce(F.col("event_type"), F.lit("(null)"))
+                .alias("event_type"),
+                F.floor(F.col("value") / F.lit(GRID_QUANTILE_W))
+                .cast("long")
+                .alias("b"),
+            )
+
+        e = load_table(spark, sf_dir, "events")
+        batch_cells = {
+            (r.event_type, r.b): r.c
+            for r in cells_of(e)
+            .groupBy("event_type", "b")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        }
+
+        src, ckpt = f"{tmp_path}/src", f"{tmp_path}/ckpt"
+        write_batch = _atomic_batch_writer(tmp_path, src)
+        write_batch(cells_of(e.filter(F.col("event_id") % 2 == 0)))
+        stream = (
+            spark.readStream.schema("v string").text(src)
+            .select(
+                F.from_json(
+                    F.col("v"), "event_id long, event_type string, b long"
+                ).alias("e")
+            )
+            .select("e.*")
+        )
+        q = (
+            grid_cells_stream(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("grid_t")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            write_batch(cells_of(e.filter(F.col("event_id") % 2 == 1)))
+            q.processAllAvailable()
+            rows = spark.sql(
+                "SELECT event_type, b, cnt FROM ("
+                " SELECT *, row_number() OVER ("
+                "   PARTITION BY event_type, b ORDER BY cnt DESC) rk"
+                " FROM grid_t) WHERE rk = 1"
+            ).collect()
+        finally:
+            q.stop()
+        stream_cells = {(r.event_type, r.b): r.cnt for r in rows}
+        assert stream_cells == batch_cells
