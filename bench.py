@@ -146,6 +146,13 @@ HEADLINE = [
     "grid_quantile_sketch",
     "categorical_drift_audit",
     "attribution_time_decay",
+    # round-8 additions: segmentation cube, association rules, corpus
+    # LM health, feature ranking, seasonal decomposition
+    "rfm_segmentation",
+    "market_basket_rules",
+    "bigram_perplexity",
+    "feature_info_gain",
+    "seasonal_trend_decompose",
 ]
 
 

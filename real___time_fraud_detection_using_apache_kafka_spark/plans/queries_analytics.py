@@ -1414,7 +1414,11 @@ def part_revenue_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), s AS (
         SELECT recency_days, frequency, monetary,
                ntile(4) OVER (ORDER BY recency_days, o_custkey) AS r_score,
-               ntile(4) OVER (ORDER BY frequency, o_custkey)    AS f_score,
+               -- o_custkey % 16 before the id mirrors the Spark
+               -- balance sub-bucket (the user_rfm_segments pattern);
+               -- still a deterministic total order
+               ntile(4) OVER (ORDER BY frequency, o_custkey % 16,
+                              o_custkey) AS f_score,
                ntile(4) OVER (ORDER BY monetary NULLS LAST, o_custkey)
                    AS m_score
         FROM c
@@ -1429,21 +1433,27 @@ def part_revenue_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM customer segmentation — the classic marketing cube: each
-    customer scored 1-4 on Recency (days since last order, ascending:
-    1 = most recent), Frequency and Monetary quartiles, then the 64
-    (r,f,m) cells summarized.  The segmentation every
-    retention/campaign pipeline runs before anything fancier.
+    """RFM segmentation of the ORDERS fact — the customer-dimension
+    counterpart of ``user_rfm_segments`` (which scores purchase
+    EVENTS per user and emits per-entity rows): same distributed-rank
+    machinery, but collapsed to the 64-cell (r,f,m) segment cube a
+    campaign dashboard consumes, with recency measured in days against
+    the corpus max order date.  Each customer scores 1-4 on Recency
+    (ascending: 1 = most recent), Frequency and Monetary quartiles.
 
     Exact ntile WITHOUT an unpartitioned window (the engine's standing
-    no-single-partition doctrine): each quartile rides
-    ``bucketed_global_rank`` (per-bucket hash shuffle + local
-    row_number + plan-side offset prefix-sum) and the closed-form
-    ``ntile_from_rank`` — three distributed rank passes over the
-    CUSTOMER-dimension frame (metadata-small next to orders; ~100M
-    rows at 100 TB, each pass the cost of one distributed sort).  Ties
-    break on o_custkey in both engines; NULL monetary (nulled sweep)
-    is pinned NULLS LAST on both sides.
+    no-single-partition doctrine): each quartile is an INDEPENDENT
+    ``bucketed_global_rank`` subtree off the persisted customer
+    collapse (chaining rank-on-rank would double the recomputed
+    lineage per pass — the helper consumes its input twice), folded
+    with the closed-form ``ntile_from_rank`` and joined back on
+    o_custkey.  The frequency bucket carries the (value, custkey%16)
+    balance sub-bucket (ADVICE r5 / user_rfm_segments pattern): a
+    small-integer order-count domain would otherwise funnel hot values
+    into single-task sorts; the oracle states the matching total
+    order.  Ties break on o_custkey in both engines; NULL monetary
+    (nulled sweep) is pinned NULLS LAST on both sides, its bucket
+    pinned to +inf so the bucket stays a monotone prefix of the order.
     """
     from ..operators.cache import tracked_persist
     from ..operators.windows import bucketed_global_rank, ntile_from_rank
@@ -1465,38 +1475,40 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("monetary"),
         )
     )
-    # consumed twice per rank pass (counts + ranking) x 3 passes
+    # consumed twice per rank pass (counts + ranking) x 3 subtrees
     cust = tracked_persist(cust)
-    d = bucketed_global_rank(
-        cust,
+
+    def quartile(bucket, order, name):
+        ranked = bucketed_global_rank(cust, bucket, order,
+                                      rank_col="_r", total_col="_n")
+        return ranked.select(
+            "o_custkey",
+            ntile_from_rank(F.col("_r"), F.col("_n"), 4).alias(name),
+        )
+
+    r = quartile(
         F.col("recency_days"),
-        [F.col("recency_days"), F.col("o_custkey")],
-        rank_col="_rr",
-        total_col="_n",
+        [F.asc("recency_days"), F.asc("o_custkey")],
+        "r_score",
     )
-    d = bucketed_global_rank(
-        d,
-        F.col("frequency"),
-        [F.col("frequency"), F.col("o_custkey")],
-        rank_col="_fr",
+    h16 = F.pmod(F.col("o_custkey"), F.lit(16))
+    f = quartile(
+        F.struct(F.col("frequency").alias("v"), h16.alias("h")),
+        [F.asc("frequency"), h16.asc(), F.asc("o_custkey")],
+        "f_score",
     )
-    # NULLS LAST mirrors DuckDB's ASC default (Spark defaults first);
-    # bucket key must follow the same placement, so null -> +inf bucket
-    d = bucketed_global_rank(
-        d,
+    m = quartile(
         F.when(
             F.col("monetary").isNull(), F.lit(2**62)
         ).otherwise(F.floor(F.col("monetary") / 100).cast("long")),
-        [F.col("monetary").asc_nulls_last(), F.col("o_custkey")],
-        rank_col="_mr",
+        [F.col("monetary").asc_nulls_last(), F.asc("o_custkey")],
+        "m_score",
     )
-    scored = d.select(
-        "recency_days",
-        "frequency",
-        "monetary",
-        ntile_from_rank(F.col("_rr"), F.col("_n"), 4).alias("r_score"),
-        ntile_from_rank(F.col("_fr"), F.col("_n"), 4).alias("f_score"),
-        ntile_from_rank(F.col("_mr"), F.col("_n"), 4).alias("m_score"),
+    scored = (
+        cust.select("o_custkey", "recency_days", "frequency", "monetary")
+        .join(r, "o_custkey")
+        .join(f, "o_custkey")
+        .join(m, "o_custkey")
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count("*").alias("n_customers"),
