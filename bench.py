@@ -153,6 +153,13 @@ HEADLINE = [
     "bigram_perplexity",
     "feature_info_gain",
     "seasonal_trend_decompose",
+    # round-8 batch 2: hypothesis testing, burstiness, CV folds,
+    # calibration decomposition, sessionized bounce analytics
+    "welch_ttest_value",
+    "user_burstiness",
+    "stratified_kfold",
+    "brier_decomposition",
+    "session_bounce_stats",
 ]
 
 

@@ -1442,18 +1442,20 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ascending: 1 = most recent), Frequency and Monetary quartiles.
 
     Exact ntile WITHOUT an unpartitioned window (the engine's standing
-    no-single-partition doctrine): each quartile is an INDEPENDENT
-    ``bucketed_global_rank`` subtree off the persisted customer
-    collapse (chaining rank-on-rank would double the recomputed
-    lineage per pass — the helper consumes its input twice), folded
-    with the closed-form ``ntile_from_rank`` and joined back on
-    o_custkey.  The frequency bucket carries the (value, custkey%16)
-    balance sub-bucket (ADVICE r5 / user_rfm_segments pattern): a
-    small-integer order-count domain would otherwise funnel hot values
-    into single-task sorts; the oracle states the matching total
-    order.  Ties break on o_custkey in both engines; NULL monetary
-    (nulled sweep) is pinned NULLS LAST on both sides, its bucket
-    pinned to +inf so the bucket stays a monotone prefix of the order.
+    no-single-partition doctrine), and without one rank subtree per
+    metric: the three metrics MELT into (metric_id, v1, v2) rows over
+    the persisted customer collapse and share ONE
+    ``bucketed_global_rank`` under the total order (metric_id, v1, v2,
+    custkey) — each metric owns a contiguous n-row bucket range, so
+    its quartile is the closed-form ``ntile_from_rank`` of
+    (global_rank - metric_id·n).  The frequency order carries the
+    custkey%16 balance sub-key (ADVICE r5 / user_rfm_segments
+    pattern): a small-integer order-count domain would otherwise
+    funnel hot values into single-task sorts; the oracle states the
+    matching total order.  Ties break on o_custkey in both engines;
+    NULL metric values and NULL keys are pinned to +inf (= the
+    oracle's default NULLS LAST) so the bucket stays a monotone
+    prefix of the order on both sides.
     """
     from ..operators.cache import tracked_persist
     from ..operators.windows import bucketed_global_rank, ntile_from_rank
@@ -1475,40 +1477,88 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("monetary"),
         )
     )
-    # consumed twice per rank pass (counts + ranking) x 3 subtrees
+    # consumed twice by the single rank pass (counts + ranking) plus
+    # the final join-back
     cust = tracked_persist(cust)
 
-    def quartile(bucket, order, name):
-        ranked = bucketed_global_rank(cust, bucket, order,
-                                      rank_col="_r", total_col="_n")
-        return ranked.select(
-            "o_custkey",
-            ntile_from_rank(F.col("_r"), F.col("_n"), 4).alias(name),
+    # MELTED single-pass ranking (r8 rewrite of the r8 rewrite: three
+    # independent bucketed_global_rank subtrees each paid the full
+    # count+offsets+window+join stage chain, and the original
+    # floor(monetary/100) bucket made ~12k buckets — at O(n_buckets²)
+    # interpreted adds in _plan_side_offsets that was a 24 s query).
+    # Instead the three metrics EXPLODE to (metric_id, v1, v2) rows —
+    # 3n rows, one frame — and ONE bucketed rank under the total order
+    # (metric_id, v1, v2, custkey) serves all three: each metric owns a
+    # contiguous bucket range of exactly n rows, so its local rank is
+    # global_rank - metric_id·n, and n = grand_total div 3.  One
+    # count+window+broadcast chain, one custkey pivot — same exact
+    # quartiles, ~5x less fixed stage latency, and every bucket domain
+    # is capped at a few hundred cells (widths below; per-customer
+    # metric ranges are SF-independent, so caps hold at any scale —
+    # width moves task balance, never ranks).
+    BIG = 2**62  # NULLS-LAST pin: the oracle's default null order
+    ck = F.coalesce(F.col("o_custkey"), F.lit(BIG))
+    h16 = F.coalesce(F.pmod(F.col("o_custkey"), F.lit(16)), F.lit(16))
+    cents = (F.col("monetary") * 100).cast("long")
+    metrics = F.array(
+        F.struct(
+            F.lit(0).alias("mid"),
+            F.coalesce(F.col("recency_days").cast("long"), F.lit(BIG))
+            .alias("v1"),
+            F.lit(0).cast("long").alias("v2"),
+            F.coalesce(
+                F.floor(F.col("recency_days") / 8).cast("long"), F.lit(BIG)
+            ).alias("bbkt"),
+        ),
+        F.struct(
+            F.lit(1).alias("mid"),
+            F.col("frequency").cast("long").alias("v1"),
+            h16.cast("long").alias("v2"),
+            (F.least(F.col("frequency"), F.lit(1024)) * 17 + h16)
+            .cast("long")
+            .alias("bbkt"),
+        ),
+        F.struct(
+            F.lit(2).alias("mid"),
+            F.coalesce(cents, F.lit(BIG)).alias("v1"),
+            F.lit(0).cast("long").alias("v2"),
+            F.coalesce(
+                F.floor(cents / 1_638_400), F.lit(BIG)
+            ).alias("bbkt"),
+        ),
+    )
+    melted = cust.select(
+        "o_custkey", ck.alias("_ck"), F.explode(metrics).alias("_m")
+    ).select("o_custkey", "_ck", "_m.mid", "_m.v1", "_m.v2", "_m.bbkt")
+    ranked = bucketed_global_rank(
+        melted,
+        F.struct(F.col("mid"), F.col("bbkt")),
+        [F.asc("v1"), F.asc("v2"), F.asc("_ck")],
+        rank_col="_r",
+        total_col="_n",
+    )
+    n_cust = F.expr("_n div 3")
+    score = ntile_from_rank(
+        F.col("_r") - F.col("mid") * n_cust, n_cust, 4
+    )
+    scores = (
+        ranked.select("o_custkey", "mid", score.alias("_s"))
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.when(F.col("mid") == 0, F.col("_s"))).alias("r_score"),
+            F.max(F.when(F.col("mid") == 1, F.col("_s"))).alias("f_score"),
+            F.max(F.when(F.col("mid") == 2, F.col("_s"))).alias("m_score"),
         )
-
-    r = quartile(
-        F.col("recency_days"),
-        [F.asc("recency_days"), F.asc("o_custkey")],
-        "r_score",
     )
-    h16 = F.pmod(F.col("o_custkey"), F.lit(16))
-    f = quartile(
-        F.struct(F.col("frequency").alias("v"), h16.alias("h")),
-        [F.asc("frequency"), h16.asc(), F.asc("o_custkey")],
-        "f_score",
-    )
-    m = quartile(
-        F.when(
-            F.col("monetary").isNull(), F.lit(2**62)
-        ).otherwise(F.floor(F.col("monetary") / 100).cast("long")),
-        [F.col("monetary").asc_nulls_last(), F.asc("o_custkey")],
-        "m_score",
-    )
+    # eqNullSafe: a NULL-custkey group must survive the join-back (the
+    # oracle's GROUP BY keeps it; a plain equi-join would drop it)
     scored = (
         cust.select("o_custkey", "recency_days", "frequency", "monetary")
-        .join(r, "o_custkey")
-        .join(f, "o_custkey")
-        .join(m, "o_custkey")
+        .join(
+            scores.withColumnRenamed("o_custkey", "_sk"),
+            F.col("o_custkey").eqNullSafe(F.col("_sk")),
+        )
+        .drop("_sk")
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count("*").alias("n_customers"),

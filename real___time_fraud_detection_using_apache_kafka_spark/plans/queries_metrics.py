@@ -884,3 +884,199 @@ def feature_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(hy_raw - ce_raw).alias("info_gain"),
         )
     )
+
+
+# ----------------------------------------------- stratified k-fold --
+def _kfold_oracle() -> str:
+    from ..functions.hashing import poly_hash_duckdb
+
+    h = poly_hash_duckdb("(cast(user_id AS VARCHAR) || ':fold')")
+    return (
+        SCORED_CTE
+        + f"""
+    , folded AS (
+        SELECT {h} % 5 AS fold, user_id, actual, predicted,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM scored WHERE user_id IS NOT NULL
+    )
+    SELECT CAST(fold AS BIGINT) AS fold,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(actual) AS BIGINT) AS n_positive,
+           round(sum(actual) / CAST(count(*) AS DOUBLE), 6) AS positive_rate,
+           round(sum(predicted) / CAST(count(*) AS DOUBLE), 6) AS alert_rate,
+           round((CAST(sum(cents) AS DOUBLE) / count(*)) / 100.0, 6)
+               AS mean_value
+    FROM folded GROUP BY fold
+    """
+    )
+
+
+@register("stratified_kfold", oracle=_kfold_oracle())
+def stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment audit (the cross-validation
+    prerequisite M6 generalizes to): every event lands in one of 5
+    folds by the portable keyed hash of its USER — grouping by entity,
+    not by row, so no user leaks across the train/validation boundary
+    (row-hashed folds would put the same account on both sides, the
+    standard CV leakage bug).  The output is the balance report a
+    pipeline checks before trusting CV variance: per-fold event count,
+    user count, label rate, alert rate, mean value.
+
+    Determinism: the fold is the engine-portable polynomial hash
+    (reproducible across retries and engines — ``rand()`` folds
+    re-deal every run); counts are exact integers, the value mean
+    accumulates exact cents, and the published doubles share one op
+    sequence.
+
+    Scale shape: one hash aggregate keyed by the 5 folds with map-side
+    partials (count-distinct users adds the usual two-level expand;
+    users-per-fold state is entity-bounded) — no shuffle beyond the
+    5-key reduce, no window, no join."""
+    from ..functions.hashing import poly_hash_expr
+
+    s = scored_events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    fold = F.pmod(
+        poly_hash_expr("concat(cast(user_id as string), ':fold')"), F.lit(5)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        s.select(
+            fold.alias("fold"), "user_id", "actual", "predicted",
+            cents.alias("cents"),
+        )
+        .groupBy("fold")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.sum("actual").alias("n_positive"),
+            F.round(
+                F.sum("actual") / F.count("*").cast("double"), 6
+            ).alias("positive_rate"),
+            F.round(
+                F.sum("predicted") / F.count("*").cast("double"), 6
+            ).alias("alert_rate"),
+            F.round(
+                (F.sum("cents").cast("double") / F.count("*")) / 100.0, 6
+            ).alias("mean_value"),
+        )
+    )
+
+
+# ------------------------------------------- Brier decomposition --
+@register(
+    "brier_decomposition",
+    oracle=SCORED_CTE
+    + """
+    , units AS (
+        -- u = cents - 50000*y  ==>  (score - y) = u / 50000 exactly
+        SELECT least(cast(floor(score * 10) AS BIGINT), 9) AS bin,
+               actual,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               CAST(round(value * 100) AS BIGINT) - 50000 * actual AS u
+        FROM scored
+    ), bins AS (
+        SELECT bin, count(*) AS n_k, sum(actual) AS pos_k,
+               sum(cents) AS cents_k
+        FROM units GROUP BY bin
+    ), tot AS (
+        SELECT sum(n_k) AS n, sum(pos_k) AS pos,
+               (SELECT sum(u * u) FROM units) AS uu
+        FROM bins
+    ), parts AS (
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(pos AS DOUBLE) / n AS ybar,
+               CAST(uu AS DOUBLE) / (2500000000.0 * n) AS brier,
+               (SELECT sum(n_k * ((CAST(cents_k AS DOUBLE) / n_k) / 50000.0
+                                  - CAST(pos_k AS DOUBLE) / n_k)
+                              * ((CAST(cents_k AS DOUBLE) / n_k) / 50000.0
+                                 - CAST(pos_k AS DOUBLE) / n_k))
+                FROM bins) / CAST(n AS DOUBLE) AS reliability,
+               (SELECT sum(n_k * (CAST(pos_k AS DOUBLE) / n_k
+                                  - CAST(pos AS DOUBLE) / n)
+                              * (CAST(pos_k AS DOUBLE) / n_k
+                                 - CAST(pos AS DOUBLE) / n))
+                FROM bins) / CAST(n AS DOUBLE) AS resolution
+        FROM tot
+    )
+    SELECT n, round(ybar, 6) AS base_rate,
+           round(brier, 6) AS brier,
+           round(reliability, 6) AS reliability,
+           round(resolution, 6) AS resolution,
+           round(ybar * (1 - ybar), 6) AS uncertainty,
+           round(reliability - resolution + ybar * (1 - ybar), 6)
+               AS brier_binned
+    FROM parts
+    """,
+)
+def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score over the 10 fixed score
+    deciles (the monitoring companion to ``calibration_curve`` and
+    ``log_loss``): BS_binned = RELIABILITY (calibration error, lower
+    better) - RESOLUTION (how far bin outcome rates move from the base
+    rate, higher better) + UNCERTAINTY (base-rate variance, data
+    property).  The raw Brier rides along; raw - binned is the
+    within-bin score variance the decomposition quantizes away.
+
+    Determinism: with exact-cent scores, (score - y) = u/50000 for the
+    INTEGER u = cents - 50000y, so the raw Brier is one exact integer
+    Σu² (DECIMAL accumulation) divided once; every bin cell is exact
+    integers and the decomposition's doubles share one op sequence in
+    both engines, rounded at 6.
+
+    Scale shape: one 10-key hash aggregate (+ the Σu² cell on the same
+    scan shape), one broadcastable 10-row reduce — O(1) state, stream-
+    incremental under the same cells."""
+    s = scored_events(spark, sf_dir)
+    b = F.least(F.floor(F.col("score") * 10).cast("long"), F.lit(9).cast("long"))
+    cents = F.round(F.col("value") * 100).cast("long")
+    u = cents - F.lit(50000) * F.col("actual")
+    units = s.select(
+        b.alias("bin"), "actual", cents.alias("cents"), u.alias("u")
+    )
+    bins = units.groupBy("bin").agg(
+        F.count("*").alias("n_k"),
+        F.sum("actual").alias("pos_k"),
+        F.sum("cents").alias("cents_k"),
+        F.sum((F.col("u") * F.col("u")).cast("decimal(38,0)")).alias("uu_k"),
+    )
+    nk = F.col("n_k")
+    sbar = (F.col("cents_k").cast("double") / nk) / 50000.0
+    ybark = F.col("pos_k").cast("double") / nk
+    tot = bins.agg(
+        F.sum("n_k").alias("n"),
+        F.sum("pos_k").alias("pos"),
+        F.sum("uu_k").alias("uu"),
+        F.sum(nk * (sbar - ybark) * (sbar - ybark)).alias("rel_num"),
+        # sort_array pins the fold order (bin is the struct's first
+        # field), so the resolution fold below is run-deterministic
+        F.sort_array(F.collect_list(F.struct("bin", "n_k", "pos_k")))
+        .alias("_cells"),
+    )
+    n = F.col("n")
+    ybar = F.col("pos").cast("double") / n
+    # resolution needs ybar (a global), so fold the 10 retained cells
+    # with a higher-order aggregate — still O(bins) driver-free work
+    res_num = F.aggregate(
+        "_cells",
+        F.lit(0.0),
+        lambda acc, cell: acc
+        + cell["n_k"]
+        * (cell["pos_k"].cast("double") / cell["n_k"] - ybar)
+        * (cell["pos_k"].cast("double") / cell["n_k"] - ybar),
+    )
+    return tot.select(
+        n.alias("n"),
+        F.round(ybar, 6).alias("base_rate"),
+        F.round(F.col("uu").cast("double") / (2500000000.0 * n), 6)
+        .alias("brier"),
+        F.round(F.col("rel_num") / n.cast("double"), 6).alias("reliability"),
+        F.round(res_num / n.cast("double"), 6).alias("resolution"),
+        F.round(ybar * (1 - ybar), 6).alias("uncertainty"),
+        F.round(
+            F.col("rel_num") / n.cast("double")
+            - res_num / n.cast("double")
+            + ybar * (1 - ybar),
+            6,
+        ).alias("brier_binned"),
+    )

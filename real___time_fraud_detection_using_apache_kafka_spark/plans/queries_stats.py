@@ -931,3 +931,194 @@ def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.count_distinct("user_id").alias("active_7d"))
     )
+
+
+# ---------------------------------------------------- Welch t-test --
+@register(
+    "welch_ttest_value",
+    oracle="""
+    WITH cents AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+        FROM events
+        WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+    ), cells AS (
+        SELECT
+            sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_a,
+            sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS n_b,
+            sum(CASE WHEN event_type = 'purchase' THEN c ELSE 0 END) AS s_a,
+            sum(CASE WHEN event_type = 'click'    THEN c ELSE 0 END) AS s_b,
+            sum(CASE WHEN event_type = 'purchase' THEN c * c ELSE 0 END) AS ss_a,
+            sum(CASE WHEN event_type = 'click'    THEN c * c ELSE 0 END) AS ss_b
+        FROM cents
+    ), stats AS (
+        SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               CAST(s_a AS DOUBLE) / n_a AS m_a,
+               CAST(s_b AS DOUBLE) / n_b AS m_b,
+               (CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * (CAST(s_a AS DOUBLE) / n_a)) / (n_a - 1) AS v_a,
+               (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * (CAST(s_b AS DOUBLE) / n_b)) / (n_b - 1) AS v_b
+        FROM cells
+    )
+    SELECT n_a, n_b,
+           round(m_a / 100.0, 6) AS mean_a,
+           round(m_b / 100.0, 6) AS mean_b,
+           round(sqrt(v_a) / 100.0, 6) AS sd_a,
+           round(sqrt(v_b) / 100.0, 6) AS sd_b,
+           round((m_a - m_b) / nullif(sqrt(v_a / n_a + v_b / n_b), 0), 6)
+               AS t_stat,
+           round((v_a / n_a + v_b / n_b) * (v_a / n_a + v_b / n_b)
+                 / nullif((v_a / n_a) * (v_a / n_a) / (n_a - 1)
+                          + (v_b / n_b) * (v_b / n_b) / (n_b - 1), 0), 6)
+               AS df_welch
+    FROM stats
+    """,
+)
+def welch_ttest_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between the purchase-value and
+    click-value populations (the hypothesis-testing complement to
+    ``ab_test_zstat``'s proportion test: means instead of rates, with
+    the Welch-Satterthwaite degrees of freedom for unequal variances).
+
+    Determinism: values are exact cents, so per-group count / sum /
+    sum-of-squares are pure integer cells (DECIMAL/HUGEINT
+    accumulation — order-independent under any partitioning; cents² is
+    ~2.4e9 per row, far past int64 at 100 TB row counts, hence the
+    DECIMAL(38,0) casts on the Spark side).  Every published double
+    derives from those cells through the IDENTICAL closed-form op
+    sequence in both engines, rounded at 6; NULLIF guards the
+    degenerate zero-variance case on both sides.
+
+    Scale shape: ONE conditional-sum aggregate over the filtered scan
+    (map-side partials, O(1) reduce state) — no grouping, no shuffle
+    beyond the single global reduce; the same cells are mergeable
+    across days, so the test statistic rolls up incrementally."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("purchase", "click")
+    )
+    c = F.round(F.col("value") * 100).cast("long")
+    is_a = F.col("event_type") == "purchase"
+    dec = "decimal(38,0)"
+    cells = e.select(c.alias("c"), is_a.alias("is_a")).agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("is_a"), F.col("c")).otherwise(0)).alias("s_a"),
+        F.sum(F.when(~F.col("is_a"), F.col("c")).otherwise(0)).alias("s_b"),
+        F.sum(
+            F.when(F.col("is_a"), (F.col("c") * F.col("c")).cast(dec))
+            .otherwise(F.lit(0).cast(dec))
+        ).alias("ss_a"),
+        F.sum(
+            F.when(~F.col("is_a"), (F.col("c") * F.col("c")).cast(dec))
+            .otherwise(F.lit(0).cast(dec))
+        ).alias("ss_b"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    sa, sb = F.col("s_a").cast("double"), F.col("s_b").cast("double")
+    ma, mb = sa / na, sb / nb
+    va = (F.col("ss_a").cast("double") - sa * (sa / na)) / (na - 1)
+    vb = (F.col("ss_b").cast("double") - sb * (sb / nb)) / (nb - 1)
+    se2 = va / na + vb / nb
+    return cells.select(
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        F.round(ma / 100.0, 6).alias("mean_a"),
+        F.round(mb / 100.0, 6).alias("mean_b"),
+        F.round(F.sqrt(va) / 100.0, 6).alias("sd_a"),
+        F.round(F.sqrt(vb) / 100.0, 6).alias("sd_b"),
+        F.round((ma - mb) / F.nullif(F.sqrt(se2), F.lit(0.0)), 6)
+        .alias("t_stat"),
+        F.round(
+            se2 * se2
+            / F.nullif(
+                (va / na) * (va / na) / (na - 1)
+                + (vb / nb) * (vb / nb) / (nb - 1),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("df_welch"),
+    )
+
+
+# ------------------------------------------------- user burstiness --
+@register(
+    "user_burstiness",
+    oracle="""
+    WITH ud AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS c
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        GROUP BY 1, 2
+    ), per_user AS (
+        SELECT user_id,
+               count(*) AS n_days,
+               sum(c) AS sc,
+               sum(c * c) AS ssc,
+               max(c) AS peak_day
+        FROM ud GROUP BY user_id HAVING count(*) >= 10
+    ), scored AS (
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(n_days AS BIGINT) AS n_days,
+               CAST(sc AS BIGINT) AS n_events,
+               CAST(peak_day AS BIGINT) AS peak_day,
+               round(CAST(sc AS DOUBLE) / n_days, 6) AS mean_daily,
+               round(((CAST(ssc AS DOUBLE)
+                       - CAST(sc AS DOUBLE) * (CAST(sc AS DOUBLE) / n_days))
+                      / (n_days - 1))
+                     / (CAST(sc AS DOUBLE) / n_days), 6) AS fano
+        FROM per_user
+    )
+    SELECT * FROM scored
+    ORDER BY fano DESC, user_id
+    LIMIT 20
+    """,
+)
+def user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness audit: the Fano factor (index of dispersion,
+    sample-variance / mean of per-ACTIVE-day event counts) per user,
+    top-20 most bursty.  Fano >> 1 marks users whose activity arrives
+    in bursts rather than uniformly — a classic fraud-velocity signal
+    (the per-day twin of ``rolling_user_velocity``'s within-hour rate)
+    and a standard overdispersion diagnostic vs the Poisson null.
+
+    Determinism: daily counts are exact integers, so per-user
+    (n_days, Σc, Σc²) cells are exact under any partitioning; the
+    variance/mean closed form is the IDENTICAL double op sequence both
+    engines, rounded at 6 BEFORE the top-20 cut, with user_id as the
+    tie-break — a last-ulp divergence cannot flip membership.
+
+    Scale shape: two hash aggregates (events → user×day, → user) —
+    both map-side combinable, both key-bounded (users × ≤span days);
+    the top-20 is a distributed take-ordered over the per-user frame,
+    NOT an unpartitioned window."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    ud = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("c")
+    )
+    per_user = (
+        ud.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum("c").alias("sc"),
+            F.sum(F.col("c") * F.col("c")).alias("ssc"),
+            F.max("c").alias("peak_day"),
+        )
+        .filter(F.col("n_days") >= 10)
+    )
+    nd = F.col("n_days")
+    sc, ssc = F.col("sc").cast("double"), F.col("ssc").cast("double")
+    mean = sc / nd
+    fano = ((ssc - sc * (sc / nd)) / (nd - 1)) / (sc / nd)
+    return (
+        per_user.select(
+            "user_id",
+            "n_days",
+            F.col("sc").alias("n_events"),
+            "peak_day",
+            F.round(mean, 6).alias("mean_daily"),
+            F.round(fano, 6).alias("fano"),
+        )
+        .orderBy(F.desc("fano"), "user_id")
+        .limit(20)
+    )

@@ -13,7 +13,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.temporal import _micros, asof_join, interval_join, session_stats
+from ..operators.temporal import (
+    _micros,
+    asof_join,
+    interval_join,
+    session_stats,
+    sessionize,
+)
 from ..sources.tables import load_table
 from .registry import register
 
@@ -876,3 +882,97 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_touches") > 0)
     )
     return attributed.unionByName(direct)
+
+
+@register(
+    "session_bounce_stats",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_ts
+        FROM events
+    ), flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN prev_ts IS NULL
+                         OR ts > prev_ts + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ordered
+    ), assigned AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+        FROM flagged
+    ), ranked AS (
+        SELECT user_id, session_id, event_type, ts,
+               row_number() OVER (PARTITION BY user_id, session_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM assigned
+    ), sessions AS (
+        SELECT user_id, session_id,
+               count(*) AS n_events,
+               cast((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000
+                    AS BIGINT) AS duration_sec,
+               max(CASE WHEN rn = 1 THEN event_type END) AS entry_type
+        FROM ranked GROUP BY user_id, session_id
+    )
+    SELECT entry_type,
+           count(*) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounce,
+           round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS bounce_rate,
+           round(sum(n_events) / CAST(count(*) AS DOUBLE), 6) AS avg_events,
+           round(sum(duration_sec) / CAST(count(*) AS DOUBLE), 6)
+               AS avg_duration_sec
+    FROM sessions GROUP BY entry_type
+    """,
+)
+def session_bounce_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce-rate report by session ENTRY event type (the landing-page
+    analytics readout layered on the T7 sessionization): a session is
+    the 30-minute-gap window ``user_sessions`` defines; a bounce is a
+    single-event session; the entry type is the session's first event
+    by (ts, event_id) — the deterministic arg-min, so a timestamp tie
+    cannot flip attribution between engines.
+
+    Determinism: session membership is order-independent (equal-ts
+    rows always co-sessionize regardless of tie order, the
+    ``user_sessions`` property already hash-graded), counts and
+    integer-second durations are exact, and the three published ratios
+    divide exact integers once, rounded at 6.
+
+    Scale shape: one (user) shuffle for the session windows — the same
+    partitioning serves lag, session-sum, and entry row_number (one
+    Window exchange, user-bounded partitions), then two hash
+    aggregates onto session- and entry-type-bounded keys.  The
+    streaming twin is ``session_window`` + first-value state."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    s = sessionize(e, ["user_id"], "ts", gap="30 minutes")
+    sessions = s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (
+            (_micros(F.max("ts")) - _micros(F.min("ts"))) / 1_000_000
+        ).cast("long").alias("duration_sec"),
+        # struct-min = lexicographic (ts, event_id): the entry event
+        F.min(F.struct("ts", "event_id", "event_type"))
+        .getField("event_type")
+        .alias("entry_type"),
+    )
+    return sessions.groupBy("entry_type").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).alias("n_bounce"),
+        F.round(
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("bounce_rate"),
+        F.round(
+            F.sum("n_events") / F.count("*").cast("double"), 6
+        ).alias("avg_events"),
+        F.round(
+            F.sum("duration_sec") / F.count("*").cast("double"), 6
+        ).alias("avg_duration_sec"),
+    )

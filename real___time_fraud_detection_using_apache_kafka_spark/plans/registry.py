@@ -133,6 +133,11 @@ _GRADED_FIRST = [
     # --- (c) round-8 NEW oracle-able queries ---
     "rfm_segmentation", "market_basket_rules", "bigram_perplexity",
     "feature_info_gain", "seasonal_trend_decompose",
+    # --- (c2) round-8 batch-2 NEW oracle-able queries (these take the
+    #     last five r4 re-grade slots; the five evicted re-grades move
+    #     to the r9 rotation below) ---
+    "welch_ttest_value", "user_burstiness", "stratified_kfold",
+    "brier_decomposition", "session_bounce_stats",
     # --- (d) the 3 r3 stragglers (oldest driver grades in catalog) ---
     "month_spine_recursive", "benford_first_digit",
     "session_conversion_paths",
@@ -151,18 +156,18 @@ _GRADED_FIRST = [
     "ks_drift_stat", "kv_map_roundtrip", "lift_gain_deciles",
     "log_line_filters", "log_parse_roundtrip",
     "mix_sources_token_budget", "multimodal_binary",
-    "multimodal_decode_meta", "order_value_percentiles",
-    "pack_training_sequences", "per_class_report",
-    "pr_curve_threshold", "pr_threshold_binned",
+    "multimodal_decode_meta",
 ]
 
 # ROUND-9 HEAD PLAN (written during round 8): lead with any round-9
 # additions/changed plans, then the r4-family remainder
-# (profile_orders_columns, purchase_funnel,
+# (order_value_percentiles, pack_training_sequences,
+# per_class_report, pr_curve_threshold, pr_threshold_binned,
+# profile_orders_columns, purchase_funnel,
 # sample_documents_stratified, sample_per_group,
 # scalar_date_arithmetic, shuffle_training_order,
 # simhash_fingerprints, tumbling_event_windows, unigram_logprob,
-# wire_formats_roundtrip — the 10 r4 hash grades not re-graded in
+# wire_formats_roundtrip — the 15 r4 hash grades not re-graded in
 # r8), then the r5 family oldest-first (ab_test_zstat,
 # adamic_adar_parts, autocorr_daily_revenue, ... alphabetical).
 # Keep the standing rule: every new query passes the adversarial

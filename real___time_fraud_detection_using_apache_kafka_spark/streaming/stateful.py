@@ -951,3 +951,114 @@ def grid_cells_stream(cells_in: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+SPACESAVING_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("tokens", T.ArrayType(T.StringType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("errs", T.ArrayType(T.LongType())),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+SPACESAVING_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("token", T.StringType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("err", T.LongType()),
+        T.StructField("ver", T.LongType()),
+    ]
+)
+
+
+def spacesaving_topk_stream(tokens_in: DataFrame, k: int = 32) -> DataFrame:
+    """Streaming heavy hitters: the Space-Saving summary (Metwally et
+    al.) as per-SHARD keyed state — the streaming dual of the batch
+    ``heavy_hitter_tokens`` local-top-k plan, and the one sketch in
+    the dual family whose state is NOT a monoid cell table (top-k has
+    no exact merge), so it carries its own error column instead:
+    ``cnt - err <= true count <= cnt`` for every surviving token, and
+    any token with true frequency > n_seen/k is GUARANTEED present.
+
+    Input must carry (shard, token) with ``shard = pmod(hash(token),
+    P)`` built JVM-side — the same token always lands on the same
+    shard, so per-shard summaries are over disjoint vocabularies and
+    the final top-k is exact over the union of survivors whenever each
+    shard's distinct vocabulary fits its k counters (the parity-test
+    property), and ε = n_seen_shard/k otherwise (P× tighter than one
+    global summary at equal memory).
+
+    State per shard: THREE parallel arrays (token/count/err — the
+    ewma_stream parallel-array state idiom) of at most k entries plus
+    the processed-row counter ``ver``; each emitted row carries ``ver``
+    so a reader reconstructs the LATEST summary per shard (max-ver
+    rows) from an update-mode sink — evicted tokens' stale rows are
+    superseded, never merged.
+
+    Batch kernel is vectorized: pandas ``value_counts`` collapses the
+    micro-batch per shard BEFORE the O(distinct × log k) summary walk;
+    increments apply in (count desc, token) order so replay from a
+    checkpoint is deterministic."""
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            toks, counts, errs, n_seen = state.get
+            summary = {
+                t: [c, e] for t, c, e in zip(toks, counts, errs)
+            }
+        else:
+            summary, n_seen = {}, 0
+        for pdf in pdfs:
+            vc = pdf["token"].dropna().value_counts()
+            n_seen += int(vc.sum())
+            # deterministic application order: heaviest first, token
+            # tie-break (value_counts order on ties is arrival order)
+            for tok, c in sorted(
+                vc.items(), key=lambda kv: (-kv[1], kv[0])
+            ):
+                c = int(c)
+                if tok in summary:
+                    summary[tok][0] += c
+                elif len(summary) < k:
+                    summary[tok] = [c, 0]
+                else:
+                    # evict the min-count entry (token tie-break so
+                    # eviction is deterministic), inherit its count
+                    # as the new entry's overestimation error
+                    m_tok = min(summary, key=lambda t: (summary[t][0], t))
+                    m_cnt = summary.pop(m_tok)[0]
+                    summary[tok] = [m_cnt + c, m_cnt]
+        items = sorted(summary.items(), key=lambda kv: (kv[0],))
+        state.update(
+            (
+                [t for t, _ in items],
+                [v[0] for _, v in items],
+                [v[1] for _, v in items],
+                n_seen,
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "shard": [int(key[0])] * len(items),
+                "token": [t for t, _ in items],
+                "cnt": [v[0] for _, v in items],
+                "err": [v[1] for _, v in items],
+                "ver": [n_seen] * len(items),
+            }
+        )
+
+    return (
+        tokens_in.select("shard", "token")
+        .groupBy("shard")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SPACESAVING_OUTPUT_SCHEMA,
+            stateStructType=SPACESAVING_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

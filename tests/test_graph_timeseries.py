@@ -1123,3 +1123,148 @@ class TestGridCellsStreamParity:
             q.stop()
         stream_cells = {(r.event_type, r.b): r.cnt for r in rows}
         assert stream_cells == batch_cells
+
+
+class TestSpaceSavingStreamParity:
+    def test_exact_when_vocab_fits_counters(self, spark, sf_dir, tmp_path):
+        """With per-shard distinct vocabulary <= k the Space-Saving
+        summary degrades to EXACT counts (no eviction ever fires), so
+        the streamed summary must equal the batch groupBy count
+        integer-for-integer under micro-batch sharding."""
+        from real___time_fraud_detection_using_apache_kafka_spark.sources.tables import (
+            load_table,
+        )
+        from real___time_fraud_detection_using_apache_kafka_spark.streaming.stateful import (
+            spacesaving_topk_stream,
+        )
+
+        def tokens_of(df):
+            return df.filter(F.col("event_type").isNotNull()).select(
+                "event_id",
+                F.pmod(F.xxhash64("event_type"), F.lit(4))
+                .cast("int")
+                .alias("shard"),
+                F.col("event_type").alias("token"),
+            )
+
+        e = load_table(spark, sf_dir, "events")
+        batch_counts = {
+            (r.shard, r.token): r.c
+            for r in tokens_of(e)
+            .groupBy("shard", "token")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        }
+
+        src, ckpt = f"{tmp_path}/src", f"{tmp_path}/ckpt"
+        write_batch = _atomic_batch_writer(tmp_path, src)
+        write_batch(tokens_of(e.filter(F.col("event_id") % 2 == 0)))
+        stream = (
+            spark.readStream.schema("v string").text(src)
+            .select(
+                F.from_json(
+                    F.col("v"), "event_id long, shard int, token string"
+                ).alias("e")
+            )
+            .select("e.*")
+        )
+        q = (
+            spacesaving_topk_stream(stream, k=32)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("ss_t")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            write_batch(tokens_of(e.filter(F.col("event_id") % 2 == 1)))
+            q.processAllAvailable()
+            rows = spark.sql(
+                "SELECT shard, token, cnt, err FROM ("
+                " SELECT *, max(ver) OVER (PARTITION BY shard) mv"
+                " FROM ss_t) WHERE ver = mv"
+            ).collect()
+        finally:
+            q.stop()
+        stream_counts = {(r.shard, r.token): r.cnt for r in rows}
+        assert stream_counts == batch_counts and len(batch_counts) > 0
+        assert all(r.err == 0 for r in rows)
+
+    def test_guarantee_bounds_under_eviction(self, spark, tmp_path):
+        """Overflowed summary (unique-token tail >> k): every surviving
+        token obeys cnt - err <= true <= cnt, and every planted token
+        with frequency > n_seen_shard/k survives (the Space-Saving
+        guarantee)."""
+        from real___time_fraud_detection_using_apache_kafka_spark.streaming.stateful import (
+            spacesaving_topk_stream,
+        )
+
+        K, P = 8, 2
+        # 3 planted heavy hitters (60 each) over a 200-unique-token tail
+        heavy = [(f"hh_{i}", 60) for i in range(3)]
+        rows = [(j, t) for j, (t, c) in enumerate(heavy) for _ in range(c)]
+        rows += [(1000 + j, f"tail_{j}") for j in range(200)]
+        df = spark.createDataFrame(
+            [(i, *r) for i, r in enumerate(rows)], "rid long, gid long, token string"
+        ).select(
+            "rid",
+            F.pmod(F.xxhash64("token"), F.lit(P)).cast("int").alias("shard"),
+            "token",
+        )
+        true_counts = {
+            (r.shard, r.token): r.c
+            for r in df.groupBy("shard", "token").agg(F.count("*").alias("c")).collect()
+        }
+        n_per_shard = {}
+        for (s, _), c in true_counts.items():
+            n_per_shard[s] = n_per_shard.get(s, 0) + c
+
+        src, ckpt = f"{tmp_path}/src", f"{tmp_path}/ckpt"
+        write_batch = _atomic_batch_writer(tmp_path, src)
+        write_batch(df.filter(F.col("rid") % 2 == 0))
+        stream = (
+            spark.readStream.schema("v string").text(src)
+            .select(
+                F.from_json(
+                    F.col("v"), "rid long, shard int, token string"
+                ).alias("e")
+            )
+            .select("e.*")
+        )
+        q = (
+            spacesaving_topk_stream(stream, k=K)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("ss_g")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            write_batch(df.filter(F.col("rid") % 2 == 1))
+            q.processAllAvailable()
+            out = spark.sql(
+                "SELECT shard, token, cnt, err, ver FROM ("
+                " SELECT *, max(ver) OVER (PARTITION BY shard) mv"
+                " FROM ss_g) WHERE ver = mv"
+            ).collect()
+        finally:
+            q.stop()
+        survivors = {(r.shard, r.token): (r.cnt, r.err) for r in out}
+        # state is capped at k entries per shard
+        per_shard = {}
+        for (s, _t) in survivors:
+            per_shard[s] = per_shard.get(s, 0) + 1
+        assert all(v <= K for v in per_shard.values())
+        # ver column carries the per-shard processed count
+        vers = {r.shard: r.ver for r in out}
+        assert vers == n_per_shard
+        # overestimation-bound invariant for every survivor
+        for key, (cnt, err) in survivors.items():
+            true = true_counts.get(key, 0)
+            assert cnt - err <= true <= cnt, (key, cnt, err, true)
+        # guarantee: planted tokens above the n/k threshold survive
+        for (s, t), true in true_counts.items():
+            if t.startswith("hh_") and true > n_per_shard[s] / K:
+                assert (s, t) in survivors, (s, t, true)

@@ -126,3 +126,43 @@ def test_lsh_multiprobe_recall_vs_exact_tier(spark):
     assert lsh <= exact
     assert exact
     assert len(lsh & exact) / len(exact) >= 0.95
+
+
+def test_r8_batch2_queries_stay_jvm_side(spark):
+    """welch_ttest_value / user_burstiness / stratified_kfold /
+    brier_decomposition / session_bounce_stats: pure built-in-function
+    plans — no Python evaluation, no cartesian, and no unpartitioned
+    window over a data-sized frame (session windows partition by
+    user_id; the burstiness top-20 is a TakeOrdered, not a window)."""
+    for name in (
+        "welch_ttest_value",
+        "user_burstiness",
+        "stratified_kfold",
+        "brier_decomposition",
+        "session_bounce_stats",
+    ):
+        df = plans.QUERIES[name].fn(spark, SF)
+        plan = _plan(df)
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "partitionBy=[]" not in plan, name
+
+
+def test_burstiness_topk_is_take_ordered(spark):
+    """user_burstiness's top-20 must compile to TakeOrderedAndProject
+    (distributed partial top-k), never a global sort of the per-user
+    frame."""
+    df = plans.QUERIES["user_burstiness"].fn(spark, SF)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_rfm_single_rank_pass(spark):
+    """The melted RFM plan ranks all three metrics in ONE
+    bucketed_global_rank: exactly one data-sized Window (partitioned
+    by the metric bucket) in the whole plan — three separate rank
+    subtrees would show three."""
+    df = plans.QUERIES["rfm_segmentation"].fn(spark, SF)
+    plan = _plan(df)
+    n_windows = len(re.findall(r"\(\d+\) Window", plan))
+    assert n_windows == 1, f"expected 1 Window, saw {n_windows}"
