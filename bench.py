@@ -160,6 +160,7 @@ HEADLINE = [
     "stratified_kfold",
     "brier_decomposition",
     "session_bounce_stats",
+    "minhash_est_error",
 ]
 
 

@@ -384,11 +384,13 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int = 5,
 
 
 def hyperplane_lsh_pairs(embeddings: DataFrame, threshold: float = 0.45,
-                         bands: int = 6, planes_per_band: int = 4,
+                         bands: int | None = None,
+                         planes_per_band: int | None = None,
                          seed: int = 42,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding",
-                         probe_bits: int = 1) -> DataFrame:
+                         probe_bits: int = 1,
+                         recall_target: float = 0.98) -> DataFrame:
     """Banded random-hyperplane LSH near-dup: each band hashes a vector to
     the sign pattern of ``planes_per_band`` fixed random projections; two
     vectors become candidates if they collide in ANY band
@@ -396,14 +398,37 @@ def hyperplane_lsh_pairs(embeddings: DataFrame, threshold: float = 0.45,
     P[candidate] = 1 - (1 - p^r)^b with p = 1 - angle/pi).  Candidates
     verify with exact cosine, so the output has no false positives;
     recall at cosine c is tunable via (bands, planes_per_band,
-    probe_bits).  The r8 defaults (6 bands × 4 planes, 1-bit
-    multi-probe) measure recall 0.986 at c = 0.45 on the sf0.1 corpus
-    at 1.42× the old 8×3 no-probe config's runtime (which measured
-    0.931) — the full recall-vs-cost sweep is in SCALE.md round-8.
+    probe_bits).  At the sf0.1 corpus the sizing below resolves to
+    15 bands × 7 planes with 1-bit multi-probe (analytic recall 0.981
+    at c = 0.45; the fixed 6×4 r8 config measured 0.986, the old 8×3
+    no-probe 0.931) — recall-vs-cost sweeps are in SCALE.md round-8.
+
+    AUTO-SIZED (r8 batch 2): with fixed ``planes_per_band`` the band
+    hash has a CONSTANT 2^r bucket count, so per-band candidates are
+    O(N²/2^r) — quadratic at any fixed r, which degenerates toward
+    all-pairs as the corpus grows (the old 6×4 defaults give 16
+    buckets per band forever).  When bands/planes are not given they
+    are derived from the corpus: r grows with log2(N) so that each
+    band's expected RANDOM-pair candidate volume N²(1+r)/2^(r+1) stays
+    ~128·N (linear in N — the probing fan-out (1+r) is inside the
+    fixed point), and the band count comes from the analytic collision
+    model — p = 1 − acos(threshold)/π per plane, per-band hit rate
+    with 1-bit multi-probe η = p^r + r·p^(r−1)(1−p), bands =
+    ceil(ln(1−recall_target)/ln(1−η)) — so the configured recall
+    holds as the corpus grows while signature cost grows
+    O(bands·r) = O(polylog N) per vector.  Explicit bands/planes
+    switch the sizing off (sweeps and ablation tests pin them).
+    bands is capped at 64: an aggressively LOW threshold (0.45 ⇒
+    plane agreement p ≈ 0.65) needs hundreds of bands for 0.98 recall
+    past ~10^6 vectors — at that shape prefer the IVF tier
+    (``ivf_topk``) or a higher threshold (true near-dup at 0.9
+    has p ≈ 0.86 and sizes to ~9 bands at r = 14); the cap keeps the
+    signature cost sane and the recall degradation monotone/loud
+    rather than the candidate volume quadratic/silent.
 
     Deterministic: hyperplanes come from a seeded NumPy RNG, carried as
-    a 24-row BROADCAST DataFrame (r7 re-plan — the first cut inlined
-    bands*planes*dim literal expressions into both sides of the
+    a bands·planes-row BROADCAST DataFrame (r7 re-plan — the first cut
+    inlined bands*planes*dim literal expressions into both sides of the
     self-join, and Catalyst re-analyzed the thousands-of-nodes tree on
     every run: 8.6 s at sf0.1 for 2,000 vectors; the data-not-literals
     plan measures 2.0 s, identical output).  Shape: one broadcast
@@ -412,8 +437,9 @@ def hyperplane_lsh_pairs(embeddings: DataFrame, threshold: float = 0.45,
     equi-joins on (band, pattern) carrying IDS ONLY (the pair-dedup
     shuffle moves two longs, not two vectors), and candidates re-attach
     vectors by id-join for the exact-cosine verify — no false
-    positives; bucket keys cap candidate cardinality at any corpus
-    size; no cartesian anywhere."""
+    positives; no cartesian anywhere."""
+    import math
+
     import numpy as np
 
     from .cache import tracked_persist
@@ -428,6 +454,31 @@ def hyperplane_lsh_pairs(embeddings: DataFrame, threshold: float = 0.45,
             F.lit(0.0).alias("cosine"),
         )
     dim = dim_row["d"]
+    if planes_per_band is None or bands is None:
+        n = embeddings.count()
+        if planes_per_band is None:
+            # Random (dissimilar) pairs agree with a plane w.p. 1/2, so
+            # a band's RANDOM collision rate with 1-bit probing is
+            # (1+r)/2^r and expected junk candidates per band are
+            # ~N²(1+r)/2^(r+1).  Pick r by fixed point so that volume
+            # is ~128·N per band (linear in N, occupancy-style
+            # constant); the 24-bit cap keeps the pattern in int range
+            # with room for the probe flips.
+            r = 4
+            for _ in range(3):
+                r = min(24, max(4, int(math.ceil(
+                    math.log2(max(n, 2) * (1 + r) / 128.0)))))
+            planes_per_band = r
+        if bands is None:
+            p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+            eta = p ** planes_per_band
+            if probe_bits == 1:
+                eta += planes_per_band * p ** (planes_per_band - 1) * (1.0 - p)
+            # pairs AT the threshold hit this bound; closer pairs only
+            # exceed it.  eta is in (0, 1) for any threshold < 1.
+            bands = min(64, max(2, int(math.ceil(
+                math.log(1.0 - recall_target) / math.log(1.0 - eta)
+            ))))
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((bands * planes_per_band, dim))
     planes_df = embeddings.sparkSession.createDataFrame(

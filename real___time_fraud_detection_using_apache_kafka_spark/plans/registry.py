@@ -138,6 +138,7 @@ _GRADED_FIRST = [
     #     to the r9 rotation below) ---
     "welch_ttest_value", "user_burstiness", "stratified_kfold",
     "brier_decomposition", "session_bounce_stats",
+    "minhash_est_error",
     # --- (d) the 3 r3 stragglers (oldest driver grades in catalog) ---
     "month_spine_recursive", "benford_first_digit",
     "session_conversion_paths",
@@ -156,18 +157,17 @@ _GRADED_FIRST = [
     "ks_drift_stat", "kv_map_roundtrip", "lift_gain_deciles",
     "log_line_filters", "log_parse_roundtrip",
     "mix_sources_token_budget", "multimodal_binary",
-    "multimodal_decode_meta",
 ]
 
 # ROUND-9 HEAD PLAN (written during round 8): lead with any round-9
 # additions/changed plans, then the r4-family remainder
-# (order_value_percentiles, pack_training_sequences,
-# per_class_report, pr_curve_threshold, pr_threshold_binned,
-# profile_orders_columns, purchase_funnel,
+# (multimodal_decode_meta, order_value_percentiles,
+# pack_training_sequences, per_class_report, pr_curve_threshold,
+# pr_threshold_binned, profile_orders_columns, purchase_funnel,
 # sample_documents_stratified, sample_per_group,
 # scalar_date_arithmetic, shuffle_training_order,
 # simhash_fingerprints, tumbling_event_windows, unigram_logprob,
-# wire_formats_roundtrip — the 15 r4 hash grades not re-graded in
+# wire_formats_roundtrip — the 16 r4 hash grades not re-graded in
 # r8), then the r5 family oldest-first (ab_test_zstat,
 # adamic_adar_parts, autocorr_daily_revenue, ... alphabetical).
 # Keep the standing rule: every new query passes the adversarial
