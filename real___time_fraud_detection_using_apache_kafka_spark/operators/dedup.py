@@ -322,6 +322,19 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         ).distinct(),
         StorageLevel.MEMORY_AND_DISK,
     )
+    # Size the LOOP's parallelism from the measured edge count (the
+    # count doubles as the persist materialization).  AQE coalesces
+    # within one job but cannot see across the iteration boundary, so
+    # a 100-edge dup graph otherwise pays full-width shuffle rounds —
+    # measured 4.6-10 s of pure stage latency at sf0.1's 158-node
+    # graph.  One partition per ~50k edges keeps small graphs on
+    # single-task rounds while a billion-edge graph still fans out to
+    # the session default.
+    n_edges = edges.count()
+    par = edges.sparkSession.sparkContext.defaultParallelism
+    parts = max(1, min(par, int(n_edges // 50_000) + 1))
+    if parts < par:
+        edges = edges.repartition(parts, "src")
     labels = tracked_persist(
         edges.select(F.col("src").alias("node"))
         .distinct()

@@ -1475,14 +1475,17 @@ def _minhash_est_error_oracle() -> str:
         FROM sigs a JOIN sigs b
           ON a.lang = b.lang AND a.doc_id < b.doc_id
          AND b.band BETWEEN a.band - 1 AND a.band + 1
+    ), scored AS (
+        SELECT doc_a, doc_b,
+               round(inter / cast(un AS DOUBLE), 6) AS jaccard,
+               agree
+        FROM pairs
     )
-    SELECT doc_a, doc_b,
-           round(inter / cast(un AS DOUBLE), 6) AS jaccard,
+    SELECT doc_a, doc_b, jaccard,
            round(agree / 16.0, 6) AS mh_estimate,
-           round(abs(agree / 16.0 - inter / cast(un AS DOUBLE)), 6)
-               AS abs_err
-    FROM pairs
-    WHERE inter / cast(un AS DOUBLE) >= 0.3
+           round(abs(agree / 16.0 - jaccard), 6) AS abs_err
+    FROM scored
+    WHERE jaccard >= 0.3
     """
 
 
@@ -1504,38 +1507,40 @@ def minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     all three published doubles divide exact integers once, rounded
     at 6.
 
-    Scale shape: signatures and shingle sets compute NARROWLY inside
-    the documents scan (higher-order array expressions, zero explode);
-    the only data-sized operation is the lang+length-band blocked
-    self-join — the ``ngram_jaccard_neardup`` candidate shape, never a
-    cartesian.  At corpus scale the banding tier replaces the blocked
-    join for candidate generation; this query is its accuracy oracle.
+    Scale shape: candidate pairs come from the PREFIX-FILTERED
+    generator (``ngram_jaccard_pairs`` — Vernica/PPJoin candidates,
+    never the naive blocked self-join: the first cut of this query
+    carried full shingle arrays through a lang+band block join and
+    measured 154 s at sf0.1; the prefix path is ~2 s on the same
+    corpus); signatures compute NARROWLY inside a second documents
+    scan (higher-order array expressions, zero explode) and re-attach
+    to the surviving pairs by two id equi-joins — the LSH verify
+    re-attach idiom, moving 16 longs per doc, not shingle arrays.
     """
     from ..functions.hashing import MINHASH_PERMS, MOD, MULT
+    from ..operators import dedup as D
+
     from ..operators.text import word_ngrams
 
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull()
-    )
-    grams = docs.select(
-        "doc_id",
-        "lang",
-        F.floor(F.col("n_chars") / 200).cast("long").alias("band"),
-        word_ngrams(F.col("text"), 3).alias("gs"),
-    ).filter(F.size("gs") > 0)
-    hashed = grams.withColumn(
-        "hs",
-        F.expr(
-            f"transform(gs, g -> aggregate(sequence(1, length(g)), "
-            f"cast(0 as bigint), "
-            f"(h, i) -> (h * {MULT} + ascii(substring(g, i, 1))) % {MOD}))"
-        ),
+    docs = load_table(spark, sf_dir, "documents")
+    # exact-Jaccard pairs (rounded at 6, the filter runs on the
+    # rounded value — mirrored in the oracle above)
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.3, band_width=200)
+    hashed = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", word_ngrams(F.col("text"), 3).alias("gs"))
+        .filter(F.size("gs") > 0)
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(gs, g -> aggregate(sequence(1, length(g)), "
+                f"cast(0 as bigint), "
+                f"(h, i) -> (h * {MULT} + ascii(substring(g, i, 1))) % {MOD}))"
+            ).alias("hs"),
+        )
     )
     sigs = hashed.select(
         "doc_id",
-        "lang",
-        "band",
-        "gs",
         *[
             F.array_min(
                 F.expr(f"transform(hs, h -> (h * {a} + {b}) % {MOD})")
@@ -1543,34 +1548,29 @@ def minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k, (a, b) in enumerate(MINHASH_PERMS)
         ],
     )
-    a, b = sigs.alias("a"), sigs.alias("b")
+    K = len(MINHASH_PERMS)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{k}").alias(f"amh{k}") for k in range(K)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{k}").alias(f"bmh{k}") for k in range(K)],
+    )
     agree = sum(
-        F.when(F.col(f"a.mh{k}") == F.col(f"b.mh{k}"), 1).otherwise(0)
-        for k in range(len(MINHASH_PERMS))
+        F.when(F.col(f"amh{k}") == F.col(f"bmh{k}"), 1).otherwise(0)
+        for k in range(K)
     )
-    inter = F.size(F.array_intersect(F.col("a.gs"), F.col("b.gs")))
-    un = F.size(F.col("a.gs")) + F.size(F.col("b.gs")) - inter
-    jacc = inter / un.cast("double")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("b.band") >= F.col("a.band") - 1)
-            & (F.col("b.band") <= F.col("a.band") + 1),
-        )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            jacc.alias("_j"),
-            (agree / F.lit(16.0)).alias("_e"),
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            F.round(agree / F.lit(16.0), 6).alias("mh_estimate"),
+            F.round(
+                F.abs(agree / F.lit(16.0) - F.col("jaccard")), 6
+            ).alias("abs_err"),
         )
-        .filter(F.col("_j") >= 0.3)
-    )
-    return pairs.select(
-        "doc_a",
-        "doc_b",
-        F.round(F.col("_j"), 6).alias("jaccard"),
-        F.round(F.col("_e"), 6).alias("mh_estimate"),
-        F.round(F.abs(F.col("_e") - F.col("_j")), 6).alias("abs_err"),
     )
