@@ -24,6 +24,8 @@ block pair fits executor memory and let LSH/IVF prune block pairs first.
 
 from __future__ import annotations
 
+import warnings
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -475,10 +477,25 @@ def hyperplane_lsh_pairs(embeddings: DataFrame, threshold: float = 0.45,
             if probe_bits == 1:
                 eta += planes_per_band * p ** (planes_per_band - 1) * (1.0 - p)
             # pairs AT the threshold hit this bound; closer pairs only
-            # exceed it.  eta is in (0, 1) for any threshold < 1.
-            bands = min(64, max(2, int(math.ceil(
-                math.log(1.0 - recall_target) / math.log(1.0 - eta)
-            ))))
+            # exceed it.  Clamp: threshold >= 1.0 makes p = 1 and
+            # eta = 1.0 exactly (log(0) below) — every band collides,
+            # so 2 bands trivially meet any recall target.
+            eta = min(eta, 1.0 - 1e-12)
+            rt = min(recall_target, 1.0 - 1e-12)  # same log(0) hazard
+            wanted = max(2, int(math.ceil(
+                math.log(1.0 - rt) / math.log(1.0 - eta)
+            )))
+            bands = min(64, wanted)
+            if wanted > bands:
+                achieved = 1.0 - (1.0 - eta) ** bands
+                warnings.warn(
+                    f"hyperplane_lsh_pairs: band cap binds ({wanted} bands "
+                    f"needed for recall {recall_target:.3f} at threshold "
+                    f"{threshold}, capped at {bands}; analytic recall at the "
+                    f"threshold is ~{achieved:.3f}).  At low thresholds or "
+                    f"large corpora prefer ivf_topk or raise threshold.",
+                    stacklevel=2,
+                )
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((bands * planes_per_band, dim))
     planes_df = embeddings.sparkSession.createDataFrame(

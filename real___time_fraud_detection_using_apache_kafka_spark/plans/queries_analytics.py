@@ -1514,7 +1514,15 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1).alias("mid"),
             F.col("frequency").cast("long").alias("v1"),
             h16.cast("long").alias("v2"),
-            (F.least(F.col("frequency"), F.lit(1024)) * 17 + h16)
+            # capped region: every freq >= 1024 shares ONE bucket
+            # (1024*17+16, past every uncapped bucket) — mixing h16
+            # into the cap would break bucketed_global_rank's
+            # monotone-bucket contract (a (1024, 9) row would sort
+            # before (2000, 3) yet land in a larger bucket)
+            F.when(
+                F.col("frequency") >= 1024, F.lit(1024 * 17 + 16)
+            )
+            .otherwise(F.col("frequency") * 17 + h16)
             .cast("long")
             .alias("bbkt"),
         ),

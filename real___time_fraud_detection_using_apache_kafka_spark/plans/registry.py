@@ -134,7 +134,7 @@ _GRADED_FIRST = [
     "rfm_segmentation", "market_basket_rules", "bigram_perplexity",
     "feature_info_gain", "seasonal_trend_decompose",
     # --- (c2) round-8 batch-2 NEW oracle-able queries (these take the
-    #     last five r4 re-grade slots; the five evicted re-grades move
+    #     last six r4 re-grade slots; the six evicted re-grades move
     #     to the r9 rotation below) ---
     "welch_ttest_value", "user_burstiness", "stratified_kfold",
     "brier_decomposition", "session_bounce_stats",
