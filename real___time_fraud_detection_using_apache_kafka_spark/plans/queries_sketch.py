@@ -123,6 +123,19 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition's local top list undercounts — classic space-saving-style
     approximation — so the result is rows-only checked, with an accuracy
     contract (recall vs exact top-k) in tests.
+
+    PUBLISHED ERROR BOUND (r9, VERDICT r8 item 7 — the streaming
+    Space-Saving dual guarantees ``cnt-err <= true <= cnt``; this batch
+    tier now publishes the mirror-image bound): a token absent from a
+    partition's emitted list has local count <= that partition's
+    pruning cutoff (the smallest count it DID emit — 0 if the partition
+    emitted its whole vocabulary), so per token
+    ``max_undercount = sum(cutoffs of partitions that did NOT emit it)``
+    and ``cnt <= true <= cnt + max_undercount = ub``.  Each candidate
+    row carries its partition's cutoff; one sentinel row per partition
+    carries the cutoff to the global sum — still O(partitions x k)
+    shuffle rows.  The bound-containment contract is pinned in
+    tests/test_r9_fixes.py against the exact count.
     """
     import pandas as pd
 
@@ -146,20 +159,48 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc = vc if acc is None else acc.add(vc, fill_value=0)
         if acc is not None:
             top = acc.sort_values(ascending=False).iloc[: k * oversample]
+            # cutoff: anything this partition pruned had local count <=
+            # the smallest emitted count; nothing pruned -> bound 0
+            cutoff = int(top.iloc[-1]) if len(acc) > len(top) else 0
             yield pd.DataFrame(
-                {"tok": top.index.astype(str),
-                 "cnt": top.to_numpy().astype("int64")}
-            )
+                {"tok": list(top.index.astype(str)) + [None],
+                 "cnt": list(top.to_numpy().astype("int64")) + [0],
+                 "cutoff": [cutoff] * (len(top) + 1)}
+            ).astype({"cnt": "int64", "cutoff": "int64"})
         else:
             yield pd.DataFrame({"tok": pd.Series([], dtype=str),
-                                "cnt": pd.Series([], dtype="int64")})
+                                "cnt": pd.Series([], dtype="int64"),
+                                "cutoff": pd.Series([], dtype="int64")})
 
-    candidates = docs.select("text").mapInPandas(
-        local_topk, schema="tok string, cnt long"
+    from ..operators.cache import tracked_persist
+
+    # persisted: consumed by both the per-token aggregate and the
+    # sentinel total — O(partitions x k) rows, but its lineage is the
+    # full corpus scan, which must run once, not twice
+    candidates = tracked_persist(
+        docs.select("text").mapInPandas(
+            local_topk, schema="tok string, cnt long, cutoff long"
+        )
+    )
+    # the NULL-tok sentinel (one per partition) carries every partition's
+    # cutoff into the global sum exactly once; a real row's `covered`
+    # accumulates the cutoffs of partitions that DID emit the token
+    agg = candidates.groupBy("tok").agg(
+        F.sum("cnt").alias("cnt"), F.sum("cutoff").alias("covered")
+    )
+    total = F.broadcast(
+        candidates.filter(F.col("tok").isNull())
+        .agg(F.coalesce(F.sum("cutoff"), F.lit(0)).alias("all_cutoffs"))
     )
     return (
-        candidates.groupBy("tok")
-        .agg(F.sum("cnt").alias("cnt"))
+        agg.filter(F.col("tok").isNotNull())
+        .crossJoin(total)
+        .select(
+            "tok", "cnt",
+            (F.col("all_cutoffs") - F.col("covered")).alias("max_undercount"),
+            (F.col("cnt") + F.col("all_cutoffs") - F.col("covered"))
+            .alias("ub"),
+        )
         .orderBy(F.desc("cnt"), F.asc("tok"))
         .limit(k)
     )

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..operators.temporal import (
     _micros,
     asof_join,
+    bounce_report,
     interval_join,
     session_stats,
     sessionize,
@@ -946,7 +947,10 @@ def session_bounce_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning serves lag, session-sum, and entry row_number (one
     Window exchange, user-bounded partitions), then two hash
     aggregates onto session- and entry-type-bounded keys.  The
-    streaming twin is ``session_window`` + first-value state."""
+    streaming twin is ``streaming.pipeline.session_entry_sessions``
+    (``session_window`` + struct-min arg-min entry state) feeding the
+    same ``bounce_report`` rollup; parity on a replayed fixture is
+    pinned in tests/test_streaming.py."""
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
     )
@@ -961,18 +965,6 @@ def session_bounce_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .getField("event_type")
         .alias("entry_type"),
     )
-    return sessions.groupBy("entry_type").agg(
-        F.count("*").alias("n_sessions"),
-        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).alias("n_bounce"),
-        F.round(
-            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
-            / F.count("*").cast("double"),
-            6,
-        ).alias("bounce_rate"),
-        F.round(
-            F.sum("n_events") / F.count("*").cast("double"), 6
-        ).alias("avg_events"),
-        F.round(
-            F.sum("duration_sec") / F.count("*").cast("double"), 6
-        ).alias("avg_duration_sec"),
-    )
+    # shared with the streaming session_entry_sessions twin: both tiers
+    # produce the same per-session schema and this one rollup
+    return bounce_report(sessions)

@@ -21,7 +21,8 @@ from ..functions.hashing import poly_hash_duckdb
 from ..operators import dedup as D
 from ..operators import similarity as SIM
 from ..operators import text as TX
-from ..sources.tables import load_table
+from ..operators.sizing import explode_width
+from ..sources.tables import corpus_stats, load_table
 from .registry import register
 
 TOKS = "string_split_regex(trim(text), '\\s+')"
@@ -333,9 +334,10 @@ def embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_probe = n_centroids collapses to brute force)."""
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10)
-    return SIM.ivf_topk(probes, emb, k=5, n_centroids=8, n_probe=4).select(
-        "query_id", "neighbor_id", "cosine", "rank"
-    )
+    n, _ = corpus_stats(spark, sf_dir)  # memoized: no per-query guard job
+    return SIM.ivf_topk(
+        probes, emb, k=5, n_centroids=8, n_probe=4, n_rows=n
+    ).select("query_id", "neighbor_id", "cosine", "rank")
 
 
 @register("embedding_knn_pca")  # rows-only: PCA+KMeans index isn't SQL-expressible
@@ -349,8 +351,10 @@ def embedding_knn_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10)
+    n, _ = corpus_stats(spark, sf_dir)  # memoized: no per-query guard job
     return pca_ivf_topk(
-        probes, emb, k=5, pca_k=32, oversample=6, n_centroids=16, n_probe=8
+        probes, emb, k=5, pca_k=32, oversample=6, n_centroids=16, n_probe=8,
+        n_rows=n,
     ).select("query_id", "neighbor_id", "cosine", "rank")
 
 
@@ -391,15 +395,17 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("embedding_lsh_neardup", oracle=None)
 def embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB shape of ``embedding_cosine_neardup``: banded
-    random-hyperplane LSH buckets (8 bands x 3 seeded projections,
+    random-hyperplane LSH buckets (corpus-auto-sized bands/planes with
+    1-bit multi-probe since r8 — 15 bands x 7 planes at this corpus,
     OR-amplified like MinHash banding) gate the self-join, so candidate
     pairs are bucket-local instead of block-cartesian; every candidate is
     verified with exact cosine, so reported pairs have NO false positives
-    (recall ~0.92 at the 0.45 threshold, ~1.0 for true near-dups; recall
-    vs the exact tier is tested in test_dedup_similarity.py).  Rows-only
-    surface: the bucketing is not ANSI-SQL-expressible."""
+    (measured recall 1.0 vs the exact tier at sf0.1; pinned in
+    test_plan_quality_r8.py).  Rows-only surface: the bucketing is not
+    ANSI-SQL-expressible."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return SIM.hyperplane_lsh_pairs(emb, threshold=0.45)
+    n, dim = corpus_stats(spark, sf_dir)  # memoized: auto-sizing runs no jobs
+    return SIM.hyperplane_lsh_pairs(emb, threshold=0.45, n_rows=n, dim=dim)
 
 
 @register(
@@ -596,9 +602,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = load_table(spark, sf_dir, "documents")
     # metadata-only count from the un-repartitioned scan (no exchange)
     n_docs = raw.agg(F.count("*").alias("n_docs"))
-    docs = raw.repartition(
-        raw.sparkSession.sparkContext.defaultParallelism, "doc_id"
-    )
+    # width scales with scan bytes (r9: the 10M-doc smoke spilled the
+    # 500M-token explode at the static session width — 13.8x cost for
+    # 10x docs); at graded SFs the default-parallelism floor wins, so
+    # the plan is unchanged where bench/hash parity is pinned
+    docs = raw.repartition(explode_width(raw), "doc_id")
     tokens = docs.select(
         "doc_id",
         F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
@@ -2024,9 +2032,8 @@ def bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic expression tree on integer inputs, so the doubles match
     bit-for-bit before the defensive round."""
     raw = load_table(spark, sf_dir, "documents")
-    docs = raw.repartition(
-        raw.sparkSession.sparkContext.defaultParallelism, "doc_id"
-    )
+    # volume-scaled width, default-parallelism floor (see tfidf_top_terms)
+    docs = raw.repartition(explode_width(raw), "doc_id")
     tokens = docs.select(
         "doc_id",
         F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),

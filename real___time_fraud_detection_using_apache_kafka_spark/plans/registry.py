@@ -97,82 +97,63 @@ def _stable_types(fn: QueryFn) -> QueryFn:
 
 # The driver's correctness gate checks the FIRST 50 catalog entries, so
 # the head is COMPOSED each round, not left to registration order.
-# Round-6 composition (executes the plan written mid-round-5 and
-# confirmed by VERDICT.md r5 item 1): after the r5 gate the cumulative
-# driver-graded set is 179 names; this head is
-#   (a) the 7 oracle-able queries that have NEVER been driver-graded —
-#       the round-5 batch-2/3 additions (frequent_event_itemsets was
-#       rows-only until its round-5 oracle upgrade, so hash-grading it
-#       is fresh signal),
-#   (b) new round-6 queries (each a changed-or-new plan, ungraded until
-#       the driver says otherwise — the q12 lesson).  NOTE (r7 ADVICE
-#       correction): als_part_recommendations is STILL rows-only — the
-#       oracled tier that resolved VERDICT r5 item 2 is
-#       als_half_step_factors; the MLlib entry's r6 head slot was a
-#       rows-only grade, not a hash grade,
-#   (c) re-verification slots: first the four r1/r2 FAILURES fixed in
-#       r3 (confusion_matrix, classification_metrics,
-#       grouping_sets_orders, q12_shipping_lateness — their green is
-#       the oldest *post-fix* signal in the catalog), then the 35
-#       queries whose latest driver grade is r1/r2, oldest families
-#       first.
+# Round-9 composition (executes VERDICT r8 item 3 — the rotation plan
+# written during round 8): after the r8 gate the cumulative driver-
+# graded set is 209 of 218 names (the 9 never-graded are all
+# rows-only-by-necessity); this head is (a) the round-9 changed plans,
+# (b) the 16 oracled queries whose latest grade is r4, (c) the oldest
+# 29 of the 47-query r5 family.  After this gate no oracled query's
+# latest driver grade is older than r5.
 # Everything rotated out stays in the catalog right after the head and
 # is hash-green in an earlier driver round AND in every local
 # full-catalog oracle run (tools/check_oracle.py).
 _GRADED_FIRST = [
-    # ROUND-8 head (executes the r7-close plan + VERDICT r7 item 2).
-    # Every changed/new entry re-passed the adversarial sweeps
-    # (nulled, ties, text, skew) this round before entering the head.
-    # --- (a) the 3 oracled-but-never-driver-graded r7 additions ---
-    "grid_quantile_sketch",      # O(cells) mergeable quantile state
-    "categorical_drift_audit",   # + r8 exact-int midpoint (ADVICE r7)
-    "attribution_time_decay",    # + r8 single-matched-call reuse
-    # --- (b) round-8 CHANGED plans (re-grade: the q12 lesson) ---
-    "psi_score_drift",   # midpoint now integer `div` (ADVICE r7)
-    "neardup_clusters",  # connected_components persist-lifecycle fix
-    # --- (c) round-8 NEW oracle-able queries ---
-    "rfm_segmentation", "market_basket_rules", "bigram_perplexity",
-    "feature_info_gain", "seasonal_trend_decompose",
-    # --- (c2) round-8 batch-2 NEW oracle-able queries (these take the
-    #     last six r4 re-grade slots; the six evicted re-grades move
-    #     to the r9 rotation below) ---
-    "welch_ttest_value", "user_burstiness", "stratified_kfold",
-    "brier_decomposition", "session_bounce_stats",
-    "minhash_est_error",
-    # --- (d) the 3 r3 stragglers (oldest driver grades in catalog) ---
-    "month_spine_recursive", "benford_first_digit",
-    "session_conversion_paths",
-    # --- (e) oldest remaining family: the r4 block, alphabetical
-    #     (first 34 of 49; the rest lead the r9 rotation) ---
-    "bag_set_ops_nations", "benchmark_contamination", "blob_dedup_md5",
-    "bool_agg_events", "bpe_token_stats", "calibration_curve",
-    "clicks_before_purchase", "corpus_mix_report",
-    "corpus_segment_dedup", "corpus_top_tokens",
-    "customer_order_digest", "daily_gapfill_forward",
-    "doc_chunks_overlap", "doc_fingerprint", "doc_quality",
-    "doc_repetition", "doc_token_stats", "dq_constraint_report",
-    "embedding_array_stats", "embedding_gated_curation",
-    "embedding_quantize_stats", "embedding_salient_dims",
-    "event_value_histogram", "fuzzy_category_recovery",
-    "ks_drift_stat", "kv_map_roundtrip", "lift_gain_deciles",
-    "log_line_filters", "log_parse_roundtrip",
-    "mix_sources_token_budget", "multimodal_binary",
+    # ROUND-9 head (executes the r9 plan written during round 8, with
+    # round-9 changed plans prepended per the standing q12 lesson:
+    # a changed lineage is ungraded until the driver says otherwise).
+    # --- (a) round-9 CHANGED oracled plans ---
+    "rfm_segmentation",      # r9 monotone frequency-cap bucket (ADVICE r8)
+    "neardup_clusters",      # r9 pointer-jumping in connected_components
+    "session_bounce_stats",  # r9 shared bounce_report rollup (streaming twin)
+    "tfidf_top_terms",       # r9 volume-scaled explode width
+    "bm25_top_terms",        # r9 volume-scaled explode width
+    # --- (b) the r4 family: every query whose latest driver grade is
+    #     r4 (16 oracled; minhash_neardup is rows-only and rides the
+    #     catalog tail) ---
+    "multimodal_decode_meta", "order_value_percentiles",
+    "pack_training_sequences", "per_class_report", "pr_curve_threshold",
+    "pr_threshold_binned", "profile_orders_columns", "purchase_funnel",
+    "sample_documents_stratified", "sample_per_group",
+    "scalar_date_arithmetic", "shuffle_training_order",
+    "simhash_fingerprints", "tumbling_event_windows", "unigram_logprob",
+    "wire_formats_roundtrip",
+    # --- (c) the r5 family, alphabetical (first 29 of 47; the rest
+    #     lead the r10 rotation) ---
+    "ab_test_zstat", "adamic_adar_parts", "autocorr_daily_revenue",
+    "bigram_collocations_pmi", "chi2_priority_status",
+    "common_neighbors_parts", "copurchase_degree_stats",
+    "copurchase_khop_reach", "copurchase_lift", "copurchase_triangles",
+    "cume_dist_order_values", "cusum_changepoint", "daily_anomaly_zscore",
+    "ewma_user_value", "fuzzy_vocab_correction", "gini_customer_revenue",
+    "grouping_sets_revenue", "holt_revenue_forecast",
+    "inter_purchase_gaps", "interval_union_coverage",
+    "kmv_distinct_users", "knn_graph", "label_centroid_similarity",
+    "lead_lag_revenue_delta", "linreg_daily_revenue", "mad_outlier_orders",
+    "minhash_signatures", "mktsegment_hhi", "order_value_equidepth_hist",
 ]
 
-# ROUND-9 HEAD PLAN (written during round 8): lead with any round-9
-# additions/changed plans, then the r4-family remainder
-# (multimodal_decode_meta, order_value_percentiles,
-# pack_training_sequences, per_class_report, pr_curve_threshold,
-# pr_threshold_binned, profile_orders_columns, purchase_funnel,
-# sample_documents_stratified, sample_per_group,
-# scalar_date_arithmetic, shuffle_training_order,
-# simhash_fingerprints, tumbling_event_windows, unigram_logprob,
-# wire_formats_roundtrip — the 16 r4 hash grades not re-graded in
-# r8), then the r5 family oldest-first (ab_test_zstat,
-# adamic_adar_parts, autocorr_daily_revenue, ... alphabetical).
-# Keep the standing rule: every new query passes the adversarial
-# sweeps before entering the head.
-
+# ROUND-10 HEAD PLAN (written during round 9): lead with any round-10
+# additions/changed plans, then the r5-family remainder, alphabetical
+# (orders_trimmed_stats, part_copurchase_pagerank,
+# part_copurchase_pagerank_copart, part_revenue_abc,
+# priority_metrics_unpivot, purchase_streaks, quality_weighted_sample,
+# revenue_time_rollup, session_survival_km, skyline_orders,
+# source_lang_entropy, source_vocab_overlap, spearman_corr_value_qty,
+# theil_sen_revenue_trend, user_event_pivot, user_growth_curve,
+# weighted_reservoir_sample, wow_revenue_growth — the 18 r5 hash grades
+# not refreshed in r9), then the r6 family oldest-first.  Keep the
+# standing rule: every new query passes the adversarial sweeps before
+# entering the head.
 
 
 def _ordered() -> list[str]:

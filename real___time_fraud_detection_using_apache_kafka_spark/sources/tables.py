@@ -20,8 +20,34 @@ from ..schemas import TESTDATA_TABLES
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# (app_id, sf_dir, table) -> DataFrame.  spark.read.parquet runs one
+# schema-inference job per call (footer reads), so every catalog query
+# paid one job per table it touched; the driver testdata is immutable,
+# so the lazy frame is reusable for the life of the SparkContext.
+# ONLY /root/testdata paths are memoized: tool-generated tmp dirs can
+# be overwritten in place, and a memoized frame would serve the stale
+# file listing its relation cached.
+_TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
+    memo_key = None
+    if os.path.abspath(sf_dir).startswith("/root/testdata/"):
+        memo_key = (
+            spark.sparkContext.applicationId, os.path.abspath(sf_dir), name
+        )
+        cached = _TABLE_MEMO.get(memo_key)
+        if cached is not None:
+            return cached
+    df = _load_table_uncached(spark, sf_dir, name, path)
+    if memo_key is not None:
+        _TABLE_MEMO[memo_key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str,
+                         path: str) -> DataFrame:
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which the vectorized reader
         # rejects.  Read nanos as long (runtime conf, so it also works inside
@@ -33,6 +59,45 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     return spark.read.parquet(path)
+
+
+# (sf_dir, table) -> (n_rows, embedding_dim | None); the testdata tables
+# are immutable for a session, so the one planning job each ANN query
+# used to pay (a count for LSH auto-sizing, a first() for the plane
+# dimension, an isEmpty() guard before KMeans/PCA fits) is paid once per
+# process and shared by the whole embedding family (r9, VERDICT r8
+# item 5).  Keyed by path, not session — a new session over the same
+# files reuses the numbers.
+_STATS_MEMO: dict[tuple[str, str], tuple[int, int | None]] = {}
+
+
+def corpus_stats(spark: SparkSession, sf_dir: str,
+                 name: str = "embeddings",
+                 vec_col: str | None = "embedding") -> tuple[int, int | None]:
+    """Memoized (row_count, vector_dim) for a testdata table.
+
+    One combined aggregate job on first use (count + first non-null
+    vector size in a single pass); every later call — including from a
+    DIFFERENT query in the same catalog run — is a dict hit.
+    """
+    key = (os.path.abspath(sf_dir), name)
+    # same immutability rule as the table memo: tool-generated dirs can
+    # be rewritten in place, so only driver testdata stats are reusable
+    memoizable = key[0].startswith("/root/testdata/")
+    if not memoizable or key not in _STATS_MEMO:
+        df = load_table(spark, sf_dir, name)
+        if vec_col is not None and vec_col in df.columns:
+            row = df.agg(
+                F.count("*").alias("n"),
+                F.first(F.size(vec_col), ignorenulls=True).alias("d"),
+            ).first()
+            stats = (int(row["n"]), row["d"])
+        else:
+            stats = (df.count(), None)
+        if not memoizable:
+            return stats
+        _STATS_MEMO[key] = stats
+    return _STATS_MEMO[key]
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

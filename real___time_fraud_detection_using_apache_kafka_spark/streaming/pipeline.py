@@ -323,6 +323,50 @@ def session_counts(scored: DataFrame, ts_col: str = "time",
     )
 
 
+def session_entry_sessions(events: DataFrame, ts_col: str = "ts",
+                           gap: str = "30 minutes",
+                           watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of the ``session_bounce_stats`` sessionizer (r9,
+    VERDICT r8 item 8): gap sessions per user via ``session_window``,
+    with the session's ENTRY event tracked as arg-min state — the
+    struct-min over (ts, event_id, event_type) is an associative,
+    incrementally-mergeable aggregate, so Spark maintains it in the
+    session state store and ties break deterministically on
+    (ts, event_id) exactly like the batch tier.
+
+    Emits one row per watermark-closed session with the SAME schema the
+    batch plan's per-session frame has — feed the emitted table to
+    ``operators.temporal.bounce_report`` for the entry-type bounce
+    rollup (chaining a second stateful aggregate onto a session window
+    in append mode is not supported, and the rollup is a tiny batch
+    aggregate over the sink anyway).  Input needs (user_id, ts,
+    event_id, event_type) with ``ts`` as an event-time timestamp."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                (
+                    F.unix_micros(F.max(ts_col).cast("timestamp"))
+                    - F.unix_micros(F.min(ts_col).cast("timestamp"))
+                )
+                / 1_000_000
+            ).cast("long").alias("duration_sec"),
+            # struct-min = lexicographic (ts, event_id): the entry event
+            F.min(F.struct(ts_col, "event_id", "event_type"))
+            .getField("event_type")
+            .alias("entry_type"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events", "duration_sec", "entry_type",
+        )
+    )
+
+
 def dedup_stream(txns: DataFrame, ts_col: str = "time",
                  keys: list[str] | None = None,
                  watermark: str = "10 minutes") -> DataFrame:

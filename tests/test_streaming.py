@@ -630,3 +630,69 @@ def test_dashboard_state_is_shard_order_independent(spark, tmpdir):
         score_stream(b1).unionByName(score_stream(b2))
     ).first().asDict()
     assert got == want
+
+
+def test_session_entry_sessions_parity_with_batch(spark, tmpdir, sf_dir):
+    """r9 (VERDICT r8 item 8): replay the events fixture through the
+    session_window + arg-min-entry streaming twin, roll the emitted
+    sessions up with the SHARED bounce_report, and require exact
+    equality with the batch session_bounce_stats rows.  (Boundary note:
+    an event at EXACTLY prev+gap would split in session_window but
+    merge in the batch sessionizer; the fixture's microsecond
+    timestamps cannot land there.)"""
+    import datetime
+
+    from real___time_fraud_detection_using_apache_kafka_spark.operators.temporal import (
+        bounce_report,
+    )
+    from real___time_fraud_detection_using_apache_kafka_spark.plans.registry import QUERIES
+    from real___time_fraud_detection_using_apache_kafka_spark.sources.tables import (
+        load_table,
+    )
+    from real___time_fraud_detection_using_apache_kafka_spark.streaming.pipeline import (
+        session_entry_sessions,
+    )
+
+    src = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_id", "event_type",
+    )
+    src_dir, ckpt = f"{tmpdir}/events_src", f"{tmpdir}/events_ckpt"
+    src.write.parquet(src_dir)
+    stream = spark.readStream.schema(src.schema).parquet(src_dir)
+    q = (
+        session_entry_sessions(stream, gap="30 minutes", watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_entry_t")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # flush: one sentinel event far past the fixture's horizon moves
+        # the watermark beyond every real session's close
+        max_ts = src.agg(F.max("ts")).first()[0]
+        sentinel = spark.createDataFrame(
+            [(-999, max_ts + datetime.timedelta(days=30), -1, "flush")],
+            schema=src.schema,
+        )
+        sentinel.write.mode("append").parquet(src_dir)
+        q.processAllAvailable()
+        emitted = spark.sql(
+            "SELECT * FROM sess_entry_t WHERE user_id <> -999"
+        )
+        got = {
+            r["entry_type"]: (r["n_sessions"], r["n_bounce"],
+                              r["bounce_rate"], r["avg_events"],
+                              r["avg_duration_sec"])
+            for r in bounce_report(emitted).collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        r["entry_type"]: (r["n_sessions"], r["n_bounce"], r["bounce_rate"],
+                          r["avg_events"], r["avg_duration_sec"])
+        for r in QUERIES["session_bounce_stats"].fn(spark, sf_dir).collect()
+    }
+    assert got == want

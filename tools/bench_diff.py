@@ -37,6 +37,20 @@ def baseline_medians(baseline_md: str) -> dict[str, float]:
     return best
 
 
+# Documented run-to-run variance bands (BASELINE.md r9 section): these
+# queries are iterative MLlib fits whose wall time is GC-sensitive at a
+# measured multi-x spread on an IDLE host, so a ratio-vs-median flag
+# carries no signal inside the band.  A measurement within [lo, hi]
+# seconds is reported as in-band, not as a mover; outside the band it
+# flags like any other query.
+VARIANCE_BANDS: dict[str, tuple[float, float]] = {
+    # r9 measured: median-of-5 6.45 s, spread 6.25-18.6 s in ONE warm
+    # session (first-call fit pays MLlib codegen+block warmup); r8
+    # observed 5.8-20 s across sessions.  Band = [4, 21] s.
+    "als_part_recommendations": (4.0, 21.0),
+}
+
+
 def main() -> int:
     bench_path = sys.argv[1]
     threshold = float(sys.argv[2]) if len(sys.argv) > 2 else 1.5
@@ -52,11 +66,23 @@ def main() -> int:
         f"common rows: {len(common)}  aggregate {tot_old:.1f}s -> "
         f"{tot_new:.1f}s  ({tot_new / tot_old:.2f}x)"
     )
+    in_band = [
+        q for q in common
+        if q in VARIANCE_BANDS
+        and VARIANCE_BANDS[q][0] <= bench[q] <= VARIANCE_BANDS[q][1]
+    ]
     movers = [
         (bench[q] / base[q], q, base[q], bench[q])
         for q in common
-        if bench[q] / base[q] > threshold or base[q] / bench[q] > threshold
+        if q not in in_band
+        and (bench[q] / base[q] > threshold or base[q] / bench[q] > threshold)
     ]
+    for q in in_band:
+        lo, hi = VARIANCE_BANDS[q]
+        print(
+            f"  band   {q}: {bench[q]:.3f}s within documented "
+            f"[{lo:.1f}, {hi:.1f}]s variance band (not a mover)"
+        )
     for r, q, o, n in sorted(movers, reverse=True):
         print(f"  {r:5.2f}x  {q}: {o:.3f} -> {n:.3f}")
     if not movers:
