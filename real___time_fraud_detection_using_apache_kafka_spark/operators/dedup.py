@@ -339,9 +339,11 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     # single-task rounds while a billion-edge graph still fans out to
     # the session default.
     n_edges = edges.count()
-    par = edges.sparkSession.sparkContext.defaultParallelism
+    sess = edges.sparkSession
+    par = sess.sparkContext.defaultParallelism
     parts = max(1, min(par, int(n_edges // 50_000) + 1))
-    if parts < par:
+    small = parts < par
+    if small:
         edges = edges.repartition(parts, "src")
     labels = tracked_persist(
         edges.select(F.col("src").alias("node"))
@@ -355,6 +357,40 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     # actual persisted frame and release THAT once its successor is
     # materialized (the learn_bpe_merges prev-handle pattern).
     prev_persisted = labels
+    rounds = 0
+    # Small-graph fast path (r9): the loop's cost at sf0.1 is pure
+    # per-stage latency — 79 edges paid ~1.5 s/round with AQE's
+    # stage-by-stage materialization.  For a small measured graph AQE
+    # is switched off for the duration of the loop's actions (measured
+    # ~40% off the loop) and restored before returning, so the
+    # caller's collect runs under the session's normal config.
+    # (Broadcast-hinting the label side of the per-round joins was
+    # also tried and REVERTED: each round's broadcast build is a
+    # driver round-trip on a lazily-derived frame, measurably slower
+    # than the tiny shuffles it replaced.)  A big graph keeps AQE
+    # (skew splitting) and shuffle joins.
+    prev_aqe = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    if small:
+        sess.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        labels, rounds, prev_persisted = _cc_loop(
+            edges, labels, prev_persisted, max_iter
+        )
+    finally:
+        sess.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    if stats is not None:
+        stats["rounds"] = rounds
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def _cc_loop(edges: DataFrame, labels: DataFrame, prev_persisted: DataFrame,
+             max_iter: int):
+    """min-label + pointer-jump fixpoint rounds (see connected_components)."""
+    from .cache import tracked_persist
+
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
@@ -410,9 +446,4 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         labels = updated.select("node", "label")
         if n_changed == 0:
             break
-    if stats is not None:
-        stats["rounds"] = rounds
-    edges.unpersist()
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
-    )
+    return labels, rounds, prev_persisted
