@@ -343,6 +343,10 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     par = sess.sparkContext.defaultParallelism
     parts = max(1, min(par, int(n_edges // 50_000) + 1))
     small = parts < par
+    # keep the PERSISTED handle for the final release — the small path
+    # rebinds `edges` to an (uncached) repartition of it, and
+    # unpersisting that rebound frame would be a silent no-op
+    edges_persisted = edges
     if small:
         edges = edges.repartition(parts, "src")
     labels = tracked_persist(
@@ -368,7 +372,13 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     # also tried and REVERTED: each round's broadcast build is a
     # driver round-trip on a lazily-derived frame, measurably slower
     # than the tiny shuffles it replaced.)  A big graph keeps AQE
-    # (skew splitting) and shuffle joins.
+    # (skew splitting) and shuffle joins.  CAVEAT: the conf is
+    # session-global — a query PLANNED concurrently in this session
+    # during the (seconds-long, small-graph-only) loop would also plan
+    # AQE-off.  The engine's execution model is sequential per session
+    # (driver gate, bench, check_oracle all run queries one at a time);
+    # a multi-tenant session should call this with pre-partitioned
+    # edges or accept the window.
     prev_aqe = sess.conf.get("spark.sql.adaptive.enabled", "true")
     if small:
         sess.conf.set("spark.sql.adaptive.enabled", "false")
@@ -380,10 +390,29 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         sess.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     if stats is not None:
         stats["rounds"] = rounds
-    edges.unpersist()
+    edges_persisted.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def _release_round_frame(df: DataFrame) -> None:
+    """Release a fixpoint round's materialized frame, whichever kind.
+
+    ``DataFrame.unpersist`` clears CacheManager entries (the round-1
+    ``labels`` persist); a ``localCheckpoint``ed frame persists its
+    UNDERLYING RDD directly, which unpersist does not touch — without
+    the explicit RDD release every round's label snapshot would stay
+    pinned in block storage until nondeterministic driver GC.  The
+    checkpointed RDD is the LogicalRDD plan's ``rdd`` field; reaching
+    it through the JVM plan is version-sensitive, so failures fall
+    back to GC cleanup (best effort, never an error).
+    """
+    df.unpersist()
+    try:
+        df._jdf.queryExecution().logical().rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 def _cc_loop(edges: DataFrame, labels: DataFrame, prev_persisted: DataFrame,
@@ -441,7 +470,7 @@ def _cc_loop(edges: DataFrame, labels: DataFrame, prev_persisted: DataFrame,
         ).localCheckpoint(eager=False)
         n_changed = updated.filter(F.col("chg")).count()
         stepped.unpersist()
-        prev_persisted.unpersist()
+        _release_round_frame(prev_persisted)
         prev_persisted = updated
         labels = updated.select("node", "label")
         if n_changed == 0:

@@ -455,7 +455,13 @@ def hyperplane_lsh_pairs(embeddings: DataFrame, threshold: float = 0.45,
     # sources.tables.corpus_stats) pass n_rows/dim and this function
     # plans with ZERO driver-side jobs (r9, VERDICT r8 item 5)
     if dim is None:
-        dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
+        # first NON-NULL vector's size: size(NULL) is -1 under the
+        # default legacy sizeOfNull, so filter nulls out explicitly
+        dim_row = (
+            embeddings.where(F.col(vec_col).isNotNull())
+            .select(F.size(vec_col).alias("d"))
+            .first()
+        )
         dim = None if dim_row is None else dim_row["d"]
     if dim is None or dim < 1:
         # empty corpus (or an all-null vector column): no hyperplanes to
@@ -486,10 +492,11 @@ def hyperplane_lsh_pairs(embeddings: DataFrame, threshold: float = 0.45,
             if probe_bits == 1:
                 eta += planes_per_band * p ** (planes_per_band - 1) * (1.0 - p)
             # pairs AT the threshold hit this bound; closer pairs only
-            # exceed it.  Clamp: threshold >= 1.0 makes p = 1 and
-            # eta = 1.0 exactly (log(0) below) — every band collides,
-            # so 2 bands trivially meet any recall target.
-            eta = min(eta, 1.0 - 1e-12)
+            # exceed it.  Clamp BOTH ends: threshold >= 1.0 makes p = 1
+            # and eta = 1.0 exactly (log(0) below — every band collides,
+            # 2 bands trivially meet any target); threshold <= -1.0
+            # makes p = 0 and eta = 0.0 (log(1) = 0 divisor).
+            eta = min(max(eta, 1e-12), 1.0 - 1e-12)
             rt = min(recall_target, 1.0 - 1e-12)  # same log(0) hazard
             wanted = max(2, int(math.ceil(
                 math.log(1.0 - rt) / math.log(1.0 - eta)

@@ -87,9 +87,17 @@ def corpus_stats(spark: SparkSession, sf_dir: str,
     if not memoizable or key not in _STATS_MEMO:
         df = load_table(spark, sf_dir, name)
         if vec_col is not None and vec_col in df.columns:
+            # size(NULL) is -1 under the default legacy sizeOfNull, so a
+            # bare first(size(...), ignorenulls) would never skip null
+            # vectors — guard with WHEN so nulls genuinely pass through
             row = df.agg(
                 F.count("*").alias("n"),
-                F.first(F.size(vec_col), ignorenulls=True).alias("d"),
+                F.first(
+                    F.when(
+                        F.col(vec_col).isNotNull(), F.size(vec_col)
+                    ),
+                    ignorenulls=True,
+                ).alias("d"),
             ).first()
             stats = (int(row["n"]), row["d"])
         else:

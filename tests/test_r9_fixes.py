@@ -50,9 +50,28 @@ class TestLshAutoSizeEdges:
         )
 
         df = _vecs(spark, [(i, [float(i), 1.0]) for i in range(8)])
-        with warnings.catch_warnings():
-            warnings.simplefilter("error")
+        # scoped to the band-cap warning only: unrelated dependency
+        # deprecations during plan build must not fail this test
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
             hyperplane_lsh_pairs(df, threshold=0.9)
+        assert not [w for w in caught if "band cap binds" in str(w.message)]
+
+    def test_degenerate_thresholds_do_not_crash(self, spark):
+        # review follow-up: threshold <= -1.0 makes p = 0 and eta = 0.0
+        # (log(1) = 0 divisor) — both clamp ends must hold
+        from real___time_fraud_detection_using_apache_kafka_spark.operators.similarity import (
+            hyperplane_lsh_pairs,
+        )
+
+        df = _vecs(
+            spark, [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])]
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            out = hyperplane_lsh_pairs(df, threshold=-1.0).collect()
+        # cosine >= -1.0 admits every pair the (capped) bands surface
+        assert all(r["cosine"] >= -1.0 for r in out)
 
 
 class TestExplodeWidth:
@@ -143,6 +162,44 @@ class TestPointerJumping:
         }
         assert got == {i: 1 for i in range(1, 81)}
         assert stats["rounds"] <= 12, stats
+
+    def test_round_frames_released_not_accumulated(self, spark):
+        """Review follow-up: each round's label snapshot (a
+        localCheckpoint RDD, invisible to DataFrame.unpersist) must be
+        released as its successor materializes — block storage must not
+        grow with round count."""
+        from real___time_fraud_detection_using_apache_kafka_spark.operators.dedup import (
+            connected_components,
+        )
+
+        sc = spark.sparkContext
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 60)], ["doc_a", "doc_b"]
+        )
+        before = sc._jsc.sc().getPersistentRDDs().size()
+        stats = {}
+        cc = connected_components(pairs, stats=stats)
+        cc.count()
+        after = sc._jsc.sc().getPersistentRDDs().size()
+        assert stats["rounds"] >= 5  # enough rounds for a leak to show
+        # only the FINAL round's checkpoint (which the returned frame
+        # reads) may remain — not one snapshot per round
+        assert after - before <= 2, (before, after, stats)
+
+    def test_corpus_stats_skips_null_vectors(self, spark, tmp_path):
+        """Review follow-up: size(NULL) is -1 under legacy sizeOfNull,
+        so the dim probe must skip null embeddings, not report -1."""
+        from real___time_fraud_detection_using_apache_kafka_spark.sources.tables import (
+            corpus_stats,
+        )
+
+        p = str(tmp_path / "nulldim")
+        spark.createDataFrame(
+            [(1, None), (2, [1.0, 2.0, 3.0])],
+            "vec_id bigint, embedding array<double>",
+        ).write.parquet(f"{p}/embeddings.parquet")
+        n, dim = corpus_stats(spark, p)
+        assert (n, dim) == (2, 3)
 
 
 class TestRfmFrequencyBucketContract:
