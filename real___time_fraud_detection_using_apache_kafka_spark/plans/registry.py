@@ -117,6 +117,9 @@ _GRADED_FIRST = [
     "session_bounce_stats",  # r9 shared bounce_report rollup (streaming twin)
     "tfidf_top_terms",       # r9 volume-scaled explode width
     "bm25_top_terms",        # r9 volume-scaled explode width
+    "ngram_jaccard_neardup",  # r9 volume-scaled shingle width
+    "curate_documents",       # r9 volume-scaled shingle width
+    "minhash_est_error",      # r9 volume-scaled shingle width
     # --- (b) the r4 family: every query whose latest driver grade is
     #     r4 (16 oracled; minhash_neardup is rows-only and rides the
     #     catalog tail) ---
@@ -127,7 +130,7 @@ _GRADED_FIRST = [
     "scalar_date_arithmetic", "shuffle_training_order",
     "simhash_fingerprints", "tumbling_event_windows", "unigram_logprob",
     "wire_formats_roundtrip",
-    # --- (c) the r5 family, alphabetical (first 29 of 47; the rest
+    # --- (c) the r5 family, alphabetical (first 26 of 47; the rest
     #     lead the r10 rotation) ---
     "ab_test_zstat", "adamic_adar_parts", "autocorr_daily_revenue",
     "bigram_collocations_pmi", "chi2_priority_status",
@@ -139,18 +142,18 @@ _GRADED_FIRST = [
     "inter_purchase_gaps", "interval_union_coverage",
     "kmv_distinct_users", "knn_graph", "label_centroid_similarity",
     "lead_lag_revenue_delta", "linreg_daily_revenue", "mad_outlier_orders",
-    "minhash_signatures", "mktsegment_hhi", "order_value_equidepth_hist",
 ]
 
 # ROUND-10 HEAD PLAN (written during round 9): lead with any round-10
 # additions/changed plans, then the r5-family remainder, alphabetical
-# (orders_trimmed_stats, part_copurchase_pagerank,
+# (minhash_signatures, mktsegment_hhi, order_value_equidepth_hist,
+# orders_trimmed_stats, part_copurchase_pagerank,
 # part_copurchase_pagerank_copart, part_revenue_abc,
 # priority_metrics_unpivot, purchase_streaks, quality_weighted_sample,
 # revenue_time_rollup, session_survival_km, skyline_orders,
 # source_lang_entropy, source_vocab_overlap, spearman_corr_value_qty,
 # theil_sen_revenue_trend, user_event_pivot, user_growth_curve,
-# weighted_reservoir_sample, wow_revenue_growth — the 18 r5 hash grades
+# weighted_reservoir_sample, wow_revenue_growth — the 21 r5 hash grades
 # not refreshed in r9), then the r6 family oldest-first.  Keep the
 # standing rule: every new query passes the adversarial sweeps before
 # entering the head.
