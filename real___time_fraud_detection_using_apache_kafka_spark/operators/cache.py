@@ -36,10 +36,13 @@ above are per-session regardless.
 
 from __future__ import annotations
 
+import logging
 import threading
 import weakref
 
 from pyspark.sql import DataFrame, SparkSession
+
+_LOG = logging.getLogger(__name__)
 
 # session -> list of persisted DataFrames; weak keys so a stopped
 # session's entry disappears with it.  All mutation happens under
@@ -62,8 +65,73 @@ def tracked_persist(df: DataFrame, storage_level=None) -> DataFrame:
     return df
 
 
+def track_frame(df: DataFrame) -> DataFrame:
+    """Register an ALREADY-materialized frame for session-scoped release
+    without persisting it here — the ``localCheckpoint`` case (ADVICE
+    r9): a checkpointed frame pins its underlying RDD in block storage
+    directly, ``DataFrame.unpersist`` alone does not free it, and an
+    operator returning a lazy view over its final checkpoint cannot
+    release it before the caller's action.  Tracking routes it through
+    :func:`release_frame`, which knows how to drop the RDD blocks, so
+    the registry's build-time release policy covers checkpoint state
+    exactly like persisted state.
+
+    SEMANTIC CAVEAT, unlike persists: a localCheckpoint TRUNCATES
+    lineage, so once released the frame (and anything derived from it)
+    cannot recompute — a later action raises Spark's
+    checkpointRDDBlockIdNotFound error instead of silently re-running.
+    That is the deliberate trade (the alternative is the pre-r10 leak:
+    one snapshot per call until nondeterministic ContextCleaner GC) and
+    it is safe under the documented sequential build→collect→build
+    contract above: release happens when the NEXT query builds, after
+    this one's action has consumed the frame.  Callers that must
+    re-collect a checkpoint-backed result across query builds should
+    copy it out (write/persist a re-derivable projection) first."""
+    with _LOCK:
+        _TRACKED.setdefault(df.sparkSession, []).append(df)
+    return df
+
+
+_RDD_RELEASE_FALLBACK_WARNED = False
+
+
+def release_frame(df: DataFrame) -> None:
+    """Fully release one frame's materialized state, whichever kind.
+
+    ``DataFrame.unpersist`` clears CacheManager entries (ordinary
+    persists); a ``localCheckpoint``-ed frame persists its UNDERLYING
+    RDD directly, which unpersist does not touch — without the explicit
+    RDD release every checkpoint snapshot stays pinned in block storage
+    until nondeterministic driver GC.  The checkpointed RDD is the
+    LogicalRDD plan's ``rdd`` field; reaching it goes through the
+    private JVM plan accessor, so the class name is checked first
+    (ordinary frames are not LogicalRDD scans and must not log) and a
+    genuine accessor failure — a Spark version moving the field — logs
+    ONE warning per process (ADVICE r9: a silent fallback to GC cleanup
+    would only ever be caught by the leak regression test)."""
+    global _RDD_RELEASE_FALLBACK_WARNED
+    try:
+        df.unpersist()
+    except Exception:
+        pass  # session already stopped — nothing to free
+    try:
+        plan = df._jdf.queryExecution().logical()
+        if plan.getClass().getSimpleName() != "LogicalRDD":
+            return
+        plan.rdd().unpersist(False)
+    except Exception:
+        if not _RDD_RELEASE_FALLBACK_WARNED:
+            _RDD_RELEASE_FALLBACK_WARNED = True
+            _LOG.warning(
+                "localCheckpoint RDD release fell back to GC cleanup "
+                "(Spark internal accessor changed?) — checkpoint blocks "
+                "will linger until ContextCleaner runs",
+                exc_info=True,
+            )
+
+
 def release_tracked(spark: SparkSession) -> int:
-    """Unpersist every tracked frame for ``spark``; returns the count.
+    """Release every tracked frame for ``spark``; returns the count.
 
     Always safe (lineage recomputes on the next action); only ever a
     cost when a still-pending plan referenced the cache — see the
@@ -71,8 +139,5 @@ def release_tracked(spark: SparkSession) -> int:
     with _LOCK:
         frames = _TRACKED.pop(spark, [])
     for df in frames:
-        try:
-            df.unpersist()
-        except Exception:
-            pass  # session already stopped — nothing to free
+        release_frame(df)
     return len(frames)

@@ -394,28 +394,31 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     if stats is not None:
         stats["rounds"] = rounds
     edges_persisted.unpersist()
+    # The FINAL round's localCheckpoint outlives this function (the
+    # returned frame is a lazy projection over it), so it cannot be
+    # released here — register it with the session cache tracker so the
+    # registry's build-time release (which routes through
+    # ``release_frame`` and knows how to drop checkpoint RDD blocks)
+    # reclaims it exactly like a tracked persist (ADVICE r9: it used to
+    # linger until nondeterministic JVM GC, one snapshot per
+    # connected_components call in a long-lived bench session).
+    from .cache import track_frame
+
+    track_frame(prev_persisted)
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
 
 
 def _release_round_frame(df: DataFrame) -> None:
-    """Release a fixpoint round's materialized frame, whichever kind.
+    """Release a fixpoint round's materialized frame, whichever kind —
+    delegates to :func:`..operators.cache.release_frame`, which handles
+    both CacheManager persists (the round-1 ``labels``) and
+    localCheckpoint RDD blocks (every later round), and logs once per
+    process if the Spark-internal RDD accessor ever stops resolving."""
+    from .cache import release_frame
 
-    ``DataFrame.unpersist`` clears CacheManager entries (the round-1
-    ``labels`` persist); a ``localCheckpoint``ed frame persists its
-    UNDERLYING RDD directly, which unpersist does not touch — without
-    the explicit RDD release every round's label snapshot would stay
-    pinned in block storage until nondeterministic driver GC.  The
-    checkpointed RDD is the LogicalRDD plan's ``rdd`` field; reaching
-    it through the JVM plan is version-sensitive, so failures fall
-    back to GC cleanup (best effort, never an error).
-    """
-    df.unpersist()
-    try:
-        df._jdf.queryExecution().logical().rdd().unpersist(False)
-    except Exception:
-        pass
+    release_frame(df)
 
 
 def _cc_loop(edges: DataFrame, labels: DataFrame, prev_persisted: DataFrame,

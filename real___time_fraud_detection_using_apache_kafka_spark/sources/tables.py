@@ -27,16 +27,27 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # ONLY /root/testdata paths are memoized: tool-generated tmp dirs can
 # be overwritten in place, and a memoized frame would serve the stale
 # file listing its relation cached.
+# Keys carry the applicationId so a RESTARTED context never serves a
+# frame bound to a dead one, and the whole memo is dropped the moment a
+# new applicationId is observed (ADVICE r9): frames hold py4j
+# references into their originating JVM-side session, so entries for
+# stopped contexts would otherwise accumulate across context restarts
+# in one process (pytest sessions spanning several SparkSessions).
+# _STATS_MEMO below is exempt — it stores plain ints keyed by path, no
+# session references, and is deliberately reusable across sessions.
 _TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+_MEMO_APP_ID: list[str | None] = [None]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     memo_key = None
     if os.path.abspath(sf_dir).startswith("/root/testdata/"):
-        memo_key = (
-            spark.sparkContext.applicationId, os.path.abspath(sf_dir), name
-        )
+        app_id = spark.sparkContext.applicationId
+        if app_id != _MEMO_APP_ID[0]:
+            _TABLE_MEMO.clear()
+            _MEMO_APP_ID[0] = app_id
+        memo_key = (app_id, os.path.abspath(sf_dir), name)
         cached = _TABLE_MEMO.get(memo_key)
         if cached is not None:
             return cached
