@@ -39,19 +39,67 @@ def latest_per_group(df: DataFrame, part_cols: Sequence[str],
     return topk_per_group(df, part_cols, order_cols, 1).drop("rnk")
 
 
-def bounded_seq_window(*order_cols: Column):
+def _is_sort_order(c: Column) -> bool:
+    """True when ``c`` is an ``asc()``/``desc()``-wrapped SortOrder —
+    an ordering spec, not a value expression, so it cannot feed
+    ``xxhash64``.  JVM introspection first; the string form of a
+    Column (``Column<'cnt DESC NULLS LAST'>``) is the fallback."""
+    try:
+        return c._jc.expr().getClass().getSimpleName() == "SortOrder"
+    except Exception:
+        s = str(c)
+        return s.endswith("FIRST'>") or s.endswith("LAST'>")
+
+
+def bounded_seq_window(*order_cols: Column, anchor: Column | None = None):
     """Ordered single-partition window spec for inputs that are
     METADATA-SIZED BY CONSTRUCTION (per-decile rows, per-bin rows — <= a
-    few thousand rows regardless of input scale).  Using this wrapper
-    instead of a bare ``Window.orderBy`` marks the call site as an
-    audited bounded window: WindowExec's "No Partition Defined" warning
-    will still fire (any constant partition key is folded away by
-    Catalyst), but it is vacuous here — the warning exists to flag
-    accidental whole-DATASET funnels, and every input routed through
-    this helper is domain-bounded.  Never use it on anything that grows
-    with the input; data-sized prefix sums go through
-    ``exclusive_prefix_sum`` / ``bucketed_global_rank``."""
-    return Window.orderBy(*order_cols)
+    few thousand rows regardless of input scale).
+
+    Since r10 the spec is GENUINELY partitioned — by
+    ``pmod(xxhash64(anchor), 1)``, a constant-valued (always 0,
+    ``xxhash64`` never returns NULL) but non-foldable key derived from
+    a real input column, the one shape Catalyst's constant folding
+    provably keeps in the partition spec (a literal, or any
+    algebraically-collapsible ``col*0``, is folded away and the spec
+    reverts to unpartitioned).  Physically identical to the old
+    unpartitioned form — every row hashes to the same single bucket of
+    one exchange — but WindowExec's "No Partition Defined" warning can
+    no longer fire, so the catalog-wide plan pin
+    (tests/test_plan_quality_r10.py) can assert ZERO unpartitioned
+    windows: any new one is an un-audited whole-dataset funnel by
+    definition.  If a Spark upgrade ever learns to fold the key, the
+    pin — not a log grep — catches the regression.
+
+    ``anchor`` names the key's source column explicitly when every
+    order col is ``asc()``/``desc()``-wrapped (a SortOrder is not a
+    value expression); otherwise the first plain order col is used.
+    Never use this helper on anything that grows with the input;
+    data-sized prefix sums go through ``exclusive_prefix_sum`` /
+    ``bucketed_global_rank``."""
+    key = anchor
+    if key is None:
+        for c in order_cols:
+            if not _is_sort_order(c):
+                key = c
+                break
+    if key is None:
+        raise ValueError(
+            "bounded_seq_window: every order col is asc()/desc()-wrapped; "
+            "pass anchor=<a plain input column> for the partition key"
+        )
+    return Window.partitionBy(
+        F.pmod(F.xxhash64(key), F.lit(1))
+    ).orderBy(*order_cols)
+
+
+def bounded_total_window(anchor: Column):
+    """Unordered single-partition window spec — the grand-total-over-a-
+    bounded-aggregate case (``sum(x) OVER ()`` on a ≤|domain|-row
+    grouped result).  Same audited-bounded doctrine and same
+    non-foldable constant partition key as ``bounded_seq_window``;
+    ``anchor`` is any real column of the input frame."""
+    return Window.partitionBy(F.pmod(F.xxhash64(anchor), F.lit(1)))
 
 
 _COMBINE_WINDOW_AGG = {"sum": F.sum, "min": F.min, "max": F.max}

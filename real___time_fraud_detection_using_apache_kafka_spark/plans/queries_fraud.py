@@ -166,7 +166,9 @@ def priority_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # audited bounded window: runs over the |priorities|-row aggregate,
     # metadata-sized by construction
-    w_all = Window.partitionBy()
+    from ..operators.windows import bounded_total_window
+
+    w_all = bounded_total_window(F.col("o_orderpriority"))
     grate = F.sum("s").over(w_all) / F.sum("n").over(w_all)
     return grp.select(
         "o_orderpriority",
@@ -219,7 +221,9 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grp = d.groupBy("digit").agg(F.count("*").alias("observed"))
     # audited bounded window: runs over the 9 first-digit rows
-    w_all = Window.partitionBy()
+    from ..operators.windows import bounded_total_window
+
+    w_all = bounded_total_window(F.col("digit"))
     total = F.sum("observed").over(w_all)
     exp_share = F.log10(1.0 + 1.0 / F.col("digit").cast("double"))
     obs_share = F.col("observed") * F.lit(1.0) / total

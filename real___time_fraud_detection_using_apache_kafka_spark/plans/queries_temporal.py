@@ -390,7 +390,9 @@ def event_transition_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi = seq.groupBy("prev", "cur").agg(F.count("*").alias("n"))
     # audited bounded window: input is the (prev, cur) event-type matrix,
     # bounded by the type domain squared — metadata-sized by construction
-    tot = F.sum("n").over(Window.partitionBy())
+    from ..operators.windows import bounded_total_window
+
+    tot = F.sum("n").over(bounded_total_window(F.col("prev")))
     p_prev = F.sum("n").over(Window.partitionBy("prev")) * F.lit(1.0) / tot
     p_cur = F.sum("n").over(Window.partitionBy("cur")) * F.lit(1.0) / tot
     p_joint = F.col("n") * F.lit(1.0) / tot

@@ -456,15 +456,15 @@ def session_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("censored") == 0, 1)).alias("d"),
         F.count("*").alias("total_at"),
     )
-    w_desc = bounded_seq_window(F.desc("dur_min")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    w_desc = bounded_seq_window(
+        F.desc("dur_min"), anchor=F.col("dur_min")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     km = deaths.select(
         "dur_min", "d", F.sum("total_at").over(w_desc).alias("n_at_risk")
     )
-    w_asc = bounded_seq_window(F.asc("dur_min")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    w_asc = bounded_seq_window(
+        F.asc("dur_min"), anchor=F.col("dur_min")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ln_term = F.when(
         F.col("d") < F.col("n_at_risk"),
         F.log(1.0 - F.col("d") / F.col("n_at_risk").cast("double")),

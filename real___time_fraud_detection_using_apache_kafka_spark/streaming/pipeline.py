@@ -227,9 +227,9 @@ def threshold_from_bins(bins: DataFrame, n_bins: int = 1000) -> DataFrame:
 
     from ..operators.windows import bounded_seq_window
 
-    w = bounded_seq_window(F.desc("bin")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
+    w = bounded_seq_window(
+        F.desc("bin"), anchor=F.col("bin")
+    ).rowsBetween(Window.unboundedPreceding, 0)
     cum = bins.select(
         (F.col("bin") / n_bins).alias("threshold"),
         F.sum("pos").over(w).alias("tp"),
