@@ -1541,7 +1541,11 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's per-record probability scoring (FD/consumer.py:125) at
     corpus granularity.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    raw = load_table(spark, sf_dir, "documents")
+    # volume-scaled explode width (r10, the r9 tfidf lesson): the token
+    # explode's fan-out grows with scan bytes so the downstream
+    # hash-agg/join state stays heap-bounded at 100x corpus
+    docs = raw.repartition(explode_width(raw), "doc_id")
     toks = docs.filter(F.length(F.trim(F.col("text"))) > 0).select(
         "doc_id", "lang", F.explode(TX.tokens(F.col("text"))).alias("tok")
     )
@@ -1761,7 +1765,10 @@ def corpus_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes at scale (same trick as the shingle pipeline); the oracle tier
     keeps the string key so DuckDB reproduces it bit-for-bit.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    raw = load_table(spark, sf_dir, "documents")
+    # volume-scaled explode width (r10): the segment explode multiplies
+    # rows ~n_tokens/10-fold, so fan out with scan bytes before it
+    docs = raw.repartition(explode_width(raw), "doc_id")
     # null guard on BOTH sides: Spark's size(NULL) is -1, which would turn
     # the segment sequence into a descending range emitting phantom null
     # segments, while DuckDB's UNNEST(range(NULL)) emits no rows — the two
@@ -2691,8 +2698,14 @@ def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.cache import tracked_persist
 
+    raw = load_table(spark, sf_dir, "documents")
     docs = (
-        load_table(spark, sf_dir, "documents")
+        # volume-scaled explode width (r10): the bigram explode
+        # multiplies rows ~n_tokens-fold and feeds three hash
+        # aggregates — fan out with scan bytes so per-task state stays
+        # heap-bounded at 100x corpus (floor = session default at
+        # graded SFs, identical plan)
+        raw.repartition(explode_width(raw), "doc_id")
         .filter(F.col("text").isNotNull())
         .select(
             F.coalesce(F.col("source"), F.lit("(null)")).alias("source"),

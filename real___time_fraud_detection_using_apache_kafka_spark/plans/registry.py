@@ -97,66 +97,77 @@ def _stable_types(fn: QueryFn) -> QueryFn:
 
 # The driver's correctness gate checks the FIRST 50 catalog entries, so
 # the head is COMPOSED each round, not left to registration order.
-# Round-9 composition (executes VERDICT r8 item 3 — the rotation plan
-# written during round 8): after the r8 gate the cumulative driver-
-# graded set is 209 of 218 names (the 9 never-graded are all
-# rows-only-by-necessity); this head is (a) the round-9 changed plans,
-# (b) the 16 oracled queries whose latest grade is r4, (c) the oldest
-# 29 of the 47-query r5 family.  After this gate no oracled query's
-# latest driver grade is older than r5.
-# Everything rotated out stays in the catalog right after the head and
-# is hash-green in an earlier driver round AND in every local
-# full-catalog oracle run (tools/check_oracle.py).
+# Round-10 composition (executes the r10 plan written during round 9,
+# plus ADVICE r9 item 2 — changed ROWS-ONLY plans now take head slots
+# too, so schema/lineage-changing rows-only tiers get their weaker
+# driver row refreshed like any other changed plan): (a) the two new
+# r10 audit queries, (b) every oracled plan whose lineage changed in
+# r10 (the bounded-window constant partition key, the volume-scaled
+# explode widths, the connected-components driver tier), (c) the
+# changed rows-only plans from r9/r10 that skipped the r9 gate,
+# (d) the r5-family remainder (latest grade r5), (e) the oldest r6
+# entry.  After this gate no oracled query's latest grade is older
+# than r6.  Everything rotated out stays in the catalog right after
+# the head and is hash-green in an earlier driver round AND in every
+# local full-catalog oracle run (tools/check_oracle.py).
 _GRADED_FIRST = [
-    # ROUND-9 head (executes the r9 plan written during round 8, with
-    # round-9 changed plans prepended per the standing q12 lesson:
-    # a changed lineage is ungraded until the driver says otherwise).
-    # --- (a) round-9 CHANGED oracled plans ---
-    "rfm_segmentation",      # r9 monotone frequency-cap bucket (ADVICE r8)
-    "neardup_clusters",      # r9 pointer-jumping in connected_components
-    "session_bounce_stats",  # r9 shared bounce_report rollup (streaming twin)
-    "tfidf_top_terms",       # r9 volume-scaled explode width
-    "bm25_top_terms",        # r9 volume-scaled explode width
-    "ngram_jaccard_neardup",  # r9 volume-scaled shingle width
-    "curate_documents",       # r9 volume-scaled shingle width
-    "minhash_est_error",      # r9 volume-scaled shingle width
-    # --- (b) the r4 family: every query whose latest driver grade is
-    #     r4 (16 oracled; minhash_neardup is rows-only and rides the
-    #     catalog tail) ---
-    "multimodal_decode_meta", "order_value_percentiles",
-    "pack_training_sequences", "per_class_report", "pr_curve_threshold",
-    "pr_threshold_binned", "profile_orders_columns", "purchase_funnel",
-    "sample_documents_stratified", "sample_per_group",
-    "scalar_date_arithmetic", "shuffle_training_order",
-    "simhash_fingerprints", "tumbling_event_windows", "unigram_logprob",
-    "wire_formats_roundtrip",
-    # --- (c) the r5 family, alphabetical (first 26 of 47; the rest
-    #     lead the r10 rotation) ---
-    "ab_test_zstat", "adamic_adar_parts", "autocorr_daily_revenue",
-    "bigram_collocations_pmi", "chi2_priority_status",
-    "common_neighbors_parts", "copurchase_degree_stats",
-    "copurchase_khop_reach", "copurchase_lift", "copurchase_triangles",
-    "cume_dist_order_values", "cusum_changepoint", "daily_anomaly_zscore",
-    "ewma_user_value", "fuzzy_vocab_correction", "gini_customer_revenue",
-    "grouping_sets_revenue", "holt_revenue_forecast",
-    "inter_purchase_gaps", "interval_union_coverage",
-    "kmv_distinct_users", "knn_graph", "label_centroid_similarity",
-    "lead_lag_revenue_delta", "linreg_daily_revenue", "mad_outlier_orders",
+    # --- (a) NEW r10 oracled audits (sweep-gated before entering) ---
+    "heavy_hitter_containment",    # sketch bound vs exact count
+    "embedding_lsh_recall_audit",  # LSH tier vs exact tier, full outer
+    # --- (b) r10 CHANGED oracled plans ---
+    "neardup_clusters",        # r10 driver union-find tier + fused rounds
+    "chi2_priority_status",    # bounded-window constant partition key:
+    "wow_revenue_growth",      # ... (same helper change, all sites)
+    "autocorr_daily_revenue",
+    "cusum_changepoint",
+    "daily_anomaly_zscore",
+    "session_survival_km",
+    "dow_seasonality",
+    "seasonal_trend_decompose",
+    "lift_gain_deciles",
+    "user_growth_curve",
+    "zipf_fit_tokens",
+    "benford_first_digit",
+    "priority_target_encoding",
+    "event_transition_pmi",
+    "corpus_mix_report",
+    "pr_threshold_binned",
+    "unigram_logprob",         # r10 volume-scaled explode width:
+    "corpus_segment_dedup",    # ...
+    "bigram_perplexity",
+    "simhash_fingerprints",    # r10 width in the simhash feeder
+    "simhash_neardup_pairs",
+    # --- (c) changed rows-only plans (ADVICE r9 item 2): r9 width /
+    #     sizing changes + the r10 heavy-hitter kernel tokenization;
+    #     the driver records the weaker rows-only row for these ---
+    "heavy_hitter_tokens",
+    "bpe_merge_table",
+    "embedding_lsh_neardup",
+    "embedding_knn_ivf",
+    "embedding_knn_pca",
+    "curate_documents_lsh",
+    "minhash_neardup",
+    # --- (d) the r5-family remainder (latest grade r5; the three
+    #     r10-changed ones already sit in (b)) ---
+    "minhash_signatures", "mktsegment_hhi", "order_value_equidepth_hist",
+    "orders_trimmed_stats", "part_copurchase_pagerank",
+    "part_copurchase_pagerank_copart", "part_revenue_abc",
+    "priority_metrics_unpivot", "purchase_streaks",
+    "quality_weighted_sample", "revenue_time_rollup", "skyline_orders",
+    "source_lang_entropy", "source_vocab_overlap",
+    "spearman_corr_value_qty", "theil_sen_revenue_trend",
+    "user_event_pivot", "weighted_reservoir_sample",
+    # --- (e) r6 family, oldest-first (alphabetical; the rest lead the
+    #     r11 rotation) ---
+    "agg_stats_orders",
 ]
 
-# ROUND-10 HEAD PLAN (written during round 9): lead with any round-10
-# additions/changed plans, then the r5-family remainder, alphabetical
-# (minhash_signatures, mktsegment_hhi, order_value_equidepth_hist,
-# orders_trimmed_stats, part_copurchase_pagerank,
-# part_copurchase_pagerank_copart, part_revenue_abc,
-# priority_metrics_unpivot, purchase_streaks, quality_weighted_sample,
-# revenue_time_rollup, session_survival_km, skyline_orders,
-# source_lang_entropy, source_vocab_overlap, spearman_corr_value_qty,
-# theil_sen_revenue_trend, user_event_pivot, user_growth_curve,
-# weighted_reservoir_sample, wow_revenue_growth — the 21 r5 hash grades
-# not refreshed in r9), then the r6 family oldest-first.  Keep the
-# standing rule: every new query passes the adversarial sweeps before
-# entering the head.
+# ROUND-11 HEAD PLAN (written during round 10): lead with any round-11
+# additions/changed plans, then the r6 family minus agg_stats_orders
+# (44 names, alphabetical from als_part_recommendations), then r7
+# oldest-first.  Keep the standing rules: every new query passes the
+# adversarial sweeps before entering the head, and changed plans —
+# rows-only included — are ungraded until the driver says otherwise.
 
 
 def _ordered() -> list[str]:

@@ -35,7 +35,7 @@ class TestFinalCheckpointTracked:
         pairs = spark.createDataFrame(
             [(i, i + 1) for i in range(1, 60)], ["doc_a", "doc_b"]
         )
-        cc = connected_components(pairs)
+        cc = connected_components(pairs, driver_edge_threshold=0)
         assert cc.count() == 60
         # the final checkpoint is still alive here (the frame reads it)
         release_tracked(spark)
@@ -45,7 +45,8 @@ class TestFinalCheckpointTracked:
         # recompute (documented track_frame caveat) — a fresh build is
         # the supported path and must be unaffected
         cc2 = connected_components(
-            spark.createDataFrame([(1, 2), (2, 3)], ["doc_a", "doc_b"])
+            spark.createDataFrame([(1, 2), (2, 3)], ["doc_a", "doc_b"]),
+            driver_edge_threshold=0,
         )
         assert cc2.count() == 3
         release_tracked(spark)
@@ -79,6 +80,76 @@ class TestFinalCheckpointTracked:
         assert sc._jsc.sc().getPersistentRDDs().size() == before + 1
         release_frame(df)
         assert sc._jsc.sc().getPersistentRDDs().size() == before
+
+
+class TestConnectedComponentsTiers:
+    def _random_pairs(self, spark, n, v):
+        from pyspark.sql import functions as F
+
+        return spark.range(n).select(
+            F.pmod(F.xxhash64("id"), F.lit(v)).alias("doc_a"),
+            F.pmod(F.xxhash64(F.col("id") * 7919), F.lit(v)).alias("doc_b"),
+        ).filter(F.col("doc_a") != F.col("doc_b"))
+
+    def test_driver_tier_matches_distributed(self, spark):
+        """r10: the driver union-find tier must be value-identical to
+        the distributed fixpoint on the same graph (chain + random +
+        isolated-pair shapes in one input)."""
+        from real___time_fraud_detection_using_apache_kafka_spark.operators.dedup import (
+            connected_components,
+        )
+
+        pairs = self._random_pairs(spark, 400, 120).union(
+            spark.createDataFrame(
+                [(1000, 1001), (1001, 1002), (2000, 2001)],
+                ["doc_a", "doc_b"],
+            )
+        )
+        s_drv, s_dist = {}, {}
+        drv = {
+            (r["doc_id"], r["cluster_id"])
+            for r in connected_components(pairs, stats=s_drv).collect()
+        }
+        dist = {
+            (r["doc_id"], r["cluster_id"])
+            for r in connected_components(
+                pairs, stats=s_dist, driver_edge_threshold=0
+            ).collect()
+        }
+        assert s_drv["tier"] == "driver-unionfind" and s_drv["rounds"] == 0
+        assert s_dist["tier"] == "distributed"
+        assert drv == dist and len(drv) > 100
+
+    def test_driver_tier_string_ids(self, spark):
+        """The tier must preserve the id type — string doc ids get
+        string cluster ids (min is lexicographic, same as the
+        distributed least())."""
+        from real___time_fraud_detection_using_apache_kafka_spark.operators.dedup import (
+            connected_components,
+        )
+
+        pairs = spark.createDataFrame(
+            [("b", "c"), ("a", "b"), ("x", "y")], ["doc_a", "doc_b"]
+        )
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(pairs).collect()
+        }
+        assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+    def test_threshold_selects_tier(self, spark):
+        from real___time_fraud_detection_using_apache_kafka_spark.operators.dedup import (
+            connected_components,
+        )
+
+        pairs = spark.createDataFrame([(1, 2), (3, 4)], ["doc_a", "doc_b"])
+        s = {}
+        connected_components(pairs, stats=s, driver_edge_threshold=3).collect()
+        # 4 symmetrized edges > 3 -> distributed
+        assert s["tier"] == "distributed"
+        s = {}
+        connected_components(pairs, stats=s, driver_edge_threshold=4).collect()
+        assert s["tier"] == "driver-unionfind"
 
 
 class TestTableMemoEviction:

@@ -158,9 +158,12 @@ class TestPointerJumping:
         stats = {}
         got = {
             r["doc_id"]: r["cluster_id"]
-            for r in connected_components(pairs, stats=stats).collect()
+            for r in connected_components(
+                pairs, stats=stats, driver_edge_threshold=0
+            ).collect()
         }
         assert got == {i: 1 for i in range(1, 81)}
+        assert stats["tier"] == "distributed"
         assert stats["rounds"] <= 12, stats
 
     def test_round_frames_released_not_accumulated(self, spark):
@@ -178,7 +181,7 @@ class TestPointerJumping:
         )
         before = sc._jsc.sc().getPersistentRDDs().size()
         stats = {}
-        cc = connected_components(pairs, stats=stats)
+        cc = connected_components(pairs, stats=stats, driver_edge_threshold=0)
         cc.count()
         after = sc._jsc.sc().getPersistentRDDs().size()
         assert stats["rounds"] >= 5  # enough rounds for a leak to show

@@ -65,7 +65,12 @@ def main() -> None:
             pairs = gen(spark, n)
             stats: dict = {}
             t0 = time.time()
-            cc = connected_components(pairs, max_iter=25, stats=stats)
+            # driver_edge_threshold=0: this smoke measures the
+            # DISTRIBUTED loop's scaling (the driver union-find tier
+            # would swallow the small rungs)
+            cc = connected_components(
+                pairs, max_iter=25, stats=stats, driver_edge_threshold=0
+            )
             n_nodes = cc.count()
             # sanity: a chain is ONE component labeled by its min node
             n_clusters = cc.select("cluster_id").distinct().count()
