@@ -115,8 +115,15 @@ class TestAnnPlanningJobs:
         from real___time_fraud_detection_using_apache_kafka_spark.plans.registry import QUERIES
         from real___time_fraud_detection_using_apache_kafka_spark.sources.tables import (
             corpus_stats,
+            load_table,
         )
 
+        # warm BOTH memos explicitly: a stats-memo hit does not touch
+        # load_table, so if another test evicted the TABLE memo (the
+        # r10 app-id eviction test does, legitimately) the plan build
+        # would pay one parquet footer job and fail this probe for an
+        # order-dependent reason
+        load_table(spark, sf_dir, "embeddings")
         corpus_stats(spark, sf_dir)  # warm the memo (one combined job)
         sc = spark.sparkContext
         sc.setJobGroup("ann_plan_probe_r9", "plan-build only")
