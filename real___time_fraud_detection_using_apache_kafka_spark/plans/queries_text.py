@@ -375,6 +375,48 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_neardup_pairs(emb, threshold=0.45)
 
 
+@register(
+    "embedding_neardup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= 0.45
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ), reach AS (
+        SELECT src AS node, src AS r FROM edges
+        UNION
+        SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node
+    )
+    SELECT node AS vec_id, min(r) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def embedding_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup CLUSTERING end-to-end (r10): exact cosine pairs
+    (>= 0.45) -> connected components -> min-id cluster labels — the
+    embedding-space twin of ``neardup_clusters``' text pipeline, i.e.
+    the "group semantically identical documents, keep one per group"
+    primitive of an embedding-based curation pass.  The oracle computes
+    the same transitive closure with a recursive CTE.
+
+    Scale: the pair tier swaps for ``hyperplane_lsh_pairs`` at corpus
+    scale (recall pinned by ``embedding_lsh_recall_audit``); the
+    clustering is the two-tier connected_components (driver union-find
+    on measured-small dup graphs, fused distributed fixpoint above).
+    """
+    from ..operators import dedup as D
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = SIM.cosine_neardup_pairs(emb, threshold=0.45)
+    return D.connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+
+
 @register("bpe_merge_table", oracle=None)
 def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-training extension: 5 rounds of BPE-style merge learning

@@ -111,9 +111,11 @@ def _stable_types(fn: QueryFn) -> QueryFn:
 # the head and is hash-green in an earlier driver round AND in every
 # local full-catalog oracle run (tools/check_oracle.py).
 _GRADED_FIRST = [
-    # --- (a) NEW r10 oracled audits (sweep-gated before entering) ---
+    # --- (a) NEW r10 oracled queries (sweep-gated before entering) ---
     "heavy_hitter_containment",    # sketch bound vs exact count
     "embedding_lsh_recall_audit",  # LSH tier vs exact tier, full outer
+    "sketch_accuracy_audit",       # HLL estimates vs exact distinct
+    "embedding_neardup_clusters",  # exact pairs -> CC -> cluster labels
     # --- (b) r10 CHANGED oracled plans ---
     "neardup_clusters",        # r10 driver union-find tier + fused rounds
     "chi2_priority_status",    # bounded-window constant partition key:
@@ -156,18 +158,20 @@ _GRADED_FIRST = [
     "quality_weighted_sample", "revenue_time_rollup", "skyline_orders",
     "source_lang_entropy", "source_vocab_overlap",
     "spearman_corr_value_qty", "theil_sen_revenue_trend",
-    "user_event_pivot", "weighted_reservoir_sample",
-    # --- (e) r6 family, oldest-first (alphabetical; the rest lead the
-    #     r11 rotation) ---
-    "agg_stats_orders",
+    "user_event_pivot",
+    # (weighted_reservoir_sample and the r6 family lead the r11
+    #  rotation: the two late r10 additions above took their slots —
+    #  never-driver-checked NEW lineage outranks refreshing a grade
+    #  that is green in every local full-catalog run)
 ]
 
 # ROUND-11 HEAD PLAN (written during round 10): lead with any round-11
-# additions/changed plans, then the r6 family minus agg_stats_orders
-# (44 names, alphabetical from als_part_recommendations), then r7
-# oldest-first.  Keep the standing rules: every new query passes the
-# adversarial sweeps before entering the head, and changed plans —
-# rows-only included — are ungraded until the driver says otherwise.
+# additions/changed plans, then weighted_reservoir_sample (the one r5
+# grade displaced from the r10 head), then the r6 family (45 names,
+# alphabetical from agg_stats_orders), then r7 oldest-first.  Keep the
+# standing rules: every new query passes the adversarial sweeps before
+# entering the head, and changed plans — rows-only included — are
+# ungraded until the driver says otherwise.
 
 
 def _ordered() -> list[str]:
