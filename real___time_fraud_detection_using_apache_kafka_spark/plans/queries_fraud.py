@@ -559,6 +559,54 @@ def value_outliers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "percentile_sketch_audit",
+    oracle="""
+    SELECT 'exact_p50' AS kind, event_type,
+           quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5)
+               AS exact_p50_cents
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def percentile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gradable audit for the ``approx_percentile`` tier
+    (``value_outliers_approx``'s estimator): the sketch median must land
+    inside the exact rank bracket [p45, p55] — a 5% rank margin against
+    the sketch's 0.1% rank-error guarantee at accuracy 1000, so only a
+    genuine estimator break can trip it, never designed error.  The
+    guarantee holds for ANY partitioning (Greenwald-Khanna merges keep
+    the rank bound even though the point estimate itself is
+    partitioning-sensitive — exactly why the base query is rows-only
+    and this bound IS checkable).  A ``bound_violation`` row changes
+    the row count and fails the hash gate; the per-type exact medians
+    are the DuckDB-reproducible content, surfaced ON the integer-cents
+    grid (interpolated midpoints land on .5 cents — exactly
+    representable, so no divide-then-round step exists to diverge: the
+    sf0.01 nulled sweep caught ``round(3553.5/100, 2)`` splitting
+    35.53/35.54 across engines on the 35.535 repr-vs-binary midpoint).
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    per_type = e.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5, 1000)").alias("approx_med"),
+        F.expr("percentile(value, 0.45)").alias("lo"),
+        F.expr("percentile(value, 0.55)").alias("hi"),
+        F.expr(
+            "percentile(cast(round(value * 100) as bigint), 0.5)"
+        ).alias("exact_p50_cents"),
+    )
+    violations = per_type.filter(
+        (F.col("approx_med") < F.col("lo")) | (F.col("approx_med") > F.col("hi"))
+    ).select(
+        F.lit("bound_violation").alias("kind"), "event_type", "exact_p50_cents"
+    )
+    content = per_type.select(
+        F.lit("exact_p50").alias("kind"), "event_type", "exact_p50_cents"
+    )
+    return violations.unionAll(content)
+
+
+@register(
     "market_basket_rules",
     oracle="""
     WITH b AS (

@@ -116,6 +116,7 @@ _GRADED_FIRST = [
     "embedding_lsh_recall_audit",  # LSH tier vs exact tier, full outer
     "sketch_accuracy_audit",       # HLL estimates vs exact distinct
     "embedding_neardup_clusters",  # exact pairs -> CC -> cluster labels
+    "percentile_sketch_audit",     # GK rank bound vs exact bracket
     # --- (b) r10 CHANGED oracled plans ---
     "neardup_clusters",        # r10 driver union-find tier + fused rounds
     "chi2_priority_status",    # bounded-window constant partition key:
@@ -158,17 +159,18 @@ _GRADED_FIRST = [
     "quality_weighted_sample", "revenue_time_rollup", "skyline_orders",
     "source_lang_entropy", "source_vocab_overlap",
     "spearman_corr_value_qty", "theil_sen_revenue_trend",
-    "user_event_pivot",
-    # (weighted_reservoir_sample and the r6 family lead the r11
-    #  rotation: the two late r10 additions above took their slots —
-    #  never-driver-checked NEW lineage outranks refreshing a grade
-    #  that is green in every local full-catalog run)
+    # (user_event_pivot, weighted_reservoir_sample and the r6 family
+    #  lead the r11 rotation: the three late r10 additions above took
+    #  their slots — never-driver-checked NEW lineage outranks
+    #  refreshing a grade that is green in every local full-catalog
+    #  run)
 ]
 
 # ROUND-11 HEAD PLAN (written during round 10): lead with any round-11
-# additions/changed plans, then weighted_reservoir_sample (the one r5
-# grade displaced from the r10 head), then the r6 family (45 names,
-# alphabetical from agg_stats_orders), then r7 oldest-first.  Keep the
+# additions/changed plans, then user_event_pivot and
+# weighted_reservoir_sample (the two r5 grades displaced from the r10
+# head), then the r6 family (45 names, alphabetical from
+# agg_stats_orders), then r7 oldest-first.  Keep the
 # standing rules: every new query passes the adversarial sweeps before
 # entering the head, and changed plans — rows-only included — are
 # ungraded until the driver says otherwise.
