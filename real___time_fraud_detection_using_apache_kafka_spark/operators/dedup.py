@@ -343,10 +343,19 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
 
     Tests pin each tier separately (``driver_edge_threshold=0`` forces
     the distributed loop); ``stats['tier']`` reports which ran.
+
+    NULL endpoints are dropped up front (ADVICE r10): a NULL src/dst
+    can never join (equality semantics), so the distributed loop
+    silently ignored such edges while the driver union-find raised a
+    TypeError comparing None against an id — tier choice changed
+    behavior.  A NULL node id is not a graph edge; both tiers now agree
+    by construction (pinned in test_r11_fixes.py).
     """
     from .cache import tracked_persist
 
-    edges = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    edges = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    )
     # tracked (session-release policy, VERDICT r4 item 3): the LAST
     # iteration's `updated` cache must outlive this function — the
     # returned frame is lazy over it — so raw persist here leaked one

@@ -559,6 +559,108 @@ def value_outliers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "value_outliers_audit",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_c
+        FROM events WHERE value IS NOT NULL
+    ), med AS (
+        SELECT event_type, quantile_cont(v_c, 0.5) AS med_c
+        FROM e GROUP BY event_type
+    ), dev AS (
+        SELECT e.event_type, abs(e.v_c - m.med_c) AS adev_c, m.med_c
+        FROM e JOIN med m USING (event_type)
+    ), mad AS (
+        SELECT event_type, quantile_cont(adev_c, 0.5) AS mad_c
+        FROM dev GROUP BY event_type
+    )
+    SELECT 'stats' AS kind, d.event_type,
+           any_value(d.med_c) AS med_cents,
+           any_value(m.mad_c) AS mad_cents,
+           count(*) AS n_events,
+           count(*) FILTER (d.adev_c > 3 * 1.4826 * m.mad_c) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def value_outliers_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLED audit twin of ``value_outliers_approx`` (VERDICT r10
+    item 2) — the same exact-bracket treatment ``percentile_sketch_audit``
+    gives the median sketch, extended to the FULL approx-tier pipeline:
+    both sketch estimates (the median AND the MAD of deviations about
+    it) must land inside the exact [p45, p55] rank bracket of their own
+    input — a 5% rank margin against ``approx_percentile``'s 0.1%
+    rank-error guarantee, valid for ANY partitioning (Greenwald-Khanna
+    merges preserve the bound), so only an estimator break trips it.
+
+    A ``bound_violation`` row changes the row count -> the hash gate
+    fails loudly; the DuckDB-reproducible content is the exact tier's
+    per-type census (median, MAD, outlier count) computed ON the
+    integer-cents grid: medians interpolate to exact .5s, deviation
+    MADs to exact .25s, and the outlier cut ``adev > 3*1.4826*mad`` is
+    the same IEEE double product on both engines over exactly-
+    representable inputs, so no divide-then-round step exists to
+    diverge (the percentile_sketch_audit lesson).
+
+    Plan shape mirrors ``value_outliers_robust``: two grouped exact
+    percentiles, each collapsing to a 5-row dimension broadcast back
+    onto the fact — the sketch columns ride the SAME two aggregates, so
+    the audit costs one extra pass over nothing.
+    """
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("v_c"),
+        )
+    )
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(v_c, 0.5)").alias("med_c"),
+        F.expr("percentile(v_c, 0.45)").alias("med_lo"),
+        F.expr("percentile(v_c, 0.55)").alias("med_hi"),
+        F.expr("approx_percentile(v_c, 0.5, 1000)").alias("approx_med_c"),
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "med_c", "med_lo", "med_hi", "approx_med_c",
+        F.abs(F.col("v_c") - F.col("med_c")).alias("adev_c"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev_c, 0.5)").alias("mad_c"),
+        F.expr("percentile(adev_c, 0.45)").alias("mad_lo"),
+        F.expr("percentile(adev_c, 0.55)").alias("mad_hi"),
+        F.expr("approx_percentile(adev_c, 0.5, 1000)").alias("approx_mad_c"),
+    )
+    census = (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("med_c").alias("med_cents"),
+            F.any_value("mad_c").alias("mad_cents"),
+            F.count("*").alias("n_events"),
+            F.count_if(
+                F.col("adev_c") > 3 * 1.4826 * F.col("mad_c")
+            ).alias("n_outliers"),
+            F.any_value("approx_med_c").alias("approx_med_c"),
+            F.any_value("med_lo").alias("med_lo"),
+            F.any_value("med_hi").alias("med_hi"),
+            F.any_value("approx_mad_c").alias("approx_mad_c"),
+            F.any_value("mad_lo").alias("mad_lo"),
+            F.any_value("mad_hi").alias("mad_hi"),
+        )
+    )
+    out_cols = ["event_type", "med_cents", "mad_cents", "n_events", "n_outliers"]
+    violations = census.filter(
+        (F.col("approx_med_c") < F.col("med_lo"))
+        | (F.col("approx_med_c") > F.col("med_hi"))
+        | (F.col("approx_mad_c") < F.col("mad_lo"))
+        | (F.col("approx_mad_c") > F.col("mad_hi"))
+    ).select(F.lit("bound_violation").alias("kind"), *out_cols)
+    content = census.select(F.lit("stats").alias("kind"), *out_cols)
+    return violations.unionAll(content)
+
+
+@register(
     "percentile_sketch_audit",
     oracle="""
     SELECT 'exact_p50' AS kind, event_type,

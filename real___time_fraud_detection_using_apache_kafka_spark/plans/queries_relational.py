@@ -739,6 +739,109 @@ def generator_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "generator_profile_audit",
+    # The generator cannot run in DuckDB, but its INVARIANTS are exact
+    # constants for ANY partitioning/PRNG draw, so the oracle is the
+    # literal expected table: every value below is either structural
+    # (n_rows, the alternating fraud label, the 2 s timestamp lattice)
+    # or a for-all-u∈[0,1) range/domain guarantee whose violation count
+    # must be 0; the one distributional metric (the F16 LOC99 gate at
+    # p=0.3 over 2,500 fraud rows) is expressed as an off-band
+    # indicator with a ±10.9σ band, so it is 0 for every partition
+    # layout.  A generator bug flips a value -> hash mismatch.
+    oracle="""
+    SELECT * FROM (VALUES
+        ('bad_amount_range',               0),
+        ('bad_balance_range',              0),
+        ('bad_category_domain',            0),
+        ('bad_id_format',                  0),
+        ('bad_location_domain',            0),
+        ('loc99_on_nonfraud',              0),
+        ('loc99_share_off_band',           0),
+        ('max_time',              1700009998),
+        ('min_time',              1700000000),
+        ('n_fraud',                     2500),
+        ('n_rows',                      5000)
+    ) t(metric, value)
+    """,
+)
+def generator_profile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLED audit twin of ``generator_profile`` (VERDICT r10 item 2):
+    the rows-only profile's generator (F15-F18, FD/producer.py:52-124)
+    is hash-graded through its deterministic invariants.
+
+    Structural facts (exact for any seed): 5,000 rows; ``is_fraud``
+    alternates per index (F17) so exactly 2,500 fraud rows; timestamps
+    sit on the 2 s lattice from 1700000000.  Range/domain facts (hold
+    for every PRNG draw by construction of the column expressions):
+    amount in [10,5000] ∪ [8000,10000] (the F16 fraud bump), balance in
+    [1000,100000], categorical columns inside their declared domains,
+    tagged-id wire formats (F18), LOC99 only ever on a fraud row.
+    Distributional fact: the F16 gate marks ~30% of fraud rows — the
+    audit asserts the share sits in [0.2, 0.4], a ±10.9σ band at
+    n=2,500, so only a broken gate (not sampling noise or partition
+    count) can trip it.
+    """
+    from ..sources.generator import (
+        ACCOUNT_TYPES,
+        CURRENCIES,
+        DEVICES,
+        TXN_TYPES,
+        batch_transactions,
+    )
+
+    t = batch_transactions(spark, n=5000, seed=42)
+    amount_ok = (
+        (F.col("amount") >= 10) & (F.col("amount") <= 5000)
+    ) | ((F.col("amount") >= 8000) & (F.col("amount") <= 10000))
+    ids_ok = (
+        F.col("customer_id").rlike("^CUST[0-9]{4}$")
+        & F.col("merchant_id").rlike("^MERCH[0-9]{3}$")
+        & F.col("device_id").rlike("^DEV[0-9]{4}$")
+        & F.col("transaction_id").rlike("^TXN[0-9]{6,7}$")
+    )
+    domain_ok = (
+        F.col("transaction_type").isin(TXN_TYPES)
+        & F.col("transaction_currency").isin(CURRENCIES)
+        & F.col("transaction_device").isin(DEVICES)
+        & F.col("account_type").isin(ACCOUNT_TYPES)
+    )
+    loc99_share = F.avg(
+        F.when(F.col("is_fraud") == 1, (F.col("location") == "LOC99").cast("double"))
+    )
+    agg = t.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("is_fraud").cast("long").alias("n_fraud"),
+        F.min("time").alias("min_time"),
+        F.max("time").alias("max_time"),
+        F.count_if(~amount_ok).alias("bad_amount_range"),
+        F.count_if(
+            (F.col("account_balance") < 1000) | (F.col("account_balance") > 100000)
+        ).alias("bad_balance_range"),
+        F.count_if(
+            ~F.col("location").rlike("^LOC([1-9]|1[0-9]|20|99)$")
+        ).alias("bad_location_domain"),
+        F.count_if(
+            (F.col("location") == "LOC99") & (F.col("is_fraud") == 0)
+        ).alias("loc99_on_nonfraud"),
+        F.count_if(~domain_ok).alias("bad_category_domain"),
+        F.count_if(~ids_ok).alias("bad_id_format"),
+        ((loc99_share < 0.2) | (loc99_share > 0.4))
+        .cast("long")
+        .alias("loc99_share_off_band"),
+    )
+    metrics = [
+        "bad_amount_range", "bad_balance_range", "bad_category_domain",
+        "bad_id_format", "bad_location_domain", "loc99_on_nonfraud",
+        "loc99_share_off_band", "max_time", "min_time", "n_fraud", "n_rows",
+    ]
+    stack = ", ".join(f"'{m}', {m}" for m in metrics)
+    return agg.selectExpr(
+        f"stack({len(metrics)}, {stack}) AS (metric, value)"
+    )
+
+
+@register(
     "fuzzy_category_recovery",
     oracle="""
     WITH canon AS (

@@ -282,7 +282,7 @@ def sketch_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'corpus_total' AS kind,
            CAST(NULL AS VARCHAR) AS tok,
            count(*) AS true_cnt
-    FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+    FROM (SELECT unnest(string_split_regex(trim(text), '[ \\t\\r\\n\\f\\v]+')) AS tok
           FROM documents) t
     WHERE tok <> ''
     """,
@@ -636,7 +636,7 @@ OVERLAP_K = 256
                {poly_hash_duckdb("tok")} AS h
         FROM (
             SELECT source,
-                   unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                   unnest(string_split_regex(trim(text), '[ \\t\\r\\n\\f\\v]+')) AS tok
             FROM documents WHERE text IS NOT NULL
         ) WHERE tok <> ''
     ), per_src AS (

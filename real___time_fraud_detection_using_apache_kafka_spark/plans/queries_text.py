@@ -3,7 +3,11 @@ mandated training-data-pipeline extension surface (BASELINE.json), plus
 the reference's log-parsing operators (S6/S7) re-expressed structurally.
 
 DuckDB-oracle parity notes:
-- tokenization: ``split(trim(x), '\\s+')`` == ``string_split_regex``.
+- tokenization: Spark-side ``split(trim(x), '\\s+')`` uses JAVA ``\\s``
+  = ``[ \\t\\n\\x0B\\f\\r]``; DuckDB's RE2 ``\\s`` LACKS vertical tab
+  (``\\x0B``), so every oracle spells the explicit class
+  ``[ \\t\\r\\n\\f\\v]+`` (ADVICE r10 — a document containing \\v would
+  otherwise tokenize differently across engines).
 - set similarity: Spark ``array_intersect``/``array_distinct`` == DuckDB
   ``list_intersect``/``list_distinct`` (both set-semantics).
 - dot products: both sides fold elementwise double products in array
@@ -25,7 +29,9 @@ from ..operators.sizing import explode_width
 from ..sources.tables import corpus_stats, load_table
 from .registry import register
 
-TOKS = "string_split_regex(trim(text), '\\s+')"
+# Explicit class == Java \s (RE2's \s drops \v; ADVICE r10)
+WS_CLASS = "[ \\t\\r\\n\\f\\v]+"
+TOKS = f"string_split_regex(trim(text), '{WS_CLASS}')"
 
 
 @register(
@@ -61,7 +67,7 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
                    AS n_bpe,
                CASE WHEN trim(text) = ''
-                    THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END
+                    THEN 0 ELSE len(string_split_regex(trim(text), '[ \\t\\r\\n\\f\\v]+')) END
                    AS n_ws
         FROM documents
     )
@@ -259,7 +265,7 @@ def _simhash_oracle() -> str:
     )
     return f"""
     WITH tok AS (
-        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+        SELECT doc_id, unnest(string_split_regex(trim(text), '[ \\t\\r\\n\\f\\v]+')) AS t
         FROM documents
     ), th AS (
         SELECT doc_id, {poly_hash_duckdb('t')} AS h FROM tok
@@ -450,20 +456,47 @@ def embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.hyperplane_lsh_pairs(emb, threshold=0.45, n_rows=n, dim=dim)
 
 
+AUDIT_SAMPLE_CAP = 1000  # see embedding_lsh_recall_audit
+
+
 @register(
     "embedding_lsh_recall_audit",
     oracle=f"""
+    WITH m AS (
+        SELECT greatest(1, CAST(ceil(count(*) / {AUDIT_SAMPLE_CAP}.0) AS BIGINT))
+                   AS step
+        FROM embeddings
+    ), s AS (
+        SELECT e.* FROM embeddings e, m WHERE e.vec_id % m.step = 0
+    )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cosine,
            CAST(1 AS INT) AS found_by_lsh,
            CAST(1 AS INT) AS in_exact
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM s a JOIN s b ON a.vec_id < b.vec_id
     WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= 0.45
     """,
 )
 def embedding_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-gradable audit for ``embedding_lsh_neardup`` (VERDICT r9
     item 2): full-outer join of the LSH tier against the exact tier.
+
+    SAMPLED TIER (r11, VERDICT r10 item 4): the exact side is
+    deliberately quadratic — that is the audit's point — so its cost
+    scaled quadratically into every full-catalog bench run (6.8 s at
+    sf0.1, the single most expensive catalog row).  The audit now runs
+    on a deterministic id-sample of at most ``AUDIT_SAMPLE_CAP``
+    vectors: ``vec_id % step == 0`` with
+    ``step = ceil(n / AUDIT_SAMPLE_CAP)`` — seed-free, engine-agnostic
+    (the DuckDB oracle computes the SAME predicate from ``count(*)``),
+    and a strict widening of nothing: at driver scale (n <= cap) step
+    is 1 and the audit is the full corpus, unchanged.  Detection power
+    at 100 TB: a recall break is a property of the banding math, not of
+    which vectors are present — any tier-wide recall regression r
+    appears among the sample's pairs with the same expected rate, so a
+    cap-sized sample bounds audit cost at O(cap^2) while keeping the
+    full-outer contract loud (SCALE.md r11 quantifies sample size vs
+    detectable recall drop).
 
     Both tiers verify candidates with the SAME rounded exact cosine and
     threshold, so the LSH output is provably a SUBSET of the exact
@@ -483,8 +516,16 @@ def embedding_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     this query costs what ``embedding_cosine_neardup`` costs, and is an
     AUDIT to run on samples at 100 TB, not a production path.
     """
+    import math
+
     emb = load_table(spark, sf_dir, "embeddings")
     n, dim = corpus_stats(spark, sf_dir)
+    step = max(1, math.ceil(n / AUDIT_SAMPLE_CAP))
+    if step > 1:
+        emb = emb.filter(F.col("vec_id") % step == 0)
+        # sizing estimate for the LSH tier: exact for dense ids, and a
+        # sizing (not correctness) input otherwise — no count job here
+        n = math.ceil(n / step)
     exact = SIM.cosine_neardup_pairs(emb, threshold=0.45).withColumn(
         "in_exact", F.lit(1)
     )

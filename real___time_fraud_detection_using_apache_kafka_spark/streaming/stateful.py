@@ -1062,3 +1062,121 @@ def spacesaving_topk_stream(tokens_in: DataFrame, k: int = 32) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def audit_spacesaving_summary(summary: DataFrame, truth: DataFrame,
+                              k: int) -> DataFrame:
+    """Containment audit of a Space-Saving summary snapshot against
+    exact counts — the streaming twin of the batch
+    ``heavy_hitter_containment`` audit (VERDICT r10 item 7): the
+    sketch's published contract is checked, not trusted.
+
+    Inputs: ``summary`` is the LATEST (shard, token, cnt, err, ver)
+    rows per shard from :func:`spacesaving_topk_stream` (``ver`` is the
+    shard's processed-row count ``n_seen``); ``truth`` is the exact
+    (shard, token, true_cnt) aggregate over the SAME replayed prefix —
+    the lambda-architecture reconciliation input (at 100 TB: the
+    archived log the stream also consumed).
+
+    Returns VIOLATION rows (empty result == contract holds):
+
+    - ``bound``:     a surviving token with NOT ``cnt - err <= true
+      <= cnt`` (Metwally et al.'s overestimation bound — holds for any
+      micro-batch sharding because the same token always lands on the
+      same shard);
+    - ``phantom``:   a surviving token absent from the exact counts
+      whose lower bound ``cnt - err`` is still positive (a true=0 bound
+      break, split out so the join stays inner+anti);
+    - ``guarantee``: a token with ``true_cnt > n_seen/k`` for its shard
+      that is NOT in the summary (Space-Saving's presence guarantee).
+
+    Scale shape: the summary is at most P x k rows by construction, so
+    it is the broadcast side of every join; ``truth`` (unbounded
+    vocabulary) is never shuffled beyond its own aggregation.
+    """
+    s = summary.select("shard", "token", "cnt", "err")
+    n_seen = summary.groupBy("shard").agg(F.max("ver").alias("n_seen"))
+    present = (
+        truth.join(F.broadcast(s), ["shard", "token"])
+        .filter(
+            (F.col("true_cnt") > F.col("cnt"))
+            | (F.col("true_cnt") < F.col("cnt") - F.col("err"))
+        )
+        .select(
+            F.lit("bound").alias("violation"), "shard", "token",
+            "cnt", "err", "true_cnt",
+        )
+    )
+    phantom = (
+        s.join(truth, ["shard", "token"], "left_anti")
+        .filter(F.col("cnt") - F.col("err") > 0)
+        .select(
+            F.lit("phantom").alias("violation"), "shard", "token",
+            "cnt", "err", F.lit(0).cast("long").alias("true_cnt"),
+        )
+    )
+    missing_heavy = (
+        truth.join(F.broadcast(n_seen), "shard")
+        .filter(F.col("true_cnt") * k > F.col("n_seen"))
+        .join(s, ["shard", "token"], "left_anti")
+        .select(
+            F.lit("guarantee").alias("violation"), "shard", "token",
+            F.lit(None).cast("long").alias("cnt"),
+            F.lit(None).cast("long").alias("err"),
+            "true_cnt",
+        )
+    )
+    return present.unionAll(phantom).unionAll(missing_heavy)
+
+
+def spacesaving_containment_sink(summary_stream: DataFrame, truth_fn,
+                                 k: int, results: dict,
+                                 checkpoint: str | None = None):
+    """foreachBatch containment-audit sink over a Space-Saving summary
+    stream: per micro-batch, fold the batch's update-mode rows into the
+    latest per-shard snapshot (driver-held, bounded at P x k entries by
+    the sketch itself — the CC driver-tier sizing argument), rebuild
+    the summary frame, and run :func:`audit_spacesaving_summary`
+    against ``truth_fn(spark) -> (shard, token, true_cnt)``.
+
+    ``results`` accumulates across batches: ``violations`` (list of
+    Row), ``checked`` (tokens audited), ``batches``.  A non-empty
+    ``violations`` after ``processAllAvailable()`` is the loud failure
+    the parity test pins on zero.
+    """
+    snapshot: dict = {}  # shard -> (ver, {token: (cnt, err)})
+    results.setdefault("violations", [])
+    results.setdefault("checked", 0)
+    results.setdefault("batches", 0)
+
+    def audit(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        by_shard: dict = {}
+        for r in batch_df.collect():  # bounded: update rows <= P x k
+            ver, summ = by_shard.setdefault(r.shard, (r.ver, {}))
+            if r.ver > ver:
+                by_shard[r.shard] = (r.ver, {r.token: (r.cnt, r.err)})
+            elif r.ver == ver:  # same snapshot; older vers are stale
+                summ[r.token] = (r.cnt, r.err)
+        for shard, (ver, summ) in by_shard.items():
+            if shard not in snapshot or ver > snapshot[shard][0]:
+                snapshot[shard] = (ver, summ)
+        rows = [
+            (shard, tok, cnt, err, ver)
+            for shard, (ver, summ) in snapshot.items()
+            for tok, (cnt, err) in summ.items()
+        ]
+        if not rows:
+            return
+        summary = spark.createDataFrame(
+            rows, "shard int, token string, cnt long, err long, ver long"
+        )
+        found = audit_spacesaving_summary(summary, truth_fn(spark), k).collect()
+        results["violations"].extend(found)
+        results["checked"] += len(rows)
+        results["batches"] += 1
+
+    writer = summary_stream.writeStream.outputMode("update").foreachBatch(audit)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer

@@ -51,14 +51,45 @@ def chain_pairs(spark, length: int):
     )
 
 
+def star_pairs(spark, n_spokes: int):
+    """One hub, n spokes — the maximal hot-key topology (r11, VERDICT
+    r10 item 5): after symmetrization the hub appears in EVERY edge, so
+    the per-round join hits one skewed src partition and the dst-group
+    min-aggregate one hot key.  Diameter 2 -> rounds must stay at the
+    floor regardless of size; the hot key is absorbed by map-side
+    partial aggregation (hash-agg partial min), and the skewed join
+    task is a narrow scan of the hub's cached partition."""
+    return spark.range(1, n_spokes + 1).select(
+        F.lit(0).cast("long").alias("doc_a"), F.col("id").alias("doc_b")
+    )
+
+
+def powerlaw_pairs(spark, n_edges: int):
+    """Zipf-ish degree distribution — the realistic dup-graph skew
+    (a boilerplate/template document matching a large fraction of the
+    corpus).  dst ids concentrate near 0 via a u^4 power transform of a
+    hash-derived uniform, so the top node's degree is ~n^(3/4)-heavy
+    while the tail stays sparse."""
+    v = max(n_edges // 10, 10)
+    u = (F.pmod(F.xxhash64("id"), F.lit(1_000_000)) + 0.5) / 1_000_000.0
+    dst = F.floor(F.lit(v) * F.pow(u, F.lit(4.0))).cast("long")
+    return spark.range(n_edges).select(
+        F.pmod(F.xxhash64(F.col("id") * 2654435761), F.lit(v)).alias("doc_a"),
+        dst.alias("doc_b"),
+    ).filter(F.col("doc_a") != F.col("doc_b"))
+
+
 def main() -> None:
     random_sizes = [int(s) for s in sys.argv[1:]] or [100_000, 1_000_000]
     chain_sizes = [10_000, 100_000]
+    skew_sizes = random_sizes
     spark = get_spark("scaling-smoke-cc")
     rows = []
     for kind, sizes, gen in (
         ("random", random_sizes, random_pairs),
         ("chain", chain_sizes, chain_pairs),
+        ("star", skew_sizes, star_pairs),
+        ("powerlaw", skew_sizes, powerlaw_pairs),
     ):
         for n in sizes:
             release_tracked(spark)
@@ -81,8 +112,8 @@ def main() -> None:
                 f"rounds={stats['rounds']} in {sec:.2f}s",
                 file=sys.stderr,
             )
-            if kind == "chain":
-                assert n_clusters == 1, "chain must converge to one component"
+            if kind in ("chain", "star"):
+                assert n_clusters == 1, f"{kind} must converge to one component"
     print("| topology | edges | nodes | clusters | rounds | sec |")
     print("|---|---|---|---|---|---|")
     for kind, n, nodes, cl, rounds, sec in rows:
