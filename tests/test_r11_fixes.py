@@ -107,3 +107,65 @@ class TestOracleTokenizerClass:
             if "string_split_regex(trim(text), '\\\\s+')" in src:
                 offenders.append(os.path.basename(path))
         assert not offenders, offenders
+
+
+class TestLshRecallAuditContract:
+    def test_green_and_content_only_on_testdata(self, spark, sf_dir):
+        """On the driver corpora the audit yields ONLY exact_pair
+        content rows (measured recall above the floor, no phantoms)."""
+        from real___time_fraud_detection_using_apache_kafka_spark.plans.registry import (
+            QUERIES,
+        )
+
+        rows = QUERIES["embedding_lsh_recall_audit"].fn(spark, sf_dir).collect()
+        assert rows and all(r.kind == "exact_pair" for r in rows)
+
+    def test_floor_trips_on_broken_retrieval(self, spark, sf_dir, monkeypatch):
+        """Falsifiability: an LSH tier that returns nothing (a seeding/
+        banding/bucket-join break collapses recall toward 0) must
+        surface the recall_floor violation row — the loud row-count
+        mismatch at the driver's gate."""
+        from real___time_fraud_detection_using_apache_kafka_spark.operators import (
+            similarity as SIM,
+        )
+        from real___time_fraud_detection_using_apache_kafka_spark.plans.registry import (
+            QUERIES,
+        )
+
+        real = SIM.hyperplane_lsh_pairs
+
+        def broken(emb, **kw):
+            return real(emb, **kw).limit(0)
+
+        monkeypatch.setattr(SIM, "hyperplane_lsh_pairs", broken)
+        rows = QUERIES["embedding_lsh_recall_audit"].fn(spark, sf_dir).collect()
+        floors = [r for r in rows if r.kind == "recall_floor"]
+        assert len(floors) == 1
+        assert floors[0].id_a == 0  # n_found
+        assert floors[0].id_b == len(rows) - 1  # n_exact
+
+    def test_phantom_trips_on_subset_violation(self, spark, sf_dir, monkeypatch):
+        """A fabricated LSH pair absent from the exact set must surface
+        as a phantom row (even one is a genuine bug: both tiers verify
+        with the same rounded cosine and threshold)."""
+        from pyspark.sql import functions as F
+
+        from real___time_fraud_detection_using_apache_kafka_spark.operators import (
+            similarity as SIM,
+        )
+        from real___time_fraud_detection_using_apache_kafka_spark.plans.registry import (
+            QUERIES,
+        )
+
+        real = SIM.hyperplane_lsh_pairs
+
+        def fabricating(emb, **kw):
+            fake = emb.sparkSession.createDataFrame(
+                [(999_999_001, 999_999_002, 0.99)], "id_a long, id_b long, cosine double"
+            )
+            return real(emb, **kw).unionByName(fake)
+
+        monkeypatch.setattr(SIM, "hyperplane_lsh_pairs", fabricating)
+        rows = QUERIES["embedding_lsh_recall_audit"].fn(spark, sf_dir).collect()
+        phantoms = [r for r in rows if r.kind == "phantom"]
+        assert [(p.id_a, p.id_b) for p in phantoms] == [(999_999_001, 999_999_002)]
