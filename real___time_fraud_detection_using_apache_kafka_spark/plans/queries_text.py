@@ -346,6 +346,108 @@ def embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "cosine", "rank")
 
 
+@register(
+    "knn_ivf_recall_audit",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               round({_cos_sql('q.qv', 'c.embedding')}, 6) AS cosine
+        FROM embeddings c CROSS JOIN q
+        WHERE c.vec_id <> q.query_id
+    ), ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    SELECT 'exact_top5' AS kind, query_id, neighbor_id, cosine, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def knn_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLED audit twin for the rows-only ``embedding_knn_ivf`` tier
+    (r11 — the last ANN tier without one; the LSH family got its audit
+    in r10/r11, the sketch family in r10), graded against the tier's
+    contract like ``embedding_lsh_recall_audit``:
+
+    - content rows ``('exact_top5', ...)``: the brute-force cosine
+      top-5 per probe — identical to ``embedding_knn``'s oracled
+      output, the hash-checked part;
+    - ``('score_mismatch', ...)`` rows: every IVF-returned (query,
+      neighbor) pair's REPORTED cosine recomputed from the raw vectors
+      — the tier promises exact verification of whatever it retrieves
+      (no approximate scores), so even one mismatch is a real bug in
+      the scoring/quantization path (row-count mismatch, loud);
+    - a ``('recall_floor', n_hits, n_exact, ...)`` row when aggregate
+      recall@5 over all probes drops below 0.3.  IVF recall is
+      DESIGN-approximate (probe 4 of 8 cells ≈ half the corpus; on
+      near-random vectors measured recall@5 is 0.72/0.74/0.78 at
+      sf0.001/0.01/0.1 — cell pruning, not a defect), so the floor
+      sits far below design variation while a broken index (wrong
+      cell join, broken centroid seeding) collapses recall toward
+      k/n and trips it.  Falsifiability pinned in
+      tests/test_r11_fixes.py.
+
+    Scale: probe count is fixed (10), the brute-force side is
+    O(probes x corpus) with a broadcast probe set and no shuffle, and
+    the IVF side is the production tier itself — the audit costs one
+    extra corpus scan over the tier it grades.
+    """
+    from ..operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    exact = SIM.brute_force_topk(probes, emb, k=5)
+    n, _ = corpus_stats(spark, sf_dir)
+    ivf = SIM.ivf_topk(probes, emb, k=5, n_centroids=8, n_probe=4, n_rows=n)
+    content = exact.select(
+        F.lit("exact_top5").alias("kind"), "query_id", "neighbor_id",
+        "cosine", "rank",
+    )
+    recomputed = (
+        ivf.alias("i")
+        .join(
+            F.broadcast(
+                emb.select(F.col("vec_id").alias("query_id"),
+                           F.col("embedding").alias("qv"))
+            ),
+            "query_id",
+        )
+        .join(
+            F.broadcast(
+                emb.select(F.col("vec_id").alias("neighbor_id"),
+                           F.col("embedding").alias("cv"))
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id", "neighbor_id", "cosine", "rank",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("true_cos"),
+        )
+    )
+    mismatch = recomputed.filter(F.col("cosine") != F.col("true_cos")).select(
+        F.lit("score_mismatch").alias("kind"), "query_id", "neighbor_id",
+        "cosine", "rank",
+    )
+    hits = ivf.join(
+        exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    )
+    floor_row = (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(hits.agg(F.count("*").alias("n_hits")))
+        .filter(F.col("n_hits") < F.ceil(F.col("n_exact") * 0.3))
+        .select(
+            F.lit("recall_floor").alias("kind"),
+            F.col("n_hits").alias("query_id"),
+            F.col("n_exact").alias("neighbor_id"),
+            F.lit(None).cast("double").alias("cosine"),
+            F.lit(None).cast("int").alias("rank"),
+        )
+    )
+    return content.unionAll(mismatch).unionAll(floor_row)
+
+
 @register("embedding_knn_pca")  # rows-only: PCA+KMeans index isn't SQL-expressible
 def embedding_knn_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search, reduce->probe->re-rank tier (extension): IVF

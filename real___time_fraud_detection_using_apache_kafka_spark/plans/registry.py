@@ -120,6 +120,8 @@ _GRADED_FIRST = [
     # --- (a) NEW r11 oracled audit twins (sweep-gated) ---
     "generator_profile_audit",   # VALUES-literal invariant audit (F15-F18)
     "value_outliers_audit",      # sketch-vs-exact rank brackets, cents grid
+    "knn_ivf_recall_audit",      # IVF tier: exact top-5 content + score
+                                 # fidelity + 0.3 recall floor
     # --- (b) r11 CHANGED lineage ---
     "embedding_lsh_recall_audit",   # deterministic id-sample cap (item 4)
     "neardup_clusters",             # CC NULL-endpoint filter (ADVICE r10)
@@ -150,15 +152,17 @@ _GRADED_FIRST = [
     "q17_small_quantity_revenue", "q18_large_volume_customers",
     "q19_disjunctive_revenue", "q20_promotion_suppliers",
     "q22_dormant_customers", "q3_shipping_priority", "q4_order_priority",
-    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+    "q6_forecast_revenue", "q7_volume_shipping",
+    # (q8_market_share displaced to the r12 remainder by the late r11
+    #  knn_ivf_recall_audit addition — new lineage outranks a refresh)
 ]
 
 # ROUND-12 HEAD PLAN (written during round 11): lead with any round-12
 # additions/changed plans, then the r6-family remainder
-# (rolling_7d_active_users, scalar_datetime_parts, scalar_string_funcs,
-# semi_join_customers_with_orders, set_ops_nations, top_orders,
-# user_rfm_segments), then the r7 family (43 names, alphabetical from
-# als_half_step_factors).  Keep the standing rules: every new query
+# (q8_market_share, rolling_7d_active_users, scalar_datetime_parts,
+# scalar_string_funcs, semi_join_customers_with_orders, set_ops_nations,
+# top_orders, user_rfm_segments), then the r7 family (43 names,
+# alphabetical from als_half_step_factors).  Keep the standing rules: every new query
 # passes the adversarial sweeps before entering the head, and changed
 # plans — rows-only included — are ungraded until the driver says
 # otherwise.

@@ -169,3 +169,60 @@ class TestLshRecallAuditContract:
         rows = QUERIES["embedding_lsh_recall_audit"].fn(spark, sf_dir).collect()
         phantoms = [r for r in rows if r.kind == "phantom"]
         assert [(p.id_a, p.id_b) for p in phantoms] == [(999_999_001, 999_999_002)]
+
+
+class TestKnnIvfRecallAuditContract:
+    def test_green_and_content_only_on_testdata(self, spark, sf_dir):
+        from real___time_fraud_detection_using_apache_kafka_spark.plans.registry import (
+            QUERIES,
+        )
+
+        rows = QUERIES["knn_ivf_recall_audit"].fn(spark, sf_dir).collect()
+        assert rows and all(r.kind == "exact_top5" for r in rows)
+
+    def test_floor_trips_on_broken_index(self, spark, sf_dir, monkeypatch):
+        """A broken IVF index (returns nothing) must surface the
+        aggregate recall_floor violation row."""
+        from real___time_fraud_detection_using_apache_kafka_spark.operators import (
+            similarity as SIM,
+        )
+        from real___time_fraud_detection_using_apache_kafka_spark.plans.registry import (
+            QUERIES,
+        )
+
+        real = SIM.ivf_topk
+
+        def broken(q, c, **kw):
+            return real(q, c, **kw).limit(0)
+
+        monkeypatch.setattr(SIM, "ivf_topk", broken)
+        rows = QUERIES["knn_ivf_recall_audit"].fn(spark, sf_dir).collect()
+        floors = [r for r in rows if r.kind == "recall_floor"]
+        assert len(floors) == 1
+        assert floors[0].query_id == 0  # n_hits
+        assert floors[0].neighbor_id == len(rows) - 1  # n_exact
+
+    def test_score_mismatch_trips_on_wrong_scores(self, spark, sf_dir, monkeypatch):
+        """The tier promises exact verification of retrieved pairs; an
+        off-by-anything reported cosine must surface per-row."""
+        from pyspark.sql import functions as F
+
+        from real___time_fraud_detection_using_apache_kafka_spark.operators import (
+            similarity as SIM,
+        )
+        from real___time_fraud_detection_using_apache_kafka_spark.plans.registry import (
+            QUERIES,
+        )
+
+        real = SIM.ivf_topk
+
+        def skewed(q, c, **kw):
+            return real(q, c, **kw).withColumn(
+                "cosine", F.round(F.col("cosine") + 0.001, 6)
+            )
+
+        monkeypatch.setattr(SIM, "ivf_topk", skewed)
+        rows = QUERIES["knn_ivf_recall_audit"].fn(spark, sf_dir).collect()
+        mism = [r for r in rows if r.kind == "score_mismatch"]
+        exact = [r for r in rows if r.kind == "exact_top5"]
+        assert mism and exact  # every retrieved pair flags; content intact
