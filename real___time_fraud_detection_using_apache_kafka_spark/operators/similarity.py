@@ -25,6 +25,7 @@ block pair fits executor memory and let LSH/IVF prune block pairs first.
 from __future__ import annotations
 
 import warnings
+from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -514,48 +515,91 @@ def hyperplane_lsh_pairs(embeddings: DataFrame, threshold: float = 0.45,
                 )
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((bands * planes_per_band, dim))
-    planes_df = embeddings.sparkSession.createDataFrame(
-        [
-            (band, r, [float(x) for x in planes[band * planes_per_band + r]])
-            for band in range(bands)
-            for r in range(planes_per_band)
-        ],
-        "band int, r int, plane array<double>",
-    )
 
-    embn = tracked_persist(
+    # r11 REWRITE (guide §4.2 + §1.2) — same bands/planes/seed/probing,
+    # so the candidate set and the verified output are unchanged; what
+    # changed is WHO does the arithmetic:
+    #
+    # - Signatures: the r7-r10 plan computed every (vector, plane) sign
+    #   via a broadcast crossJoin + a (id, band) hash aggregate — one
+    #   exchange plus bands·planes interpreted higher-order dot folds
+    #   per vector (HigherOrderFunction is CodegenFallback; measured
+    #   2.8 s of the 6.5 s bench row at sf0.1).  Now ONE vectorized
+    #   pandas_udf computes all band patterns per batch with a single
+    #   (batch × dim)·(dim × bands·planes) float64 matmul — a narrow
+    #   projection, no exchange, no per-plane fold.  Sign parity with
+    #   the JVM fold holds everywhere except a dot of EXACTLY 0.0
+    #   flipped by reassociation (measure-zero under Gaussian planes;
+    #   an all-zero or NULL vector still patterns identically, and a
+    #   flipped sign could only perturb the CANDIDATE set — the exact
+    #   verify below re-filters, so no false positive can surface).
+    # - Candidates + margin filter: the old plan self-joined id-only
+    #   buckets, deduped ~1.2M candidate pairs (sf0.1) and re-attached
+    #   vectors to run ~1.2M MORE interpreted dot folds.  Now the
+    #   bucket join is a cogrouped applyInPandas on (band, pattern)
+    #   whose kernel scores each bucket's probe×index cosine matrix
+    #   with one matmul and emits ONLY near-threshold id pairs
+    #   (threshold − 1e-6 margin — the same reassociation-safe margin
+    #   discipline as ``_block_pair_candidates``).  Survivors are
+    #   deduped (hundreds of rows, not 1.2M) and re-verified with the
+    #   exact sequential JVM fold, so the reported cosines are
+    #   bit-identical to the old plan and the exact tier.
+    # Scale: shuffled bytes are probe rows × dim = (1+r)·bands·N
+    # vectors, the same order as the old plan's candidate re-attach
+    # (~128·N pairs each dragging a vector through the verify join),
+    # and the per-bucket matmul replaces per-pair interpreted folds.
+    margin = threshold - 1e-6
+    n_bands, n_planes = bands, planes_per_band
+    do_probe = probe_bits == 1
+
+    @F.pandas_udf("array<int>")
+    def _patterns(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import numpy as np  # noqa: PLC0415 — executor-side import
+
+        pt = planes.T  # (dim, bands*planes)
+        for s in it:
+            if len(s) == 0:
+                yield pd.Series([], dtype=object)
+                continue
+            rows = [
+                np.zeros(dim) if v is None else np.asarray(v, dtype=np.float64)
+                for v in s
+            ]
+            m = np.stack(rows)
+            # NULL vector: the JVM fold yields a NULL dot -> bit 0 per
+            # plane -> pattern 0; zeros @ planes = 0.0 >= 0 would set
+            # every bit, so null rows are forced to all-zero patterns.
+            nulls = np.array([v is None for v in s])
+            bits = (m @ pt) >= 0  # NaN >= 0 is False, matching the JVM
+            pats = np.zeros((m.shape[0], n_bands), dtype=np.int32)
+            for b in range(n_bands):
+                for j in range(n_planes):
+                    pats[:, b] |= bits[:, b * n_planes + j].astype(
+                        np.int32
+                    ) << j
+            pats[nulls, :] = 0
+            yield pd.Series(list(pats))
+
+    embp = tracked_persist(
         embeddings.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
-            norm(F.col(vec_col)).alias("nv"),
+            _patterns(F.col(vec_col)).alias("pats"),
         )
     )
-    # sign bits fold to an integer pattern per (id, band): sum of
-    # bit << r over the band's planes — same equivalence classes as the
-    # old "101"-style strings, tiny rows through the one bounded shuffle
-    bit = F.when(
-        dot(F.col("v"), F.col("plane")) >= 0,
-        # SQL shiftleft: the Python wrapper wants a literal bit count
-        F.expr("shiftleft(1, r)"),
-    ).otherwise(F.lit(0))
-    sig = (
-        embn.crossJoin(F.broadcast(planes_df))
-        .groupBy("id", "band")
-        .agg(F.sum(bit).alias("pattern"))
+    sig = embp.select(
+        "id", "v", F.posexplode("pats").alias("band", "pattern")
     )
-    if probe_bits == 1:
+    if do_probe:
         # Multi-probe (r8, VERDICT r7 item 6): the PROBE side also
         # visits each pattern at Hamming distance 1 (one sign bit
         # flipped), raising per-band collision probability from p^r to
-        # p^r + r·p^(r-1)(1-p) — measured recall at cosine 0.45 goes
-        # 0.93 -> ~1.0 with the same (bands, planes).  Hamming-1 is
-        # symmetric, so probing ONE side of the a<b self-join covers
-        # every such pair exactly once before the dedup.  The index
-        # side stays one row per (id, band); only the probe fan-out
-        # (×(1+r)) grows, and the verify stage already bounds cost by
-        # true-candidate count.
+        # p^r + r·p^(r-1)(1-p).  Hamming-1 is symmetric, so probing ONE
+        # side of the a<b bucket join covers every such pair exactly
+        # once before the dedup.
         probe = sig.select(
             "id",
+            "v",
             "band",
             F.explode(
                 F.expr(
@@ -567,24 +611,53 @@ def hyperplane_lsh_pairs(embeddings: DataFrame, threshold: float = 0.45,
         )
     else:
         probe = sig
-    cand = (
-        probe.alias("a")
-        .join(
-            sig.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.pattern") == F.col("b.pattern"))
-            & (F.col("a.id") < F.col("b.id")),
+
+    def _bucket_kernel(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np  # noqa: PLC0415 — executor-side import
+
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+            }
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        if lpdf.empty or rpdf.empty:
+            return empty
+        la = [v for v in lpdf["v"]]
+        rb = [v for v in rpdf["v"]]
+        lmask = np.array([v is not None for v in la])
+        rmask = np.array([v is not None for v in rb])
+        if not lmask.any() or not rmask.any():
+            return empty
+        va = np.stack(
+            [np.asarray(v, dtype=np.float64) for v, m in zip(la, lmask) if m]
+        )
+        vb = np.stack(
+            [np.asarray(v, dtype=np.float64) for v, m in zip(rb, rmask) if m]
+        )
+        na = np.linalg.norm(va, axis=1)
+        nb = np.linalg.norm(vb, axis=1)
+        na[na == 0.0] = 1.0
+        nb[nb == 0.0] = 1.0
+        sim = (va / na[:, None]) @ (vb / nb[:, None]).T
+        ia = lpdf["id"].to_numpy()[lmask]
+        ib = rpdf["id"].to_numpy()[rmask]
+        ii, jj = np.nonzero((sim >= margin) & (ia[:, None] < ib[None, :]))
+        return pd.DataFrame({"id_a": ia[ii], "id_b": ib[jj]})
+
+    cand = (
+        probe.groupBy("band", "pattern")
+        .cogroup(sig.groupBy("band", "pattern"))
+        .applyInPandas(_bucket_kernel, "id_a long, id_b long")
         .dropDuplicates(["id_a", "id_b"])
     )
-    av = embn.select(
+    av = embp.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"),
-        F.col("nv").alias("na"),
+        norm(F.col("v")).alias("na"),
     )
-    bv = embn.select(
+    bv = embp.select(
         F.col("id").alias("id_b"), F.col("v").alias("vb"),
-        F.col("nv").alias("nb"),
+        norm(F.col("v")).alias("nb"),
     )
     return (
         cand.join(av, "id_a")

@@ -273,21 +273,61 @@ def learn_bpe_merges(docs: DataFrame, n_merges: int = 5,
         left, right, cnt = top["p"]["l"], top["p"]["r"], top["count"]
         merges.append((rank, left, right, int(cnt)))
         merged = left + joiner + right
-        # greedy left-to-right non-overlapping rewrite as an array fold:
-        # append x, unless the last accepted token is `left` and x is
-        # `right` — then replace it with the merged symbol (an already-
-        # merged symbol never re-matches `left`, BPE's non-overlap rule)
-        rewritten = F.aggregate(
-            "t",
-            F.array().cast("array<string>"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(left))
-                & (x == F.lit(right)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+        # greedy left-to-right non-overlapping rewrite (r11, guide §1.2
+        # "per-task work"): the original fold appended to an
+        # array<string> accumulator, and every append COPIES the
+        # accumulator (`concat(acc, array(x))`) — O(tokens²) array-cell
+        # copies per document per round, in interpreted higher-order-
+        # function eval (measured: the rewrite dominated the 6.0 s
+        # bench row).  Equivalent linear plan: fold ONLY the merge
+        # positions (an int array that grows once per merge — merges
+        # are sparse, so copies are O(tokens·merges_per_doc)), then
+        # rebuild the array with one transform+flatten pass.  Position
+        # i (0-based pair index) merges iff t[i]==left, t[i+1]==right
+        # and position i-1 did not merge — exactly the fold's "last
+        # accepted token is `left`" test, because the only way t[i] is
+        # NOT the last accepted token when x=t[i+1] arrives is a merge
+        # at i-1 (the merged symbol `left+joiner+right` is strictly
+        # longer than `left`, so it can never re-match).  Greedy
+        # parity with the old fold is pinned by the existing
+        # overlapping-run tests (tests/test_text_ops.py).
+        # guard: a doc can shrink below 2 tokens after earlier merges,
+        # and sequence(0, -1) would run DESCENDING — no pairs, no merges
+        pos = F.when(F.size("t") < 2, F.array().cast("array<int>")).otherwise(
+            F.aggregate(
+            F.sequence(F.lit(0), F.size("t") - 2),
+            F.array().cast("array<int>"),
+            lambda acc, i: F.when(
+                (F.element_at("t", i + 1) == F.lit(left))
+                & (F.element_at("t", i + 2) == F.lit(right))
+                & (
+                    (F.size(acc) == 0)
+                    | (F.element_at(acc, -1) != i - 1)
                 ),
-            ).otherwise(F.concat(acc, F.array(x))),
+                F.concat(acc, F.array(i)),
+            ).otherwise(acc),
+            )
+        )
+        # bind `pos` ONCE as a lambda variable (transform over a 1-elem
+        # array) so the rebuild cannot duplicate the fold
+        rewritten = F.element_at(
+            F.transform(
+                F.array(pos),
+                lambda p: F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("t") - 1),
+                        lambda j: F.when(
+                            F.array_contains(p, j), F.array(F.lit(merged))
+                        )
+                        .when(
+                            F.array_contains(p, j - 1),
+                            F.array().cast("array<string>"),
+                        )
+                        .otherwise(F.array(F.element_at("t", j + 1))),
+                    )
+                ),
+            ),
+            1,
         )
         t = t.select("doc_id", rewritten.alias("t"))
     return t, merges

@@ -31,6 +31,33 @@ def get_spark(app_name: str = "fraud-engine", master: str | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r11 (guide §2.4): let AQE re-plan the output partitioning of
+        # CACHED plans.  The iterative operators (BFS frontiers, edge
+        # lists, rank state) persist intermediates; with the default
+        # (false) every cached exchange materializes at the static
+        # pre-AQE partition count and every downstream stage inherits it
+        # — measured 2869 tasks for a 4-row BFS result at sf0.1, and the
+        # same static-count hazard inverted at 100 TB (cached state
+        # pinned to TOO FEW partitions).  With AQE sizing cached
+        # exchanges from map-output stats the layout adapts to the data
+        # at any scale (khop 2869→823 tasks, adamic_adar 4.5→2.2 s,
+        # pagerank_copart 5.5→2.6 s; full A/B in OPTIMIZATION_r11.md).
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
+        # r11 (guide §3.1/§9): allow shuffled-hash join where the
+        # planner's size conditions hold instead of always sort-merge —
+        # skips the per-partition sorts; AQE's
+        # maxShuffledHashJoinLocalMapThreshold gates the runtime rewrite
+        # by actual map-output size (64 MB per partition, same bound as
+        # the broadcast threshold below), so an oversized build side
+        # falls back to SMJ rather than OOM at cluster scale.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(64 * 1024 * 1024),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # local[32] puts all 32 task threads in the ONE driver JVM.  8g is
