@@ -20,7 +20,6 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..functions.hashing import MINHASH_PERMS, MOD
-from .text import word_ngrams
 
 
 def exact_dedup(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
@@ -28,6 +27,46 @@ def exact_dedup(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
     a hash aggregate on all (or subset) columns — map-side partial dedup
     before the shuffle."""
     return df.dropDuplicates(subset) if subset else df.dropDuplicates()
+
+
+def _shingle_hashes(text: Column, n: int) -> Column:
+    """64-bit shingle ids straight from per-token hashes (r11, guide
+    §1.2): tokenize once, ``xxhash64`` each TOKEN once, then combine
+    each window of ``n`` token hashes with one ``xxhash64(h0..h_{n-1})``
+    call — no n-gram string is ever concatenated or re-hashed.  The old
+    path (``transform(word_ngrams(text, n), xxhash64)``) built every
+    shingle string with ``concat_ws`` and re-evaluated the regex split
+    per slice reference (expression subtrees are not CSE'd in
+    interpreted higher-order eval) — measured 0.74 s of the 0.92 s
+    shingling pass at sf0.1.  The token-hash array is bound once as a
+    lambda variable so nothing re-evaluates.
+
+    Contract: shingle ids are an INTERNAL representation — every
+    consumer compares ids only for set equality/intersection size, so
+    any injective-on-the-data hash yields identical Jaccard values and
+    identical verified pairs; the collision budget is the same
+    |shingles|²/2⁶⁴ already accepted for the string-hash path (module
+    docstring)."""
+    from .text import tokens
+
+    th = F.transform(tokens(text), lambda s: F.xxhash64(s))
+
+    def build(thv: Column) -> Column:
+        shifted = [
+            F.slice(thv, k + 1, F.size(thv)).alias(f"w{k}") for k in range(n)
+        ]
+        z = F.slice(
+            F.arrays_zip(*shifted),
+            1,
+            F.greatest(F.size(thv) - (n - 1), F.lit(0)),
+        )
+        return F.when(
+            F.size(thv) < n, F.array().cast("array<bigint>")
+        ).otherwise(
+            F.transform(z, lambda x: F.xxhash64(*[x[f"w{k}"] for k in range(n)]))
+        )
+
+    return F.element_at(F.transform(F.array(th), build), 1)
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
@@ -78,9 +117,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
         "doc_id",
         "lang",
         F.array_sort(
-            F.array_distinct(
-                F.transform(word_ngrams(F.col("text"), n), lambda s: F.xxhash64(s))
-            )
+            F.array_distinct(_shingle_hashes(F.col("text"), n))
         ).alias("sh"),
         F.floor(F.col("n_chars") / band_width).alias("band"),
     ).filter(F.size("sh") > 0)
@@ -172,9 +209,7 @@ def _shingled(docs: DataFrame, n: int) -> DataFrame:
     docs = docs.repartition(explode_width(docs), "doc_id")
     return docs.select(
         "doc_id",
-        F.array_distinct(
-            F.transform(word_ngrams(F.col("text"), n), lambda s: F.xxhash64(s))
-        ).alias("sh"),
+        F.array_distinct(_shingle_hashes(F.col("text"), n)).alias("sh"),
     ).filter(F.size("sh") > 0)
 
 

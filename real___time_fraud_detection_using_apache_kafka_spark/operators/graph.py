@@ -162,11 +162,13 @@ def khop_min_dist(edges: DataFrame, seeds: DataFrame, max_hops: int,
     :func:`pagerank_fixed` — ``max_hops`` is a plan parameter, no
     convergence test): per level, one equi-join frontier⋈edges, one
     distinct, one left-anti against the visited set.  The frontier and
-    visited state are O(|V|) id+dist rows; both are persisted per level
-    because the anti-join makes each level's lineage reference every
-    earlier level — unpersisted, level h would recompute level h-1's
-    whole subtree twice (2^h total scans).  Persisted, each level scans
-    the cached |V|-bounded state plus the edge list once.  The per-level
+    visited state are O(|V|) id+dist rows; each level's FRONTIER is
+    persisted because the anti-join makes each level's lineage
+    reference every earlier level — unpersisted, level h would
+    recompute level h-1's whole subtree twice (2^h total scans).  The
+    visited set is a LAZY union of those per-level caches (r11): every
+    union branch is already persisted, so the recursion is cut without
+    materializing a redundant copy of the union per level.  The per-level
     caches are session-tracked (``operators/cache.py``): the registry
     releases them when the next catalog query is built, and direct
     callers free them with ``release_tracked(spark)`` after their
@@ -191,7 +193,12 @@ def khop_min_dist(edges: DataFrame, seeds: DataFrame, max_hops: int,
             .join(visited, "node", "left_anti")
             .select("node", F.lit(h).alias("dist"))
         )
-        visited = tracked_persist(visited.union(nxt))
+        # r11: the union stays LAZY — every branch is itself persisted,
+        # so the anti-join recursion is already cut at each level, and
+        # persisting the union too just materialized a redundant copy
+        # of the visited set per level (one extra full cache-write pass
+        # × max_hops, measured as pure overhead at sf0.1).
+        visited = visited.union(nxt)
         frontier = nxt
     return visited
 

