@@ -114,6 +114,22 @@ def poly_hash_expr(col_sql: str) -> Column:
     return _poly(F.expr(col_sql))
 
 
+def poly_hash_fold_expr(col_sql: str) -> Column:
+    """The same polynomial hash as :func:`poly_hash_expr`, as the
+    original in-JVM interpreted fold.  Identical values; different cost
+    profile: the fold is O(len²) per string but has ZERO per-batch
+    Python round-trip, so for SHORT KEYS on small row counts (id-gated
+    sampling: ~20-char keys, thousands of rows) it beats the Arrow UDF's
+    ~0.1 s fixed worker cost (measured r11:
+    sample_documents_stratified 0.097 s fold vs 0.209 s Arrow).  Use
+    :func:`poly_hash_expr` for document text or token columns; use this
+    for short per-row keys in sub-second queries."""
+    return F.expr(
+        f"aggregate(sequence(1, length({col_sql})), cast(0 as bigint), "
+        f"(h, i) -> (h * {MULT} + ascii(substring({col_sql}, i, 1))) % {MOD})"
+    )
+
+
 def poly_hash_duckdb(col_sql: str) -> str:
     """The identical hash as DuckDB SQL (list_reduce over code points).
 

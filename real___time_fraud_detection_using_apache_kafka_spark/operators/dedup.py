@@ -15,7 +15,7 @@ banding parameters (K hashes, B bands) tune recall vs cost.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -207,9 +207,20 @@ def _shingled(docs: DataFrame, n: int) -> DataFrame:
     from .sizing import explode_width
 
     docs = docs.repartition(explode_width(docs), "doc_id")
+    # NOTE: this feeder KEEPS the original string-shingle xxhash64 —
+    # MinHash-LSH banding recall depends on the hash VALUES (signature
+    # minima pick band buckets), so swapping in _shingle_hashes here
+    # would change which candidate pairs surface (caught by the ingest
+    # suppression test when r11 tried it).  Only ngram_jaccard_pairs,
+    # whose prefix-filter recall is EXACT under any total order, uses
+    # the cheaper token-hash combine.
+    from .text import word_ngrams
+
     return docs.select(
         "doc_id",
-        F.array_distinct(_shingle_hashes(F.col("text"), n)).alias("sh"),
+        F.array_distinct(
+            F.transform(word_ngrams(F.col("text"), n), lambda s: F.xxhash64(s))
+        ).alias("sh"),
     ).filter(F.size("sh") > 0)
 
 
@@ -304,7 +315,7 @@ def simhash(docs: DataFrame, bits: int = 32,
     whole fingerprint DuckDB-oracle-checkable; its range is < 2^30, so
     use ``bits <= 24`` with it (higher bits skew toward 0).
     """
-    from ..functions.hashing import poly_hash_expr
+    from ..functions.hashing import poly_hash_fold_expr
     from .sizing import explode_width
 
     # rebalance before the token explode: width scales with scan volume
@@ -317,7 +328,11 @@ def simhash(docs: DataFrame, bits: int = 32,
         F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
     )
     if hash_fn == "portable":
-        tok = tok.withColumn("th", poly_hash_expr("tok"))
+        # short-token site: the interpreted fold beats the Arrow UDF here
+        # (0.30 vs 0.84 s/pass measured r11 — the ArrowEvalPython
+        # projection materializes ~1M exploded tokens both directions
+        # before the vote aggregate; see poly_hash_fold_expr)
+        tok = tok.withColumn("th", poly_hash_fold_expr("tok"))
     else:
         tok = tok.withColumn("th", F.xxhash64("tok"))
     votes = [

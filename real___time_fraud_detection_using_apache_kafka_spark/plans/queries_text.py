@@ -1054,10 +1054,12 @@ def sample_documents_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, runs, and partitionings (the property a training-data split
     needs: re-running the pipeline yields the same corpus).  Narrow
     filter, no shuffle; at 100 TB the gate evaluates inside the scan."""
-    from ..functions.hashing import poly_hash_expr
+    # short-key site: the interpreted fold beats the Arrow UDF's fixed
+    # per-batch cost here (see poly_hash_fold_expr docstring)
+    from ..functions.hashing import poly_hash_fold_expr
 
     docs = load_table(spark, sf_dir, "documents")
-    bucket = F.pmod(poly_hash_expr("cast(doc_id as string)"), F.lit(100))
+    bucket = F.pmod(poly_hash_fold_expr("cast(doc_id as string)"), F.lit(100))
     rate = F.when(F.col("lang") == "en", F.lit(50)).otherwise(F.lit(10))
     return docs.filter(bucket < rate).select(
         "doc_id", "lang", bucket.alias("bucket")
@@ -1888,11 +1890,12 @@ def sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(groups x k x partitions), not the corpus."""
     from pyspark.sql import Window
 
-    from ..functions.hashing import poly_hash_expr
+    # short-key site: interpreted fold (see poly_hash_fold_expr)
+    from ..functions.hashing import poly_hash_fold_expr
 
     docs = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy("lang").orderBy(
-        poly_hash_expr("cast(doc_id as string)"), F.asc("doc_id")
+        poly_hash_fold_expr("cast(doc_id as string)"), F.asc("doc_id")
     )
     return (
         docs.withColumn("rn", F.row_number().over(w))
@@ -2362,14 +2365,15 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, no sort, no sampling pass), and re-weightable by changing
     only the salt or the bps expression.  Extends the uniform-rate
     ``sample_documents_stratified`` to per-row weights."""
-    from ..functions.hashing import poly_hash_expr
+    # short-key site: interpreted fold (see poly_hash_fold_expr)
+    from ..functions.hashing import poly_hash_fold_expr
 
     docs = load_table(spark, sf_dir, "documents")
     keep_bps = F.least(
         F.greatest(F.col("n_chars") * 20, F.lit(500)), F.lit(9500)
     )
     sample_key = F.pmod(
-        poly_hash_expr("concat(cast(doc_id as string), ':qs')"), F.lit(10000)
+        poly_hash_fold_expr("concat(cast(doc_id as string), ':qs')"), F.lit(10000)
     )
     return (
         docs.select(
@@ -2422,13 +2426,14 @@ def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus).  Ranking compares the ROUNDED key (1-ulp ``ln`` skew
     between libm and the JVM cannot reorder) with doc_id ties pinned.
     """
-    from ..functions.hashing import poly_hash_expr
+    # short-key site: interpreted fold (see poly_hash_fold_expr)
+    from ..functions.hashing import poly_hash_fold_expr
     from ..operators.windows import topk_per_group
 
     docs = load_table(spark, sf_dir, "documents")
     u = (
         (F.pmod(
-            poly_hash_expr("concat(cast(doc_id as string), ':wrs')"),
+            poly_hash_fold_expr("concat(cast(doc_id as string), ':wrs')"),
             F.lit(1000003),
         ) + 1) / F.lit(1000004).cast("double")
     )

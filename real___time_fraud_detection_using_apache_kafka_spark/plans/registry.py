@@ -97,72 +97,96 @@ def _stable_types(fn: QueryFn) -> QueryFn:
 
 # The driver's correctness gate checks the FIRST 50 catalog entries, so
 # the head is COMPOSED each round, not left to registration order.
-# Round-11 composition (executes the r11 plan written during round 10,
-# plus VERDICT r10 item 2 — the three never-driver-graded rows-only
-# queries take head slots so union coverage reaches 223/223):
-# (a) the two NEW r11 oracled audit twins, (b) every plan whose
-# LINEAGE changed in r11 (the connected-components NULL-endpoint
-# filter, the sampled LSH recall audit), (c) the two queries whose
-# ORACLE text changed in r11 (the explicit [ \t\r\n\f\v]+ tokenizer
-# class, ADVICE r10 — behavior-neutral on \v-free driver testdata,
-# re-graded anyway per the changed-plan rule; doc_token_stats and
-# bpe_token_stats carry the same TOKS constant and represent it),
-# (d) the three never-driver-graded rows-only queries, (e) the two r5
-# grades displaced from the r10 head, (f) the r6 family, alphabetical
-# from agg_stats_orders — 36 of its 43 names fit; the remaining 7
-# (rolling_7d_active_users .. user_rfm_segments) lead the r12 plan.
-# After this gate every catalog query has at least one driver row and
-# no oracled query's latest grade is older than r6.  Everything rotated
-# out stays in the catalog right after the head and is hash-green in an
-# earlier driver round AND in every local full-catalog oracle run
-# (tools/check_oracle.py).
+# Round-11 composition, FINAL (recomposed during the r11 OPTIMIZATION
+# phase): the optimization rewrites changed the physical lineage of
+# ~30 queries (vectorized portable hash -> every sampling/sketch
+# consumer; token-hash shingles -> the near-dup family; cogrouped LSH;
+# per-column profile aggregates; lazy BFS unions; session-wide cached-
+# plan AQE + shuffled-hash-join prefs), and the standing rule is that
+# CHANGED plans take head slots so the driver re-grades them.  Order:
+# (a) changed-lineage ORACLED queries (r11-opt rewrites; source_vocab_
+# overlap / heavy_hitter_containment also carry the build-phase ADVICE
+# r10 tokenizer-class oracle change), (b) changed-lineage rows-only
+# queries + the three never-driver-graded rows (VERDICT r10 item 2 —
+# union coverage reaches 223/223 at this gate), (c) the three NEW r11
+# oracled audit twins (sweep-gated), (d) the two TOKS-constant
+# representatives of the oracle-text change, (e) the r5 grade displaced
+# from the r10 head, (f) r6 family, alphabetical — 11 fit; the
+# remainder moves to the r12 plan below.  Everything rotated out stays
+# in the catalog right after the head and is hash-green in an earlier
+# driver round AND in every local full-catalog oracle run
+# (tools/check_oracle.py — 9 full-catalog green runs this round:
+# plain, nulled x2 SFs, tie, text, skew, vanilla, plus sf0.01 spots).
 _GRADED_FIRST = [
-    # --- (a) NEW r11 oracled audit twins (sweep-gated) ---
+    # --- (a) r11-opt CHANGED lineage, oracled ---
+    "profile_orders_columns",       # per-column aggregates (no Expand)
+    "mix_sources_token_budget",     # vectorized portable hash
+    "ngram_jaccard_neardup",        # token-hash shingles
+    "curate_documents",             # ... same shingle operator
+    "neardup_clusters",             # shingles + CC NULL-endpoint (build)
+    "embedding_neardup_clusters",   # cogrouped LSH + CC
+    "minhash_est_error",            # shingles + vectorized hash
+    "kmv_distinct_users",           # vectorized portable hash
+    "simhash_fingerprints",         # portable token hash
+    "simhash_neardup_pairs",        # portable token hash
+    "sample_documents_stratified",  # vectorized portable hash
+    "sample_per_group",             # vectorized portable hash
+    "quality_weighted_sample",      # vectorized portable hash
+    "weighted_reservoir_sample",    # vectorized portable hash (+ r5 slot)
+    "stratified_kfold",             # vectorized portable hash
+    "ab_test_zstat",                # vectorized portable hash
+    "hll_distinct_users",           # mixed hash -> vectorized poly
+    "hll_rollup_merge",
+    "hll_set_algebra",
+    "cms_heavy_hitters",
+    "bloom_semijoin_prune",
+    "sketch_accuracy_audit",        # HLL audit over the same mixer
+    "source_vocab_overlap",         # vectorized hash + tokenizer oracle
+    "heavy_hitter_containment",     # tokenizer-class oracle (ADVICE r10)
+    "copurchase_khop_reach",        # lazy BFS visited union
+    "embedding_lsh_recall_audit",   # cogrouped LSH + sampled cap (build)
+    # --- (b) CHANGED lineage rows-only + never-driver-graded rows ---
+    "embedding_lsh_neardup",        # cogrouped LSH rewrite
+    "bpe_merge_table",              # linear greedy rewrite
+    "minhash_neardup",              # token-hash shingles
+    "curate_documents_lsh",         # ... same
+    "approx_event_sketches",        # HLL mixer lineage; first driver row
+    "generator_profile",            # first driver row (VERDICT r10 item 2)
+    "value_outliers_approx",        # first driver row (VERDICT r10 item 2)
+    # --- (c) NEW r11 oracled audit twins (sweep-gated) ---
     "generator_profile_audit",   # VALUES-literal invariant audit (F15-F18)
     "value_outliers_audit",      # sketch-vs-exact rank brackets, cents grid
     "knn_ivf_recall_audit",      # IVF tier: exact top-5 content + score
                                  # fidelity + 0.3 recall floor
-    # --- (b) r11 CHANGED lineage ---
-    "embedding_lsh_recall_audit",   # deterministic id-sample cap (item 4)
-    "neardup_clusters",             # CC NULL-endpoint filter (ADVICE r10)
-    "embedding_neardup_clusters",   # ... same operator change
-    # --- (c) r11 CHANGED oracle text (tokenizer class, ADVICE r10) ---
-    "heavy_hitter_containment",
-    "source_vocab_overlap",
+    # --- (d) TOKS-constant representatives (oracle-text change) ---
     "doc_token_stats",
     "bpe_token_stats",
-    # --- (d) never-driver-graded rows-only (VERDICT r10 item 2) ---
-    "approx_event_sketches",     # functionally graded via sketch_accuracy_audit
-    "generator_profile",         # functionally graded via generator_profile_audit
-    "value_outliers_approx",     # functionally graded via value_outliers_audit
-    # --- (e) the two r5 grades displaced from the r10 head ---
-    "user_event_pivot", "weighted_reservoir_sample",
-    # --- (f) r6 family, alphabetical (36 of 43 fit this head) ---
+    # --- (e) r5 grade displaced from the r10 head ---
+    "user_event_pivot",
+    # --- (f) r6 family, alphabetical (11 of 43 fit this head) ---
     "agg_stats_orders", "als_part_recommendations",
     "anti_join_customers_without_orders", "classification_metrics",
-    "cms_heavy_hitters", "common_neighbors_capped", "confusion_matrix",
+    "common_neighbors_capped", "confusion_matrix",
     "currency_roundtrip", "customer_order_analytics",
     "frequent_event_itemsets", "grouping_sets_orders",
-    "holt_backtest_accuracy", "json_extract_props",
-    "kalman_revenue_smooth", "latest_event_per_user",
-    "mode_source_per_lang", "null_handling", "price_elasticity_by_brand",
-    "projection_filter", "q10_returned_items", "q11_important_parts",
-    "q12_shipping_lateness", "q13_customer_distribution",
-    "q14_promo_revenue", "q15_top_supplier", "q16_part_supplier_counts",
-    "q17_small_quantity_revenue", "q18_large_volume_customers",
-    "q19_disjunctive_revenue", "q20_promotion_suppliers",
-    "q22_dormant_customers", "q3_shipping_priority", "q4_order_priority",
-    "q6_forecast_revenue", "q7_volume_shipping",
-    # (q8_market_share displaced to the r12 remainder by the late r11
-    #  knn_ivf_recall_audit addition — new lineage outranks a refresh)
+    "holt_backtest_accuracy",
 ]
 
 # ROUND-12 HEAD PLAN (written during round 11): lead with any round-12
-# additions/changed plans, then the r6-family remainder
-# (q8_market_share, rolling_7d_active_users, scalar_datetime_parts,
-# scalar_string_funcs, semi_join_customers_with_orders, set_ops_nations,
-# top_orders, user_rfm_segments), then the r7 family (43 names,
-# alphabetical from als_half_step_factors).  Keep the standing rules: every new query
+# additions/changed plans, then the r6-family remainder in alphabetical
+# order (json_extract_props, kalman_revenue_smooth,
+# latest_event_per_user, mode_source_per_lang, null_handling,
+# price_elasticity_by_brand, projection_filter, q10_returned_items,
+# q11_important_parts, q12_shipping_lateness, q13_customer_distribution,
+# q14_promo_revenue, q15_top_supplier, q16_part_supplier_counts,
+# q17_small_quantity_revenue, q18_large_volume_customers,
+# q19_disjunctive_revenue, q20_promotion_suppliers, q22_dormant_customers,
+# q3_shipping_priority, q4_order_priority, q6_forecast_revenue,
+# q7_volume_shipping, q8_market_share, rolling_7d_active_users,
+# scalar_datetime_parts, scalar_string_funcs,
+# semi_join_customers_with_orders, set_ops_nations, top_orders,
+# user_rfm_segments), then the r7 family (43 names, alphabetical from
+# als_half_step_factors).  Keep the standing rules: every new query
 # passes the adversarial sweeps before entering the head, and changed
 # plans — rows-only included — are ungraded until the driver says
 # otherwise.

@@ -279,14 +279,23 @@ def test_dq_report_broadcasts_fk_and_scans_orders_twice_max(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_profile_orders_is_single_scan_single_agg(spark):
-    """16 column statistics fold into ONE scan; distinct counts expand
-    aggregation but no join appears anywhere."""
+def test_profile_orders_per_column_scans_no_expand(spark):
+    """r11 plan: one PRUNED scan + single-distinct aggregate per profiled
+    column (no Expand — the multi-distinct rewrite multiplied every row
+    ×(k+1) and measured 4.5× slower than independent scans), a 1-row
+    broadcast for the shared row count, and no data-sized join."""
     import re
 
     plan = plan_of(spark, "profile_orders_columns")
-    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
-    assert "Join" not in plan
+    # one scan per profiled column + one for the row count
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 5
+    # the Expand-based multi-distinct rewrite must not reappear
+    assert "Expand" not in plan
+    # the only join is the 1-row count attach (broadcast, never shuffled)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # each per-column scan reads just that column (pruning intact)
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert scans and all(s.count(",") == 0 for s in scans), scans
 
 
 def test_scd2_rides_one_user_exchange(spark):

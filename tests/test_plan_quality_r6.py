@@ -63,7 +63,9 @@ def test_hll_is_two_hash_aggregates_no_window(spark):
     cartesian; register state is (type x 256) mergeable rows."""
     plan = plan_of(spark, "hll_distinct_users")
     assert "Window" not in plan
-    assert "EvalPython" not in plan
+    # r11: the portable hash is a vectorized Arrow UDF (one
+    # ArrowEvalPython projection); row-at-a-time Python stays banned
+    assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert _nodes(plan, "HashAggregate") >= 4  # partial+final x (regs, agg)
 
@@ -74,7 +76,7 @@ def test_cms_probe_broadcasts_the_sketch(spark):
     sketch — and the whole query stays JVM-side."""
     plan = plan_of(spark, "cms_heavy_hitters")
     assert "BroadcastHashJoin" in plan
-    assert "EvalPython" not in plan
+    assert "BatchEvalPython" not in plan  # Arrow-vectorized hash allowed (r11)
     assert "CartesianProduct" not in plan
 
 
@@ -85,7 +87,7 @@ def test_bloom_probe_is_single_scan_with_broadcast_bits(spark):
     rows before the final scalar aggregate (one final-agg exchange is
     the only post-scan shuffle on the probe path)."""
     plan = plan_of(spark, "bloom_semijoin_prune")
-    assert "EvalPython" not in plan
+    assert "BatchEvalPython" not in plan  # Arrow-vectorized hash allowed (r11)
     assert "BroadcastNestedLoopJoin" in plan
     assert "BroadcastHashJoin" in plan
 
@@ -112,4 +114,4 @@ def test_hll_rollup_merges_cells_not_rescans(spark):
     plan = plan_of(spark, "hll_rollup_merge")
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2
     assert "Window" not in plan
-    assert "EvalPython" not in plan
+    assert "BatchEvalPython" not in plan  # Arrow-vectorized hash allowed (r11)
