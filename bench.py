@@ -256,6 +256,28 @@ def main() -> None:
             }
         )
     )
+    # Compact summary as the LAST stdout line (r12, VERDICT r11 item 3,
+    # additions-only): the full line above is ~6 KB of per-query detail
+    # and round 10's copy was lost to tail truncation in the capture
+    # window, leaving the next round with no parseable baseline
+    # (PERF_r11 `prev_bench_ok` false).  A truncated tail now still
+    # yields total + calibration + n for round-over-round comparison.
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    "all_catalog_total_compact"
+                    if bench_all
+                    else "headline_total_compact"
+                ),
+                "value": total,
+                "unit": "sec",
+                "n": len(timings),
+                "sf": float(sf) if sf else None,
+                "calibration_sec": calibration,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -214,14 +214,48 @@ def _shingled(docs: DataFrame, n: int) -> DataFrame:
     # suppression test when r11 tried it).  Only ngram_jaccard_pairs,
     # whose prefix-filter recall is EXACT under any total order, uses
     # the cheaper token-hash combine.
-    from .text import word_ngrams
+    #
+    # r12 (VERDICT r11 item 2, guide §1.2): the STRING PATH itself is
+    # optimized without touching the hash values.  The old shape
+    # (``transform(word_ngrams(text, n), xxhash64)``) referenced the
+    # token array — a regex split — once per shifted slice and size
+    # call, and interpreted higher-order eval does not CSE expression
+    # subtrees, so the split re-ran ~2n+2 times per row (measured
+    # 0.74 s of the 0.92 s shingling pass in the ngram twin).  Binding
+    # the token array ONCE as a lambda variable makes every slice read
+    # the bound array.  The shingle strings (concat_ws of the same n
+    # tokens), their xxhash64 values, the array_distinct first-
+    # occurrence order and the < n guard are all unchanged — pinned by
+    # test_shingled_hash_values_unchanged and the ingest-suppression
+    # test.
+    from .text import tokens
 
-    return docs.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(word_ngrams(F.col("text"), n), lambda s: F.xxhash64(s))
-        ).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    toks = tokens(F.col("text"))
+
+    def build(tv: Column) -> Column:
+        shifted = [
+            F.slice(tv, k + 1, F.size(tv)).alias(f"w{k}") for k in range(n)
+        ]
+        z = F.slice(
+            F.arrays_zip(*shifted),
+            1,
+            F.greatest(F.size(tv) - (n - 1), F.lit(0)),
+        )
+        return F.when(
+            F.size(tv) < n, F.array().cast("array<bigint>")
+        ).otherwise(
+            F.array_distinct(
+                F.transform(
+                    z,
+                    lambda x: F.xxhash64(
+                        F.concat_ws(" ", *[x[f"w{k}"] for k in range(n)])
+                    ),
+                )
+            )
+        )
+
+    sh = F.element_at(F.transform(F.array(toks), build), 1)
+    return docs.select("doc_id", sh.alias("sh")).filter(F.size("sh") > 0)
 
 
 def minhash_signatures(docs: DataFrame, n: int = 3,

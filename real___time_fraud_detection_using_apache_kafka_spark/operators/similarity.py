@@ -31,6 +31,13 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# Probe-side slice height for the cogrouped LSH bucket kernel (r12,
+# VERDICT r11 item 1): the similarity matrix one task holds is at most
+# _LSH_PROBE_CHUNK × |bucket| float64 (e.g. 4096 × 10k ≈ 330 MB for a
+# pathologically hot bucket) instead of |bucket|², so a duplicate-heavy
+# pattern bucket degrades to more matmul slices, not a worker OOM.
+_LSH_PROBE_CHUNK = 4096
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential left-fold dot product in double precision (IEEE-stable
@@ -551,6 +558,10 @@ def hyperplane_lsh_pairs(embeddings: DataFrame, threshold: float = 0.45,
     margin = threshold - 1e-6
     n_bands, n_planes = bands, planes_per_band
     do_probe = probe_bits == 1
+    # read the module global HERE (driver side) so the kernel closes
+    # over a plain int — tests can monkeypatch the module constant and
+    # be certain the executor-side kernel sees the patched value
+    probe_chunk = _LSH_PROBE_CHUNK
 
     @F.pandas_udf("array<int>")
     def _patterns(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -615,11 +626,11 @@ def hyperplane_lsh_pairs(embeddings: DataFrame, threshold: float = 0.45,
     def _bucket_kernel(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np  # noqa: PLC0415 — executor-side import
 
+        # empty frames slice the INPUT id column so the output dtype
+        # always follows the caller's id type (ADVICE r11: the old
+        # hard-coded int64 empties broke non-bigint ids)
         empty = pd.DataFrame(
-            {
-                "id_a": pd.Series(dtype="int64"),
-                "id_b": pd.Series(dtype="int64"),
-            }
+            {"id_a": lpdf["id"].iloc[:0], "id_b": rpdf["id"].iloc[:0]}
         )
         if lpdf.empty or rpdf.empty:
             return empty
@@ -639,16 +650,39 @@ def hyperplane_lsh_pairs(embeddings: DataFrame, threshold: float = 0.45,
         nb = np.linalg.norm(vb, axis=1)
         na[na == 0.0] = 1.0
         nb[nb == 0.0] = 1.0
-        sim = (va / na[:, None]) @ (vb / nb[:, None]).T
         ia = lpdf["id"].to_numpy()[lmask]
         ib = rpdf["id"].to_numpy()[rmask]
-        ii, jj = np.nonzero((sim >= margin) & (ia[:, None] < ib[None, :]))
-        return pd.DataFrame({"id_a": ia[ii], "id_b": ib[jj]})
+        # r12 (VERDICT r11 item 1): chunk the probe side so one
+        # degenerate hot bucket (many near-identical vectors sharing a
+        # pattern) costs O(chunk × |bucket|) floats per matmul instead
+        # of O(|bucket|²) — the old single matmul OOMed the Python
+        # worker exactly where the corpus is most duplicated.  Same
+        # arithmetic per pair (each probe row still meets each index
+        # row once, the normalized index matrix is built once), so the
+        # emitted pair set is identical.
+        vbn = vb / nb[:, None]
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for s in range(0, va.shape[0], probe_chunk):
+            sl = slice(s, s + probe_chunk)
+            sim = (va[sl] / na[sl][:, None]) @ vbn.T
+            ii, jj = np.nonzero((sim >= margin) & (ia[sl][:, None] < ib[None, :]))
+            if len(ii):
+                out_a.append(ia[sl][ii])
+                out_b.append(ib[jj])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
 
+    # output ids keep the caller's id type (ADVICE r11 — the kernel is
+    # generic over id_col; bigint was hard-coded before)
+    id_dt = embeddings.schema[id_col].dataType.simpleString()
     cand = (
         probe.groupBy("band", "pattern")
         .cogroup(sig.groupBy("band", "pattern"))
-        .applyInPandas(_bucket_kernel, "id_a long, id_b long")
+        .applyInPandas(_bucket_kernel, f"id_a {id_dt}, id_b {id_dt}")
         .dropDuplicates(["id_a", "id_b"])
     )
     av = embp.select(

@@ -177,16 +177,21 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate over the union of all four value domains (measured
     1.86 s at sf0.1 vs 0.41 s for independent single-distinct scans).
     Instead each column gets its OWN single-distinct aggregate (no
-    Expand, and the parquet scan prunes to exactly that column), the
-    four 1-row results are unioned, and the shared row count rides a
-    broadcast crossJoin.  At 100 TB the gap widens: the expand plan
-    scans all profiled columns ×(k+1) through one shuffle, the
-    per-column plans each read one column chunk.  Exact distinct
-    counts swap for ``approx_count_distinct`` with no plan change
-    (noted in SCALE.md).
+    Expand, and the parquet scan prunes to exactly that column) and
+    the four 1-row results are unioned.  At 100 TB the gap widens:
+    the expand plan scans all profiled columns ×(k+1) through one
+    shuffle, the per-column plans each read one column chunk.  Exact
+    distinct counts swap for ``approx_count_distinct`` with no plan
+    change (noted in SCALE.md).
+
+    r12 (VERDICT r11 item 7): the shared row count no longer gets its
+    OWN scan + broadcast crossJoin — ``count(*)`` rides inside every
+    per-column aggregate (the single-distinct rewrite keeps the plan
+    Expand-free with mixed distinct/non-distinct aggregates), so the
+    plan is exactly 4 pruned single-column scans.  Same values: each
+    branch counts the same table.
     """
     o = load_table(spark, sf_dir, "orders")
-    n = o.agg(F.count("*").alias("n_rows"))
     per_col = []
     for col, mn in [
         ("o_orderkey", None),
@@ -196,6 +201,7 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]:
         per_col.append(
             o.agg(
+                F.count(F.lit(1)).alias("n_rows"),
                 F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias(
                     "n_null"
                 ),
@@ -206,12 +212,10 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.round(F.max(col), mn) if mn else F.max(col))
                 .cast("string")
                 .alias("max_value"),
-            ).select(F.lit(col).alias("column_name"), "n_null",
+            ).select(F.lit(col).alias("column_name"), "n_rows", "n_null",
                      "n_distinct", "min_value", "max_value")
         )
     stats = per_col[0]
     for df in per_col[1:]:
         stats = stats.unionAll(df)
-    return stats.crossJoin(F.broadcast(n)).select(
-        "column_name", "n_rows", "n_null", "n_distinct", "min_value", "max_value"
-    )
+    return stats

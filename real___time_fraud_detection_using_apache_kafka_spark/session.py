@@ -48,11 +48,21 @@ def get_spark(app_name: str = "fraud-engine", master: str | None = None,
         )
         # r11 (guide §3.1/§9): allow shuffled-hash join where the
         # planner's size conditions hold instead of always sort-merge —
-        # skips the per-partition sorts; AQE's
-        # maxShuffledHashJoinLocalMapThreshold gates the runtime rewrite
-        # by actual map-output size (64 MB per partition, same bound as
-        # the broadcast threshold below), so an oversized build side
-        # falls back to SMJ rather than OOM at cluster scale.
+        # skips the per-partition sorts.  Two distinct gates (ADVICE r11
+        # correction): the AQE maxShuffledHashJoinLocalMapThreshold only
+        # governs AQE's runtime SMJ→SHJ rewrite, by ACTUAL map-output
+        # size (64 MB per partition, same bound as the broadcast
+        # threshold below); the STATIC planner's SHJ pick under
+        # preferSortMergeJoin=false is gated by its own estimate-based
+        # conditions (build side < advisoryPartitionSize × shuffle
+        # partitions AND 3× smaller than the probe side), and an SHJ
+        # build side does not spill — a bad estimate there can still
+        # OOM a task.  Accepted here because every catalog join under
+        # this flag builds from either a persisted frame (stats are
+        # actual sizes, not guesses) or a scan with parquet size stats;
+        # a cluster deployment with unstatted inputs should prefer
+        # leaving preferSortMergeJoin=true and relying on the AQE
+        # threshold alone.
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",

@@ -282,17 +282,19 @@ def test_dq_report_broadcasts_fk_and_scans_orders_twice_max(spark):
 def test_profile_orders_per_column_scans_no_expand(spark):
     """r11 plan: one PRUNED scan + single-distinct aggregate per profiled
     column (no Expand — the multi-distinct rewrite multiplied every row
-    ×(k+1) and measured 4.5× slower than independent scans), a 1-row
-    broadcast for the shared row count, and no data-sized join."""
+    ×(k+1) and measured 4.5× slower than independent scans).  r12
+    (VERDICT r11 item 7): the shared row count rides INSIDE each
+    per-column aggregate, so the dedicated count scan and its broadcast
+    crossJoin are gone — exactly 4 scans, zero joins."""
     import re
 
     plan = plan_of(spark, "profile_orders_columns")
-    # one scan per profiled column + one for the row count
-    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 5
+    # exactly one scan per profiled column — no separate row-count scan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 4
     # the Expand-based multi-distinct rewrite must not reappear
     assert "Expand" not in plan
-    # the only join is the 1-row count attach (broadcast, never shuffled)
-    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # no join of any kind remains
+    assert "Join" not in plan
     # each per-column scan reads just that column (pruning intact)
     scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     assert scans and all(s.count(",") == 0 for s in scans), scans

@@ -64,8 +64,12 @@ def test_hll_is_two_hash_aggregates_no_window(spark):
     plan = plan_of(spark, "hll_distinct_users")
     assert "Window" not in plan
     # r11: the portable hash is a vectorized Arrow UDF (one
-    # ArrowEvalPython projection); row-at-a-time Python stays banned
+    # ArrowEvalPython projection); row-at-a-time Python stays banned,
+    # and the Arrow node count is pinned (ADVICE r11) so an accidental
+    # extra Python stage — or optimizer duplication of the hash (guide
+    # §4.4) — fails loudly instead of hiding behind the allowance
     assert "BatchEvalPython" not in plan
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
     assert "CartesianProduct" not in plan
     assert _nodes(plan, "HashAggregate") >= 4  # partial+final x (regs, agg)
 
@@ -77,6 +81,8 @@ def test_cms_probe_broadcasts_the_sketch(spark):
     plan = plan_of(spark, "cms_heavy_hitters")
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan  # Arrow-vectorized hash allowed (r11)
+    # exactly the two hash sites (sketch build + probe) — ADVICE r11
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 2
     assert "CartesianProduct" not in plan
 
 
@@ -88,6 +94,8 @@ def test_bloom_probe_is_single_scan_with_broadcast_bits(spark):
     the only post-scan shuffle on the probe path)."""
     plan = plan_of(spark, "bloom_semijoin_prune")
     assert "BatchEvalPython" not in plan  # Arrow-vectorized hash allowed (r11)
+    # exactly the two hash sites (bit build + probe flagging) — ADVICE r11
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 2
     assert "BroadcastNestedLoopJoin" in plan
     assert "BroadcastHashJoin" in plan
 
@@ -115,3 +123,5 @@ def test_hll_rollup_merges_cells_not_rescans(spark):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan  # Arrow-vectorized hash allowed (r11)
+    # one hash site (the register build; the audit reuses it) — ADVICE r11
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1

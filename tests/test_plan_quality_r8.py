@@ -144,8 +144,14 @@ def test_r8_batch2_queries_stay_jvm_side(spark):
         df = plans.QUERIES[name].fn(spark, SF)
         plan = _plan(df)
         # r11: stratified_kfold's portable hash is a vectorized Arrow
-        # UDF; row-at-a-time Python stays banned
+        # UDF; row-at-a-time Python stays banned.  ADVICE r11: pin the
+        # Arrow node count too — one sanctioned hash projection in
+        # stratified_kfold, zero Python anywhere else — so an
+        # accidental future Python stage fails instead of riding the
+        # blanket allowance.
         assert "BatchEvalPython" not in plan, name
+        n_arrow = len(re.findall(r"\(\d+\) ArrowEvalPython", plan))
+        assert n_arrow == (1 if name == "stratified_kfold" else 0), name
         assert "CartesianProduct" not in plan, name
         assert "partitionBy=[]" not in plan, name
 

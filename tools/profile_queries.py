@@ -35,6 +35,8 @@ def main() -> None:
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--repeat", type=int, default=3)
     ap.add_argument("--plans", choices=["before", "after"], default=None)
+    ap.add_argument("--plans-dir", default="r12",
+                    help="subdirectory of plans/ for explain dumps")
     ap.add_argument("names", nargs="+")
     args = ap.parse_args()
 
@@ -42,7 +44,7 @@ def main() -> None:
     sc = spark.sparkContext
     qs = plans.queries()
     plan_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r11")
+        os.path.abspath(__file__))), "plans", args.plans_dir)
     os.makedirs(plan_dir, exist_ok=True)
 
     for name in args.names:
