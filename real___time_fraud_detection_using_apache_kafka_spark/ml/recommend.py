@@ -46,13 +46,19 @@ def fit_als(ratings: DataFrame, rank: int = 8, max_iter: int = 8,
         implicitPrefs=True, rank=rank, maxIter=max_iter, regParam=reg,
         alpha=alpha, seed=seed, coldStartStrategy="drop",
         numUserBlocks=8, numItemBlocks=8,
-        # pinned (r9, VERDICT r8 item 6): these are the current MLlib
-        # defaults, but the 5.8-20 s run-to-run spread this query shows
-        # is GC/caching-sensitive, so the storage levels are part of
-        # the recorded variance band in BASELINE.md — a future default
-        # change must not silently move them
-        intermediateStorageLevel="MEMORY_AND_DISK",
-        finalStorageLevel="MEMORY_AND_DISK",
+        # r12 (VERDICT r11 item 8): SER variants for the per-iteration
+        # factor/ratings block caches.  The fitted model is a function
+        # of (data, seed, iterations) only — the cache FORMAT cannot
+        # change a single value (output hash verified identical at
+        # sf0.01) — but the deserialized default buffers every
+        # iteration's factor blocks as live objects, and the 5.8-20 s
+        # run-to-run spread this query showed is GC-driven.  Serialized
+        # blocks trade a little decode CPU for a flat object graph the
+        # collector skips — the recorded band tightened (see
+        # OPTIMIZATION_r12.md); a future MLlib default change must not
+        # silently move these.
+        intermediateStorageLevel="MEMORY_AND_DISK_SER",
+        finalStorageLevel="MEMORY_AND_DISK_SER",
     )
     return als.fit(ratings)
 
